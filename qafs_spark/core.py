@@ -1,0 +1,754 @@
+"""FeatureStore facade: registry CRUD + Spark-native save/load.
+
+The reference API surface (src/qafs/core.py:17-582) re-expressed Spark-first:
+every load is ONE lazy DataFrame plan (scan → derived-partition pruning →
+time-travel filter → last-write-wins dedup → as-of grid union → outer
+alignment + scalable ffill); nothing materializes on the driver until the
+caller's action. This removes the reference's biggest scalability sin — the
+``.compute()``-to-pandas before dedup/resample (src/qafs/backend/
+pandas.py:158, SURVEY §3.2).
+
+Both API generations are supported: the new-style names (``save_df``,
+``load_features`` — core.py:385, :441) and the test-specified old-style
+conveniences (``FeatureStore(url=...)``, ``save_dataframe``,
+``load_dataframe``, ``_split_name``, ``_unpack_list`` — reference
+tests/test_feature_store.py:92, :108-128, :240).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import posixpath
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import names as names_mod
+from . import storage as fs_storage
+from . import transforms as tfm
+from .checks import Column, _raise_error_enabled
+from .exceptions import (
+    FeatureStoreException,
+    MissingFeatureException,
+    SchemaError,
+)
+from .offsets import parse_offset
+from .operators import (
+    align_features,
+    last_write_wins,
+    resample_asof,
+    time_travel_filter,
+)
+from .registry import FeatureRecord, Registry
+from .sources.feature_dataset import (
+    empty_feature_df,
+    feature_path,
+    read_feature,
+    write_feature,
+)
+
+logger = logging.getLogger("qafs_spark")
+
+_ONE_US = pd.Timedelta(1, unit="us")
+
+_FAMILY_SPARK_TYPES = {
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+    "str": T.StringType(),
+    "bool": T.BooleanType(),
+    "datetime": T.TimestampType(),
+    "object": T.StringType(),
+}
+
+
+class InFeature:
+    """Parity with reference core.py:585-591."""
+
+    def __init__(self, name: str, namespace: Optional[str] = None):
+        self.name = name
+        self.namespace = namespace
+
+    def __str__(self) -> str:
+        return f"{self.namespace}/{self.name}"
+
+
+class OutFeature(InFeature):
+    """Parity with reference core.py:594-600."""
+
+
+class FeatureStore:
+    """Quality-aware feature store on Spark.
+
+    Args:
+        storage: root path/URL for feature data (``file:/``-style local paths
+            or any Hadoop-FS URL the cluster has connectors for).
+        spark: an active SparkSession (created with sensible defaults via
+            :func:`qafs_spark.session.get_spark` if omitted).
+        db_connection: path to the sqlite registry DB; defaults to
+            ``<storage>/fs.db`` for local storage (reference core.py:30).
+        url: alias of ``storage`` (old-style API, reference tests:92).
+        clock: injectable ``() -> pd.Timestamp`` used for default
+            ``created_time`` (SURVEY §7 watch-list #5).
+    """
+
+    def __init__(
+        self,
+        storage: Optional[str] = None,
+        db_connection: Optional[str] = None,
+        spark: Optional[SparkSession] = None,
+        backend: str = "spark",
+        verbose: bool = False,
+        url: Optional[str] = None,
+        storage_options: Optional[Dict] = None,
+        clock: Optional[Callable[[], pd.Timestamp]] = None,
+    ):
+        storage = storage or url
+        if storage is None:
+            raise FeatureStoreException("storage (or url=) is required")
+        self.storage = str(storage)
+        self.backend = backend
+        if spark is None:
+            from .session import get_spark
+
+            spark = get_spark()
+        self.spark = spark
+        self.clock = clock or pd.Timestamp.now
+        if db_connection is None:
+            local_root = self.storage
+            if local_root.startswith("file:"):
+                local_root = local_root[len("file:"):]
+            if not local_root.startswith("/"):
+                raise FeatureStoreException(
+                    "db_connection is required for non-local storage"
+                )
+            import os
+
+            os.makedirs(local_root, exist_ok=True)
+            db_connection = posixpath.join(local_root, "fs.db")
+        self.registry = Registry(db_connection)
+        if verbose:
+            logging.basicConfig(level=logging.INFO)
+
+    # ------------------------------------------------------------------
+    # name helpers (reference tests:104-128)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _split_name(name: Optional[str] = None, namespace: Optional[str] = None):
+        return names_mod.split_name(name, namespace)
+
+    @staticmethod
+    def _unpack_list(features: Any, namespace: Optional[str] = None):
+        return names_mod.unpack_list(features, namespace)
+
+    # ------------------------------------------------------------------
+    # namespaces
+    # ------------------------------------------------------------------
+    def create_namespace(self, name, description=None, meta=None, storage=None):
+        self.registry.create_namespace(
+            name, description=description, meta=meta, storage=storage
+        )
+
+    def update_namespace(self, name, description=None, meta=None):
+        self.registry.update_namespace(name, description=description, meta=meta)
+
+    def delete_namespace(self, name, delete_data: bool = False):
+        if delete_data:
+            fs_storage.delete_path(
+                self.spark, posixpath.join(self._storage_for(name), "feature", name)
+            )
+        self.registry.delete_namespace(name)
+
+    def clean_namespace(self, name):
+        """GC data dirs with no registered feature (reference model.py:112-120)."""
+        if self.registry.get_namespace(name) is None:
+            raise MissingFeatureException(f"No existing Namespace named {name}")
+        root = posixpath.join(self._storage_for(name), "feature", name)
+        live = {f["name"] for f in self.registry.list_features(namespace=name)}
+        for d in fs_storage.list_dirs(self.spark, root):
+            if d not in live:
+                fs_storage.delete_path(self.spark, posixpath.join(root, d))
+
+    def list_namespaces(self, name=None, namespace=None, regex=None) -> pd.DataFrame:
+        rows = self.registry.list_namespaces(
+            name=name if name is not None else namespace, regex=regex
+        )
+        return self._records_df(rows, ["name", "version", "description", "meta"])
+
+    # ------------------------------------------------------------------
+    # features
+    # ------------------------------------------------------------------
+    def create_feature(
+        self,
+        name: str,
+        check: Optional[Column] = None,
+        namespace: Optional[str] = None,
+        description: Optional[str] = None,
+        partition: Optional[str] = None,
+        serialized: Optional[bool] = None,
+        transform: Optional[Dict] = None,
+        meta: Optional[Dict] = None,
+    ):
+        namespace, name = self._split_name(name, namespace)
+        check = check or Column("object", nullable=True)
+        self.registry.create_feature(
+            namespace,
+            name,
+            description=description,
+            meta=meta,
+            partition=partition,
+            serialized=serialized,
+            transform=transform,
+            check_yaml=check.to_yaml(name=f"{namespace}/{name}"),
+        )
+
+    def update_feature(
+        self,
+        name: str,
+        namespace: Optional[str] = None,
+        description: Optional[str] = None,
+        transform: Optional[Dict] = None,
+        check: Optional[Column] = None,
+        meta: Optional[Dict] = None,
+        serialized: Optional[bool] = None,
+    ):
+        namespace, name = self._split_name(name, namespace)
+        self.registry.update_feature(
+            namespace,
+            name,
+            description=description,
+            meta=meta,
+            transform=transform,
+            check_yaml=check.to_yaml(name=f"{namespace}/{name}") if check else None,
+            serialized=serialized,
+        )
+
+    def delete_feature(self, name, namespace=None, delete_data: bool = False):
+        namespace, name = self._split_name(name, namespace)
+        if delete_data:
+            fs_storage.delete_path(self.spark, self._path(namespace, name))
+        self.registry.delete_feature(namespace, name)
+
+    def clone_feature(
+        self,
+        name: str,
+        namespace: Optional[str] = None,
+        from_name: Optional[str] = None,
+        from_namespace: Optional[str] = None,
+    ):
+        """Copy metadata + data to a new feature.
+
+        Implements the *intended* semantics of reference core.py:315-356 /
+        model.py:164-177 (the reference body references undefined
+        ``to_namespace``/``to_name`` and NameErrors at runtime; the intent is
+        specified by tests:259-277).
+        """
+        namespace, name = self._split_name(name, namespace)
+        from_namespace, from_name = self._split_name(from_name, from_namespace)
+        src = self.registry.get_feature(from_namespace, from_name)
+        if src is None:
+            raise MissingFeatureException(
+                f"No existing Feature named {from_name} in {from_namespace}"
+            )
+        self.registry.create_feature(
+            namespace,
+            name,
+            description=src["description"],
+            meta=src["meta"],
+            partition=src["partition"],
+            serialized=src["serialized"],
+            transform=src["transform"],
+            check_yaml=src["check_yaml"],
+        )
+        if not src["transform"]:
+            src_path = self._path(from_namespace, from_name)
+            if fs_storage.path_exists(self.spark, src_path):
+                df = self.spark.read.parquet(src_path)
+                df.write.mode("overwrite").partitionBy("partition").parquet(
+                    self._path(namespace, name)
+                )
+
+    def list_features(
+        self, name=None, namespace=None, regex=None, friendly: bool = True
+    ) -> pd.DataFrame:
+        namespace2, name2 = (None, None)
+        if name is not None:
+            namespace2, name2 = self._split_name(name, namespace)
+        else:
+            namespace2 = namespace
+        rows = self.registry.list_features(
+            name=name2, namespace=namespace2, regex=regex
+        )
+        df = self._records_df(
+            rows,
+            ["namespace", "name", "version", "description", "meta", "partition",
+             "serialized", "transform"],
+        )
+        if not df.empty and friendly and "transform" in df.columns:
+            df = df.assign(transform=df["transform"].apply(lambda x: x is not None))
+        return df
+
+    # ------------------------------------------------------------------
+    # save
+    # ------------------------------------------------------------------
+    def save_df(
+        self,
+        df: Union[pd.DataFrame, DataFrame],
+        name: Optional[str] = None,
+        namespace: Optional[str] = None,
+    ):
+        """Save feature values (reference core.py:385-439, pandas.py:224-265).
+
+        Accepts a pandas frame (time index or column, one or many feature
+        columns) or a Spark DataFrame (``time`` column required). Multi-column
+        frames fan out into one save per feature column.
+        """
+        if isinstance(df, pd.DataFrame):
+            df = self._normalize_pandas_time(df)
+            meta_cols = {"time", "created_time"}
+            feature_columns = [c for c in df.columns if c not in meta_cols]
+            if len(feature_columns) == 0:
+                return
+            if len(feature_columns) > 1:
+                base = [c for c in df.columns if c in meta_cols]
+                if name is not None:
+                    self._save_single_pandas(df[base + [name]], name, namespace)
+                else:
+                    for fc in feature_columns:
+                        self._save_single_pandas(df[base + [fc]], fc, namespace)
+                return
+            self._save_single_pandas(df, name or feature_columns[0], namespace)
+        elif isinstance(df, DataFrame):
+            meta_cols = {"time", "created_time"}
+            feature_columns = [c for c in df.columns if c not in meta_cols]
+            if "time" not in df.columns:
+                raise FeatureStoreException("Spark DataFrame must have a time column")
+            if len(feature_columns) > 1 and name is None:
+                base = [c for c in df.columns if c in meta_cols]
+                for fc in feature_columns:
+                    self._save_single_spark(df.select(*base, fc), fc, namespace)
+                return
+            if name is not None and name in df.columns:
+                base = [c for c in df.columns if c in meta_cols]
+                df = df.select(*base, name)
+                feature_columns = [name]
+            self._save_single_spark(df, name or feature_columns[0], namespace)
+        else:
+            raise FeatureStoreException(
+                "Data must be a pandas or Spark DataFrame"
+            )
+
+    # old-style name (reference tests:240 etc.)
+    save_dataframe = save_df
+
+    def _normalize_pandas_time(self, df: pd.DataFrame) -> pd.DataFrame:
+        if isinstance(df.index, pd.DatetimeIndex):
+            if "time" in df.columns:
+                raise FeatureStoreException(
+                    "Not sure whether to use timestamp index or time column"
+                )
+            df = df.reset_index()
+            df = df.rename(columns={df.columns[0]: "time"})
+        if "time" not in df.columns:
+            raise FeatureStoreException(
+                "DataFrame must be supplied with timestamps"
+            )
+        return df
+
+    def _resolve_feature_for_save(
+        self, col_name: str, name: Optional[str], namespace: Optional[str]
+    ) -> Tuple[str, str, FeatureRecord]:
+        ns, nm = self._split_name(name or col_name, namespace)
+        if ns is None:
+            raise MissingFeatureException(f"Feature named {nm} needs a namespace")
+        rec = self.registry.get_feature(ns, nm)
+        if rec is None:
+            raise MissingFeatureException(
+                f"Feature named {nm} does not exist in {ns}"
+            )
+        return ns, nm, rec
+
+    def _save_single_pandas(self, df: pd.DataFrame, name, namespace):
+        value_col = [c for c in df.columns if c not in ("time", "created_time")]
+        if not value_col:
+            return
+        value_col = value_col[0]
+        ns, nm, rec = self._resolve_feature_for_save(value_col, name, namespace)
+        if df.empty:
+            return
+        check = Column.from_yaml(rec.check_yaml) if rec.check_yaml else Column()
+        self._pandas_dtype_gate(df[value_col], check, f"{ns}/{nm}")
+
+        out = df.rename(columns={value_col: "value"}).copy()
+        out["time"] = pd.to_datetime(out["time"])
+        if rec.serialized:
+            out["value"] = out["value"].map(_json_dumps)
+        sdf = self.spark.createDataFrame(out)
+        self._finish_save(sdf, ns, nm, rec, check, validated=rec.serialized)
+
+    def _save_single_spark(self, df: DataFrame, name, namespace):
+        value_col = [c for c in df.columns if c not in ("time", "created_time")]
+        if not value_col:
+            return
+        value_col = value_col[0]
+        ns, nm, rec = self._resolve_feature_for_save(value_col, name, namespace)
+        check = Column.from_yaml(rec.check_yaml) if rec.check_yaml else Column()
+        sdf = df.withColumnRenamed(value_col, "value")
+        if rec.serialized:
+            vt = dict(zip(sdf.columns, [f.dataType for f in sdf.schema.fields]))["value"]
+            if not isinstance(vt, T.StringType):
+                raise FeatureStoreException(
+                    "Serialized features require JSON-string values when saving "
+                    "from a Spark DataFrame"
+                )
+        self._finish_save(sdf, ns, nm, rec, check, validated=rec.serialized)
+
+    def _pandas_dtype_gate(self, series: pd.Series, check: Column, label: str):
+        """Driver-side dtype family check for pandas inputs — catches the
+        mixed-object case before Spark conversion (reference tests:418-420)."""
+        fam = check.dtype
+        if fam == "object":
+            return
+        inferred = pd.api.types.infer_dtype(series, skipna=True)
+        ok = {
+            "int": {"integer", "empty"},
+            "float": {"floating", "empty", "integer"},
+            "str": {"string", "empty"},
+            "bool": {"boolean", "empty"},
+            "datetime": {"datetime64", "datetime", "date", "empty"},
+        }[fam]
+        if inferred not in ok:
+            msg = f"Schema check failed for {label}: data is {inferred}, expected {fam}"
+            if _raise_error_enabled():
+                raise SchemaError(msg, {"dtype": -1})
+            logger.error(msg)
+
+    def _finish_save(self, sdf: DataFrame, ns, nm, rec: FeatureRecord,
+                     check: Column, validated: bool):
+        extraneous = set(sdf.columns) - {"time", "created_time", "value"}
+        if extraneous:
+            raise FeatureStoreException(
+                f"DataFrame contains extraneous columns: {extraneous}"
+            )
+        sdf = sdf.withColumn("time", F.col("time").cast("timestamp"))
+        if "created_time" not in sdf.columns:
+            sdf = sdf.withColumn(
+                "created_time", F.lit(pd.Timestamp(self.clock())).cast("timestamp")
+            )
+        else:
+            sdf = sdf.withColumn(
+                "created_time", F.col("created_time").cast("timestamp")
+            )
+        if not validated:
+            check.validate(sdf, "value")
+        write_feature(sdf, self._path(ns, nm), scheme=rec.partition)
+
+    # ------------------------------------------------------------------
+    # load
+    # ------------------------------------------------------------------
+    def load_features(
+        self,
+        features: Any,
+        from_date=None,
+        to_date=None,
+        freq: Optional[str] = None,
+        time_travel: Optional[str] = None,
+        namespace: Optional[str] = None,
+    ) -> DataFrame:
+        """One lazy Spark plan over all requested features (SURVEY §3.2).
+
+        Returns a DataFrame with a ``time`` column plus one column per
+        feature named ``namespace/name``, outer-aligned and forward-filled;
+        with ``freq``, rows sit on the regular grid with as-of carry-in.
+        """
+        specs = self._unpack_list(features, namespace=namespace)
+        if not specs:
+            raise FeatureStoreException("No features requested")
+        from_ts = pd.Timestamp(from_date) if from_date is not None else None
+        to_ts = pd.Timestamp(to_date) if to_date is not None else None
+        if from_ts is not None and to_ts is not None and to_ts < from_ts:
+            to_ts = from_ts  # reference clamp (pandas.py:155-156)
+
+        recs = []
+        for ns, nm in specs:
+            if ns is None:
+                raise MissingFeatureException(f"Feature {nm} needs a namespace")
+            rec = self.registry.get_feature(ns, nm)
+            if rec is None:
+                raise MissingFeatureException(
+                    f"No feature named '{nm}' exists in '{ns}'"
+                )
+            recs.append((ns, nm, rec))
+
+        if freq is not None and (from_ts is None or to_ts is None):
+            bounds = self._data_bounds(recs, time_travel)
+            if bounds is None:
+                if from_ts is None or to_ts is None:
+                    return self._empty_result(recs)
+            else:
+                from_ts = from_ts if from_ts is not None else bounds[0]
+                to_ts = to_ts if to_ts is not None else bounds[1]
+                if to_ts < from_ts:
+                    to_ts = from_ts
+
+        # With freq, history before from_date carries in through the grid
+        # chain (golden semantics) — scan with the upper bound only and let
+        # resample_asof's bin aggregation compress the history.
+        scan_from = None if freq is not None else from_ts
+        memo: Dict[Tuple[str, str], DataFrame] = {}
+        named = []
+        for ns, nm, rec in recs:
+            series = self._load_single(
+                ns, nm, rec, scan_from, to_ts, freq, time_travel, callers=[], memo=memo
+            )
+            named.append((f"{ns}/{nm}", series.withColumnRenamed("value", f"{ns}/{nm}")))
+
+        cols = [n for n, _ in named]
+        if freq is not None:
+            aligned = align_features(named, fill=False)
+            return resample_asof(aligned, cols, from_ts, to_ts, freq)
+        return align_features(named)
+
+    def load_dataframe(
+        self,
+        features: Any,
+        from_date=None,
+        to_date=None,
+        freq: Optional[str] = None,
+        time_travel: Optional[str] = None,
+        namespace: Optional[str] = None,
+    ) -> pd.DataFrame:
+        """Old-style API: pandas result indexed by time (reference tests)."""
+        specs = self._unpack_list(features, namespace=namespace)
+        sdf = self.load_features(
+            features, from_date=from_date, to_date=to_date, freq=freq,
+            time_travel=time_travel, namespace=namespace,
+        )
+        pdf = sdf.toPandas()
+        pdf = pdf.sort_values("time").set_index("time")
+        pdf.index.name = "time"
+        # restore requested column order; decode serialized JSON values
+        cols = [f"{ns}/{nm}" for ns, nm in specs]
+        pdf = pdf[cols]
+        for ns, nm in specs:
+            rec = self.registry.get_feature(ns, nm)
+            if rec is not None and rec.serialized:
+                col = f"{ns}/{nm}"
+                pdf[col] = pdf[col].map(
+                    lambda v: json.loads(v) if isinstance(v, str) else v
+                )
+        return pdf
+
+    def last(self, features: Any, namespace: Optional[str] = None) -> Dict[str, Any]:
+        """Most recent value per feature (intended semantics of the
+        commented-out reference test, tests:495-526; backend pandas.py:196-222
+        is the broken reference path)."""
+        specs = self._unpack_list(features, namespace=namespace)
+        out: Dict[str, Any] = {}
+        for ns, nm in specs:
+            rec = self.registry.get_feature(ns, nm)
+            if rec is None:
+                raise MissingFeatureException(
+                    f"No feature named '{nm}' exists in '{ns}'"
+                )
+            series = self._load_single(
+                ns, nm, rec, None, None, None, None, callers=[], memo={}
+            )
+            row = (
+                series.orderBy(F.col("time").desc()).limit(1).collect()
+            )
+            val = row[0]["value"] if row else None
+            if rec.serialized and isinstance(val, str):
+                val = json.loads(val)
+            out[f"{ns}/{nm}"] = val
+        return out
+
+    # ------------------------------------------------------------------
+    # transform decorator (reference core.py:541-582)
+    # ------------------------------------------------------------------
+    def transform(
+        self,
+        name: str,
+        check: Optional[Column] = None,
+        namespace: Optional[str] = None,
+        from_features: Optional[List] = None,
+    ):
+        from_features = from_features or []
+        parents = self._unpack_list(from_features)
+
+        def decorator(func):
+            for pns, pnm in parents:
+                if self.registry.get_feature(pns, pnm) is None:
+                    raise AssertionError(
+                        f"'{pns}/{pnm}' does not exist in the feature store"
+                    )
+            payload = tfm.serialize_transform(
+                func, [f"{pns}/{pnm}" for pns, pnm in parents]
+            )
+            ns, nm = self._split_name(name, namespace)
+            if self.registry.get_feature(ns, nm) is not None:
+                self.update_feature(
+                    nm, namespace=ns, transform=payload, check=check,
+                    description=func.__doc__,
+                )
+            else:
+                self.create_feature(
+                    nm, namespace=ns, check=check, transform=payload,
+                    description=func.__doc__,
+                )
+
+            def wrapped(*args, **kwargs):
+                return func(*args, **kwargs)
+
+            return wrapped
+
+        return decorator
+
+    # ------------------------------------------------------------------
+    # internals
+    # ------------------------------------------------------------------
+    def _storage_for(self, namespace: str) -> str:
+        ns = self.registry.get_namespace(namespace)
+        if ns and ns.get("storage"):
+            return ns["storage"]
+        return self.storage
+
+    def _path(self, namespace: str, name: str) -> str:
+        return feature_path(self._storage_for(namespace), namespace, name)
+
+    def _value_type(self, rec: FeatureRecord) -> T.DataType:
+        if rec.serialized:
+            return T.StringType()
+        check = Column.from_yaml(rec.check_yaml) if rec.check_yaml else Column()
+        return _FAMILY_SPARK_TYPES.get(check.dtype, T.StringType())
+
+    def _read_raw(self, ns, nm, rec, from_ts, to_ts, time_travel) -> Optional[DataFrame]:
+        df = read_feature(
+            self.spark, self._path(ns, nm), scheme=rec.partition,
+            from_date=from_ts, to_date=to_ts,
+        )
+        if df is None:
+            return None
+        if time_travel:
+            df = time_travel_filter(df, time_travel)
+        return df
+
+    def _load_single(
+        self, ns, nm, rec: FeatureRecord, from_ts, to_ts, freq, time_travel,
+        callers: List[str], memo: Dict,
+    ) -> DataFrame:
+        """(time, value) series for one feature — lazy plan, never collected."""
+        key = (ns, nm)
+        if key in memo:
+            return memo[key]
+        full = f"{ns}/{nm}"
+        if full in callers:
+            raise FeatureStoreException(
+                f"Recursive transform dependency detected at {full}"
+            )
+        if rec.transform:
+            series = self._load_transform(
+                ns, nm, rec, from_ts, to_ts, freq, time_travel, callers + [full], memo
+            )
+        else:
+            series = self._load_leaf(ns, nm, rec, from_ts, to_ts, freq, time_travel)
+        memo[key] = series
+        return series
+
+    def _load_leaf(self, ns, nm, rec, from_ts, to_ts, freq, time_travel) -> DataFrame:
+        df = self._read_raw(ns, nm, rec, from_ts, to_ts, time_travel)
+        if df is None:
+            return empty_feature_df(self.spark, self._value_type(rec)).select(
+                "time", "value"
+            )
+        return last_write_wins(df, value_cols=["value"])
+
+    def _load_transform(
+        self, ns, nm, rec, from_ts, to_ts, freq, time_travel, callers, memo
+    ) -> DataFrame:
+        payload = rec.transform
+        func = tfm.deserialize_transform(payload)
+        parent_names = payload.get("args", [])
+        named = []
+        for pfull in parent_names:
+            pns, pnm = self._split_name(pfull)
+            prec = self.registry.get_feature(pns, pnm)
+            if prec is None:
+                raise MissingFeatureException(f"No feature named '{pfull}'")
+            pseries = self._load_single(
+                pns, pnm, prec, from_ts, to_ts, freq, time_travel, callers, memo
+            )
+            named.append((pfull, pseries.withColumnRenamed("value", pfull)))
+        aligned = align_features(named)
+        check = Column.from_yaml(rec.check_yaml) if rec.check_yaml else Column()
+        vt = tfm.output_type_for(check.dtype, aligned, func, parent_names)
+        return tfm.apply_transform(aligned, func, parent_names, vt)
+
+    def _data_bounds(self, recs, time_travel) -> Optional[Tuple[pd.Timestamp, pd.Timestamp]]:
+        """Global (min, max) time across features — one unioned agg job
+        (reference does an eager per-feature min/max, pandas.py:151-155)."""
+        aggs = []
+        for ns, nm, rec in recs:
+            if rec.transform:
+                for pfull in rec.transform.get("args", []):
+                    pns, pnm = self._split_name(pfull)
+                    prec = self.registry.get_feature(pns, pnm)
+                    if prec is not None and not prec.transform:
+                        df = self._read_raw(pns, pnm, prec, None, None, time_travel)
+                        if df is not None:
+                            aggs.append(df.agg(F.min("time").alias("mn"),
+                                               F.max("time").alias("mx")))
+                continue
+            df = self._read_raw(ns, nm, rec, None, None, time_travel)
+            if df is not None:
+                aggs.append(df.agg(F.min("time").alias("mn"), F.max("time").alias("mx")))
+        if not aggs:
+            return None
+        unioned = aggs[0]
+        for a in aggs[1:]:
+            unioned = unioned.unionByName(a)
+        row = unioned.agg(F.min("mn").alias("mn"), F.max("mx").alias("mx")).collect()[0]
+        if row["mn"] is None:
+            return None
+        return pd.Timestamp(row["mn"]), pd.Timestamp(row["mx"])
+
+    def _empty_result(self, recs) -> DataFrame:
+        fields = [T.StructField("time", T.TimestampType())]
+        for ns, nm, rec in recs:
+            fields.append(T.StructField(f"{ns}/{nm}", self._value_type(rec)))
+        return self.spark.createDataFrame([], schema=T.StructType(fields))
+
+    @staticmethod
+    def _records_df(rows: List[Dict], column_order: List[str]) -> pd.DataFrame:
+        if not rows:
+            return pd.DataFrame()
+        df = pd.DataFrame([dict(r) for r in rows])
+        cols = [c for c in column_order if c in df.columns]
+        rest = [c for c in df.columns if c not in cols and not c.endswith("_raw")
+                and c not in ("check_yaml", "backend", "storage",
+                              "created_time", "modified_time")]
+        out = df[cols + rest]
+        if "transform" in out.columns:
+            out = out.copy()
+            out["transform"] = df["transform"]
+        return out
+
+
+def _json_dumps(v) -> str:
+    return json.dumps(v, default=_json_default)
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, (pd.Timestamp,)):
+        return o.isoformat()
+    return str(o)

@@ -1,0 +1,115 @@
+"""Pandas offset-alias strings → Spark intervals.
+
+The reference exposes every time knob as a pandas-style string: resample
+``freq="2d"|"10min"`` (reference: src/qafs/backend/pandas.py:165), time travel
+``"-15min"`` (reference: src/qafs/backend/pandas.py:130). This module is the
+faithful translator onto Spark's two interval families:
+
+* fixed-duration offsets (``d``/``h``/``min``/``s``/...) → DayTimeInterval
+  (exact microsecond arithmetic),
+* calendar offsets (``W``/``M``/``Q``/``Y``) → YearMonthInterval months (or
+  7-day weeks), evaluated by Spark's calendar-aware timestamp arithmetic.
+
+Known divergence (documented, not load-bearing for the reference tests):
+anchored offsets ("M" = month *end*, "W-SUN") are treated as unanchored
+periods — the grid starts at ``from_date`` and steps by the period, it does
+not snap to month ends / Sundays, matching ``pd.date_range(from, to, freq)``
+only for unanchored freqs, which is all the reference test-suite uses.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .exceptions import FeatureStoreException
+
+
+@dataclass(frozen=True)
+class Freq:
+    """A parsed offset: exactly one of (months, microseconds) is nonzero."""
+
+    months: int = 0
+    microseconds: int = 0
+
+    @property
+    def is_calendar(self) -> bool:
+        return self.months != 0
+
+    def interval_sql(self) -> str:
+        """Spark SQL interval literal usable as a `sequence()` step."""
+        if self.months:
+            return f"INTERVAL '{self.months}' MONTH"
+        if self.microseconds % 1_000_000 == 0:
+            return f"INTERVAL '{self.microseconds // 1_000_000}' SECOND"
+        return f"make_dt_interval(0, 0, 0, {self.microseconds / 1_000_000!r})"
+
+    def step_expr(self) -> Column:
+        if self.months:
+            return F.expr(f"INTERVAL '{self.months}' MONTH")
+        if self.microseconds % 1_000_000 == 0:
+            return F.expr(f"INTERVAL '{self.microseconds // 1_000_000}' SECOND")
+        return F.expr(f"make_dt_interval(0, 0, 0, {self.microseconds / 1_000_000!r})")
+
+    def as_timedelta(self) -> pd.Timedelta:
+        if self.months:
+            raise FeatureStoreException("calendar offset has no fixed duration")
+        return pd.Timedelta(self.microseconds, unit="us")
+
+
+def parse_offset(freq: str) -> Freq:
+    """Parse a pandas offset alias ("10min", "2d", "1w", "M", "3M", "Y")."""
+    if isinstance(freq, Freq):
+        return freq
+    try:
+        td = pd.Timedelta(freq)
+        return Freq(microseconds=_td_us(td))
+    except ValueError:
+        pass
+    try:
+        off = pd.tseries.frequencies.to_offset(freq)
+    except ValueError as exc:
+        raise FeatureStoreException(f"Cannot parse offset {freq!r}") from exc
+    n = off.n
+    name = type(off).__name__
+    if name.startswith("Week"):
+        return Freq(microseconds=n * 7 * 86_400_000_000)
+    if name.startswith("Month"):
+        return Freq(months=n)
+    if name.startswith("Quarter"):
+        return Freq(months=3 * n)
+    if name.startswith("Year"):
+        return Freq(months=12 * n)
+    try:  # Day/Hour/Minute/... Ticks expose .delta
+        return Freq(microseconds=_td_us(pd.Timedelta(off)))
+    except (ValueError, TypeError) as exc:
+        raise FeatureStoreException(f"Unsupported offset {freq!r}") from exc
+
+
+def parse_timedelta(delta: str) -> pd.Timedelta:
+    """Parse a signed *fixed* timedelta string (time-travel deltas: "-15min").
+
+    Reference semantics: src/qafs/backend/pandas.py:130 uses
+    ``pd.Timedelta(time_travel)`` directly, so calendar units are invalid here.
+    """
+    try:
+        return pd.Timedelta(delta)
+    except ValueError as exc:
+        raise FeatureStoreException(
+            f"time_travel must be a fixed timedelta string, got {delta!r}"
+        ) from exc
+
+
+def shift(col: Column, delta: pd.Timedelta) -> Column:
+    """``col + delta`` with exact microsecond arithmetic on TimestampType."""
+    us = _td_us(delta)
+    if us % 1_000_000 == 0:
+        return col + F.expr(f"INTERVAL '{us // 1_000_000}' SECOND")
+    return col + F.expr(f"make_dt_interval(0, 0, 0, {us / 1_000_000!r})")
+
+
+def _td_us(td: pd.Timedelta) -> int:
+    return td.value // 1000  # pandas Timedelta.value is nanoseconds

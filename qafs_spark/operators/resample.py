@@ -1,0 +1,140 @@
+"""Resample-to-grid: the reference's temporal heart, as one aggregation.
+
+Reference semantics (golden: tests/test_feature_store.py:345-362, :389-392,
+i.e. ``pd.concat(series, join="outer", axis=1).resample(freq).ffill()
+.ffill()`` then clipped to [from, to]): at each grid point g take the *last
+aligned row* at-or-before g (whole row — NaN cells stay NaN), then
+forward-fill per column across consecutive grid points. Values from before
+``from_date`` carry in through the grid chain.
+
+Scalable Spark formulation (the load-bearing observation): the last aligned
+row at-or-before grid point g_k is the last row of the latest non-empty *bin*
+(g_{k-1}, g_k]; empty bins contribute nothing new to the per-column
+forward-fill chain. So the whole golden pipeline collapses to:
+
+1. bin index k = ceil((time - anchor) / freq)  (negative k = history before
+   the range start — that's the carry-in, compressed by the same aggregate);
+2. ``groupBy(k).agg(max_by(struct(cols), time))`` — ONE aggregation with
+   map-side partial combine: a year of history shuffles at most one row per
+   (bin × map task), not the raw data;
+3. join with the dense grid k ∈ [0, K], forward-fill per column over k
+   (two-pass bucketed ffill — no single-task global window), keep [0, K].
+
+No per-grid-point join, no global sort, no full-history shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..exceptions import FeatureStoreException
+from ..offsets import Freq, parse_offset
+from .ffill import ffill
+
+_K = "__bin"
+_FFILL_BUCKET_BINS = 8192  # bins per two-pass ffill bucket
+
+
+def time_grid(
+    spark: SparkSession,
+    from_ts,
+    to_ts,
+    freq,
+    time_col: str = "time",
+) -> DataFrame:
+    """DataFrame of one TimestampType column: [from_ts, to_ts] stepped by
+    freq — matches ``pd.date_range`` for unanchored offsets."""
+    f = parse_offset(freq)
+    from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
+    k_max = n_steps(from_ts, to_ts, f)
+    if k_max < 0:
+        return spark.range(0).select(F.lit(None).cast("timestamp").alias(time_col))
+    return (
+        spark.range(k_max + 1)
+        .select(_grid_time(F.col("id"), from_ts, f).alias(time_col))
+    )
+
+
+def n_steps(from_ts: pd.Timestamp, to_ts: pd.Timestamp, f: Freq) -> int:
+    """Largest k with from_ts + k*freq <= to_ts (-1 if to < from)."""
+    if to_ts < from_ts:
+        return -1
+    if not f.is_calendar:
+        return int((to_ts - from_ts).value // 1000 // f.microseconds)
+    # calendar months: month-count arithmetic, then adjust for day/time parts
+    approx = ((to_ts.year - from_ts.year) * 12 + to_ts.month - from_ts.month) // f.months
+    while from_ts + pd.DateOffset(months=f.months * (approx + 1)) <= to_ts:
+        approx += 1
+    while approx > 0 and from_ts + pd.DateOffset(months=f.months * approx) > to_ts:
+        approx -= 1
+    return approx
+
+
+def _grid_time(k_col, anchor: pd.Timestamp, f: Freq):
+    if f.is_calendar:
+        return F.lit(anchor).cast("timestamp") + F.make_interval(
+            months=(k_col * F.lit(f.months)).cast("int")
+        )
+    anchor_us = anchor.value // 1000
+    return F.timestamp_micros(anchor_us + k_col.cast("long") * F.lit(f.microseconds))
+
+
+def _bin_index(time_col, anchor: pd.Timestamp, f: Freq):
+    """k = ceil((time - anchor)/freq): row belongs to bin (g_{k-1}, g_k]."""
+    if f.is_calendar:
+        months = F.months_between(time_col, F.lit(anchor).cast("timestamp"))
+        return F.ceil(months / F.lit(float(f.months))).cast("long")
+    anchor_us = anchor.value // 1000
+    d = F.unix_micros(time_col) - F.lit(anchor_us)
+    # ceil division on longs, exact for any sign: -floor(-d / step)
+    step = F.lit(f.microseconds)
+    return (-F.floor((-d) / step).cast("long")).cast("long")
+
+
+def resample_asof(
+    aligned: DataFrame,
+    value_cols: List[str],
+    from_ts,
+    to_ts,
+    freq,
+) -> DataFrame:
+    """Golden resample of an outer-aligned frame onto [from_ts, to_ts] @ freq.
+
+    ``aligned`` must have unique ``time`` rows (dedup first) and may include
+    history rows before ``from_ts`` — they compress into negative bins and
+    feed the carry-in chain exactly as the golden's uncut grid would.
+    """
+    f = parse_offset(freq)
+    from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
+    spark = aligned.sparkSession
+    k_max = n_steps(from_ts, to_ts, f)
+    if k_max < 0:
+        raise FeatureStoreException("to_date must be >= from_date for resample")
+
+    binned = (
+        aligned.withColumn(_K, _bin_index(F.col("time"), from_ts, f))
+        .groupBy(_K)
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in value_cols]), F.col("time")
+            ).alias("__row")
+        )
+        .select(_K, *[F.col("__row")[c].alias(c) for c in value_cols])
+    )
+
+    grid = spark.range(k_max + 1).select(F.col("id").alias(_K))
+    full = grid.join(binned, on=_K, how="full")
+    full = ffill(
+        full,
+        value_cols,
+        time_col=_K,
+        bucket=F.floor(F.col(_K) / F.lit(_FFILL_BUCKET_BINS)),
+    )
+    return (
+        full.filter((F.col(_K) >= 0) & (F.col(_K) <= k_max))
+        .select(_grid_time(F.col(_K), from_ts, f).alias("time"), *value_cols)
+    )

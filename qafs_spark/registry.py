@@ -1,0 +1,339 @@
+"""SQLite-backed metadata registry (namespaces, features, store version).
+
+The reference keeps metadata in any SQLAlchemy RDBMS with sqlite as the
+default (reference: src/qafs/core.py:30, src/qafs/model.py:79-132,
+src/qafs/connection.py:13-24). SQLAlchemy isn't available here and the
+registry is strictly driver-side metadata (a few thousand rows), so this is a
+dependency-free sqlite3 implementation with the same semantics:
+
+* ``version`` auto-increments on every update (reference: src/qafs/
+  model.py:51-55, asserted tests/test_feature_store.py:154);
+* ``meta`` dict updates merge keys; a ``None`` value deletes the key
+  (reference: src/qafs/model.py:62-72, tests:160-170);
+* renames are forbidden (clone instead, reference: src/qafs/model.py:60-61);
+* changing ``serialized`` on an existing feature is forbidden (reference:
+  src/qafs/model.py:138-141, tests:415-417);
+* a ``feature_store_version`` stamp mirrors the alembic migration stamp
+  (reference: src/qafs/upgrade.py:12-43).
+
+At 100 TB the data plane never touches this registry from executors — all
+lookups happen once, on the driver, before the Spark plan is built.
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+import threading
+from datetime import datetime, timezone
+from typing import Any, Dict, List, Optional
+
+from .exceptions import FeatureStoreException, MissingFeatureException
+from .names import validate_name
+
+SCHEMA_VERSION = 1
+
+_DDL = """
+CREATE TABLE IF NOT EXISTS namespace (
+    name TEXT PRIMARY KEY,
+    description TEXT,
+    meta TEXT NOT NULL DEFAULT '{}',
+    version INTEGER NOT NULL DEFAULT 1,
+    storage TEXT,
+    backend TEXT NOT NULL DEFAULT 'spark',
+    created_time TEXT,
+    modified_time TEXT
+);
+CREATE TABLE IF NOT EXISTS feature (
+    namespace TEXT NOT NULL,
+    name TEXT NOT NULL,
+    description TEXT,
+    meta TEXT NOT NULL DEFAULT '{}',
+    version INTEGER NOT NULL DEFAULT 1,
+    partition TEXT NOT NULL DEFAULT 'date',
+    serialized INTEGER NOT NULL DEFAULT 0,
+    transform TEXT,
+    check_yaml TEXT,
+    created_time TEXT,
+    modified_time TEXT,
+    PRIMARY KEY (namespace, name)
+);
+CREATE TABLE IF NOT EXISTS feature_store_version (version INTEGER NOT NULL);
+"""
+
+_PARTITION_SCHEMES = ("date", "year")
+
+
+def _now() -> str:
+    return datetime.now(timezone.utc).isoformat()
+
+
+def _merge_meta(old: Dict, new: Optional[Dict]) -> Dict:
+    """Merge semantics from reference model.py:62-72: None deletes a key."""
+    if not new:
+        return old
+    merged = dict(old)
+    for k, v in new.items():
+        if v is None:
+            merged.pop(k, None)
+        else:
+            merged[k] = v
+    return merged
+
+
+class NamespaceRecord(dict):
+    @property
+    def name(self): return self["name"]
+
+
+class FeatureRecord(dict):
+    @property
+    def name(self): return self["name"]
+
+    @property
+    def namespace(self): return self["namespace"]
+
+    @property
+    def partition(self): return self["partition"]
+
+    @property
+    def serialized(self): return bool(self["serialized"])
+
+    @property
+    def transform(self): return self["transform"]
+
+    @property
+    def check_yaml(self): return self["check_yaml"]
+
+
+class Registry:
+    def __init__(self, db_path: str):
+        self.db_path = db_path
+        self._local = threading.local()
+        con = self._con()
+        with con:
+            con.executescript(_DDL)
+            cur = con.execute("SELECT version FROM feature_store_version")
+            if cur.fetchone() is None:
+                con.execute(
+                    "INSERT INTO feature_store_version (version) VALUES (?)",
+                    (SCHEMA_VERSION,),
+                )
+
+    def _con(self) -> sqlite3.Connection:
+        con = getattr(self._local, "con", None)
+        if con is None:
+            con = sqlite3.connect(self.db_path)
+            con.row_factory = sqlite3.Row
+            self._local.con = con
+        return con
+
+    def close(self) -> None:
+        con = getattr(self._local, "con", None)
+        if con is not None:
+            con.close()
+            self._local.con = None
+
+    # ------------------------------------------------------------------
+    # namespaces
+    # ------------------------------------------------------------------
+    def create_namespace(
+        self,
+        name: str,
+        description: Optional[str] = None,
+        meta: Optional[Dict] = None,
+        storage: Optional[str] = None,
+        backend: str = "spark",
+    ) -> None:
+        validate_name(name)
+        con = self._con()
+        with con:
+            if self.get_namespace(name) is not None:
+                # tests/test_feature_store.py:137-139 expect duplicate → raise
+                raise FeatureStoreException(f"Namespace {name!r} already exists")
+            con.execute(
+                "INSERT INTO namespace (name, description, meta, version, storage,"
+                " backend, created_time, modified_time) VALUES (?,?,?,?,?,?,?,?)",
+                (name, description, json.dumps(meta or {}), 1, storage, backend,
+                 _now(), _now()),
+            )
+
+    def get_namespace(self, name: str) -> Optional[NamespaceRecord]:
+        cur = self._con().execute("SELECT * FROM namespace WHERE name = ?", (name,))
+        row = cur.fetchone()
+        return self._ns_record(row) if row else None
+
+    def update_namespace(
+        self, name: str, description: Optional[str] = None, meta: Optional[Dict] = None
+    ) -> None:
+        con = self._con()
+        ns = self.get_namespace(name)
+        if ns is None:
+            raise MissingFeatureException(f"No existing Namespace named {name}")
+        new_meta = _merge_meta(ns["meta"], meta)
+        new_desc = description if description is not None else ns["description"]
+        with con:
+            con.execute(
+                "UPDATE namespace SET description=?, meta=?, version=version+1,"
+                " modified_time=? WHERE name=?",
+                (new_desc, json.dumps(new_meta), _now(), name),
+            )
+
+    def delete_namespace(self, name: str) -> None:
+        con = self._con()
+        if self.get_namespace(name) is None:
+            raise MissingFeatureException(f"No existing Namespace named {name}")
+        if self.list_features(namespace=name):
+            raise FeatureStoreException(
+                f"{name} still contains features: these must be deleted first"
+            )
+        with con:
+            con.execute("DELETE FROM namespace WHERE name=?", (name,))
+
+    def list_namespaces(
+        self, name: Optional[str] = None, regex: Optional[str] = None
+    ) -> List[NamespaceRecord]:
+        q = "SELECT * FROM namespace"
+        args: List[Any] = []
+        if name:
+            q += " WHERE name = ?"
+            args.append(name)
+        rows = [self._ns_record(r) for r in self._con().execute(q, args)]
+        if regex:
+            import re
+
+            rx = re.compile(regex)
+            rows = [r for r in rows if rx.search(r["name"])]
+        return rows
+
+    # ------------------------------------------------------------------
+    # features
+    # ------------------------------------------------------------------
+    def create_feature(
+        self,
+        namespace: str,
+        name: str,
+        description: Optional[str] = None,
+        meta: Optional[Dict] = None,
+        partition: Optional[str] = None,
+        serialized: Optional[bool] = None,
+        transform: Optional[Dict] = None,
+        check_yaml: Optional[str] = None,
+    ) -> None:
+        validate_name(name)
+        if self.get_namespace(namespace) is None:
+            raise MissingFeatureException(f"{namespace} namespace does not exist")
+        partition = partition or "date"
+        if partition not in _PARTITION_SCHEMES:
+            raise FeatureStoreException(
+                f"partition must be one of {_PARTITION_SCHEMES}, got {partition!r}"
+            )
+        con = self._con()
+        if self.get_feature(namespace, name) is not None:
+            raise FeatureStoreException(
+                f"Feature {namespace}/{name} already exists"
+            )
+        with con:
+            con.execute(
+                "INSERT INTO feature (namespace, name, description, meta, version,"
+                " partition, serialized, transform, check_yaml, created_time,"
+                " modified_time) VALUES (?,?,?,?,?,?,?,?,?,?,?)",
+                (
+                    namespace, name, description, json.dumps(meta or {}), 1,
+                    partition, int(bool(serialized)),
+                    json.dumps(transform) if transform else None,
+                    check_yaml, _now(), _now(),
+                ),
+            )
+
+    def get_feature(self, namespace: str, name: str) -> Optional[FeatureRecord]:
+        cur = self._con().execute(
+            "SELECT * FROM feature WHERE namespace=? AND name=?", (namespace, name)
+        )
+        row = cur.fetchone()
+        return self._f_record(row) if row else None
+
+    def update_feature(
+        self,
+        namespace: str,
+        name: str,
+        description: Optional[str] = None,
+        meta: Optional[Dict] = None,
+        transform: Optional[Dict] = None,
+        check_yaml: Optional[str] = None,
+        serialized: Optional[bool] = None,
+    ) -> None:
+        f = self.get_feature(namespace, name)
+        if f is None:
+            raise MissingFeatureException(
+                f"No existing Feature named {name} in {namespace}"
+            )
+        if serialized is not None and bool(serialized) != bool(f["serialized"]):
+            # reference model.py:138-141 / tests:415-417
+            raise FeatureStoreException(
+                "Cannot change serialized setting on existing feature"
+            )
+        new_meta = _merge_meta(f["meta"], meta)
+        con = self._con()
+        with con:
+            con.execute(
+                "UPDATE feature SET description=?, meta=?, transform=?,"
+                " check_yaml=?, version=version+1, modified_time=?"
+                " WHERE namespace=? AND name=?",
+                (
+                    description if description is not None else f["description"],
+                    json.dumps(new_meta),
+                    json.dumps(transform) if transform is not None else f["transform_raw"],
+                    check_yaml if check_yaml is not None else f["check_yaml"],
+                    _now(), namespace, name,
+                ),
+            )
+
+    def delete_feature(self, namespace: str, name: str) -> None:
+        if self.get_feature(namespace, name) is None:
+            raise MissingFeatureException(
+                f"No existing Feature named {name} in {namespace}"
+            )
+        con = self._con()
+        with con:
+            con.execute(
+                "DELETE FROM feature WHERE namespace=? AND name=?", (namespace, name)
+            )
+
+    def list_features(
+        self,
+        name: Optional[str] = None,
+        namespace: Optional[str] = None,
+        regex: Optional[str] = None,
+    ) -> List[FeatureRecord]:
+        q = "SELECT * FROM feature"
+        clauses, args = [], []
+        if namespace:
+            clauses.append("namespace = ?")
+            args.append(namespace)
+        if name:
+            clauses.append("name = ?")
+            args.append(name)
+        if clauses:
+            q += " WHERE " + " AND ".join(clauses)
+        rows = [self._f_record(r) for r in self._con().execute(q, args)]
+        if regex:
+            import re
+
+            rx = re.compile(regex)
+            rows = [r for r in rows if rx.search(r["name"])]
+        return rows
+
+    # ------------------------------------------------------------------
+    def _ns_record(self, row: sqlite3.Row) -> NamespaceRecord:
+        d = dict(row)
+        d["meta"] = json.loads(d.get("meta") or "{}")
+        return NamespaceRecord(d)
+
+    def _f_record(self, row: sqlite3.Row) -> FeatureRecord:
+        d = dict(row)
+        d["meta"] = json.loads(d.get("meta") or "{}")
+        d["transform_raw"] = d.get("transform")
+        d["transform"] = json.loads(d["transform"]) if d.get("transform") else None
+        d["serialized"] = bool(d.get("serialized"))
+        return FeatureRecord(d)

@@ -1,0 +1,142 @@
+"""One feature = one Hive-partitioned Parquet dataset.
+
+Layout (parity with reference src/qafs/backend/pandas.py:33-39, :53, plus a
+namespace level to avoid the reference's cross-namespace name collisions):
+
+    <storage>/feature/<namespace>/<name>/partition=<val>/*.parquet
+
+Physical columns: ``time TIMESTAMP, created_time TIMESTAMP, value <T>,
+partition STRING`` (reference schema pinning: pandas.py:76-79).
+
+Scale notes baked in here:
+
+* **Partition derivation** (reference: pandas.py:62-70): ``date`` →
+  ``date_format(time,'yyyy-MM-dd')``, ``year`` → ``year(time)``; stays in
+  whole-stage codegen.
+* **Derived partition pruning** (SURVEY §4): Catalyst cannot infer that a
+  predicate on ``time`` bounds the ``partition`` directory key, so we add the
+  redundant ``partition BETWEEN ...`` predicate at plan-build time — this
+  turns a full directory listing scan into static partition pruning, the
+  single most important 100 TB optimization for time-ranged reads.
+* **Row-group pruning**: writes are sorted by ``time`` within files so
+  Parquet min/max stats make the pushed-down time filter effective inside
+  each partition.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from typing import List, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..exceptions import FeatureStoreException
+from .. import storage as fs_storage
+
+PHYSICAL_COLS = ("time", "created_time", "value", "partition")
+
+
+def feature_path(storage: str, namespace: str, name: str) -> str:
+    return posixpath.join(str(storage), "feature", namespace, name)
+
+
+def partition_expr(scheme: str, time_col: str = "time") -> Column:
+    if scheme == "date":
+        return F.date_format(F.col(time_col), "yyyy-MM-dd")
+    if scheme == "year":
+        return F.year(F.col(time_col)).cast("string")
+    raise FeatureStoreException(f"Unknown partition scheme {scheme!r}")
+
+
+def _partition_key(scheme: str, ts: pd.Timestamp) -> str:
+    if scheme == "date":
+        return ts.strftime("%Y-%m-%d")
+    if scheme == "year":
+        return str(ts.year)
+    raise FeatureStoreException(f"Unknown partition scheme {scheme!r}")
+
+
+def derived_partition_predicates(
+    scheme: str,
+    from_date: Optional[pd.Timestamp] = None,
+    to_date: Optional[pd.Timestamp] = None,
+) -> List[Column]:
+    """Redundant predicates on the partition directory key implied by time
+    bounds — lets Catalyst statically prune partitions (SURVEY §4)."""
+    preds: List[Column] = []
+    p = F.col("partition").cast("string")
+    if from_date is not None:
+        preds.append(p >= _partition_key(scheme, pd.Timestamp(from_date)))
+    if to_date is not None:
+        preds.append(p <= _partition_key(scheme, pd.Timestamp(to_date)))
+    return preds
+
+
+def write_feature(
+    df: DataFrame,
+    path: str,
+    scheme: str = "date",
+    mode: str = "append",
+    sort_within_partitions: bool = True,
+) -> None:
+    """Append ``(time, created_time, value)`` rows as partitioned Parquet.
+
+    Adds the ``partition`` column from ``time``; sorts rows by time within
+    output files so Parquet row-group min/max statistics line up with the
+    dominant query predicate.
+    """
+    missing = {"time", "created_time", "value"} - set(df.columns)
+    if missing:
+        raise FeatureStoreException(f"write_feature missing columns: {missing}")
+    out = (
+        df.select("time", "created_time", "value")
+        .withColumn("partition", partition_expr(scheme))
+    )
+    if sort_within_partitions:
+        out = out.sortWithinPartitions("partition", "time")
+    out.write.mode(mode).partitionBy("partition").parquet(path)
+
+
+def read_feature(
+    spark: SparkSession,
+    path: str,
+    scheme: str = "date",
+    from_date=None,
+    to_date=None,
+    value_type: Optional[T.DataType] = None,
+    keep_partition_col: bool = False,
+) -> Optional[DataFrame]:
+    """Scan one feature dataset with time + derived-partition pushdown.
+
+    Returns None when the dataset does not exist yet (feature created but
+    never written — reference tests:430-448 expect empty loads to work).
+    """
+    if not fs_storage.path_exists(spark, path):
+        return None
+    df = spark.read.parquet(path)
+    if from_date is not None:
+        df = df.filter(F.col("time") >= F.lit(pd.Timestamp(from_date)))
+    if to_date is not None:
+        df = df.filter(F.col("time") <= F.lit(pd.Timestamp(to_date)))
+    if "partition" in df.columns:
+        for pred in derived_partition_predicates(scheme, from_date, to_date):
+            df = df.filter(pred)
+        if not keep_partition_col:
+            df = df.drop("partition")
+    return df
+
+
+def empty_feature_df(
+    spark: SparkSession, value_type: Optional[T.DataType] = None
+) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("time", T.TimestampType()),
+            T.StructField("created_time", T.TimestampType()),
+            T.StructField("value", value_type or T.StringType()),
+        ]
+    )
+    return spark.createDataFrame([], schema=schema)

@@ -1,0 +1,67 @@
+"""Filesystem operations through the Hadoop FileSystem API.
+
+The reference uses fsspec for storage-agnostic paths (src/qafs/backend/
+pandas.py:27-36, src/qafs/storage.py:3-9). The Spark-native equivalent is the
+Hadoop FileSystem API reached through the JVM gateway: the same code path
+works for ``file:/``, ``s3a://``, ``gs://``, ``abfs://`` — whatever
+connectors the cluster has — and it's the exact FS layer the executors use
+for reads/writes, so there is no second credential/config surface.
+
+All calls here are driver-side metadata ops (exists/list/delete); bulk data
+movement stays in Spark jobs (see ``FeatureStore.clone_feature``).
+"""
+
+from __future__ import annotations
+
+import posixpath
+from typing import List
+
+from pyspark.sql import SparkSession
+
+
+class LocalStorage(str):
+    """Parity shim for the reference's LocalStorage(path) wrapper
+    (src/qafs/storage.py:3-9); any plain string path/URL works too."""
+
+    def __new__(cls, path: str):
+        return super().__new__(cls, path)
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def delete_path(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, True))
+
+
+def list_dirs(spark: SparkSession, path: str) -> List[str]:
+    """Names of immediate child directories (not full paths)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for status in fs.listStatus(jpath):
+        if status.isDirectory():
+            out.append(status.getPath().getName())
+    return sorted(out)
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jpath = _fs_and_path(spark, path)
+    fs.mkdirs(jpath)
+
+
+def join(*parts: str) -> str:
+    return posixpath.join(*parts)

@@ -1,0 +1,400 @@
+"""End-to-end FeatureStore semantics, ported from the reference suite
+(reference: tests/test_feature_store.py) with pandas golden oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from qafs_spark import Check, Column, FeatureStore
+from tests.conftest import random_string
+
+
+def compare_df(result: pd.DataFrame, expected: pd.DataFrame):
+    result = result.sort_index()
+    expected = expected.sort_index()
+    assert list(result.columns) == list(expected.columns)
+    assert len(result) == len(expected), f"{len(result)} != {len(expected)}"
+    for col in expected.columns:
+        r, e = result[col], expected[col]
+        if pd.api.types.is_float_dtype(e):
+            assert np.allclose(
+                r.astype(float), e.astype(float), equal_nan=True
+            ), col
+        else:
+            assert r.astype(object).where(pd.notna(r), None).tolist() == \
+                e.astype(object).where(pd.notna(e), None).tolist(), col
+    assert list(result.index) == list(expected.index)
+
+
+def test_namespaces(fs):
+    ns1, ns2 = random_string(5), random_string(5)
+    fs.create_namespace(ns1, description="ns1")
+    with pytest.raises(Exception):
+        fs.create_namespace(ns1, description="ns1")
+    fs.create_namespace(ns2, description="ns2")
+
+    namespaces = fs.list_namespaces()
+    assert ns1 in namespaces.name.tolist()
+    assert ns2 in namespaces.name.tolist()
+
+    fs.update_namespace(ns1, description="ns1-modified")
+    namespaces = fs.list_namespaces()
+    assert "ns1" not in namespaces.description.tolist()
+    assert "ns1-modified" in namespaces.description.tolist()
+    assert namespaces.query("name == @ns1").version.iloc[0] == 2
+
+    with pytest.raises(Exception):
+        fs.update_namespace("does-not-exist", description="x")
+
+    fs.update_namespace(ns1, meta={"key1": "value1"})
+    fs.update_namespace(ns1, meta={"key2": "value2"})
+    namespaces = fs.list_namespaces(name=ns1)
+    assert len(namespaces) == 1
+    assert {"key1", "key2"} <= set(namespaces.meta.iloc[0].keys())
+    fs.update_namespace(ns1, meta={"key2": None})
+    namespaces = fs.list_namespaces(name=ns1)
+    assert "key2" not in namespaces.meta.iloc[0]
+
+    fs.create_namespace(f"test_{ns1}", description=f"test {ns1}")
+    namespaces = fs.list_namespaces(regex="test")
+    assert namespaces.name.iloc[0] == f"test_{ns1}"
+
+    fs.create_feature(f"{ns1}/test1", check=Column(int))
+    with pytest.raises(Exception):
+        fs.delete_namespace(ns1)
+    fs.delete_feature(f"{ns1}/test1")
+    fs.delete_namespace(ns1)
+    fs.delete_namespace(ns2)
+    namespaces = fs.list_namespaces()
+    assert ns1 not in namespaces.name.tolist() if not namespaces.empty else True
+
+
+def test_features(fs):
+    fs.create_namespace("test")
+    fs.create_namespace("test2")
+    fs.create_feature("feature1", namespace="test", description="feature1", check=Column(int))
+    fs.create_feature("feature2", namespace="test", description="feature2", check=Column(int))
+    fs.create_feature("feature1", namespace="test2", description="feature1", check=Column(int))
+
+    with pytest.raises(Exception):
+        fs.create_feature("test/feature1", check=Column(int))
+
+    features = fs.list_features(namespace="test")
+    assert {"feature1", "feature2"} <= set(features.name.tolist())
+    features = fs.list_features(namespace="test2")
+    assert "feature1" in features.name.tolist()
+    assert "feature2" not in features.name.tolist()
+    features = fs.list_features(name="feature2")
+    assert "test" in features.namespace.tolist()
+    assert "test2" not in features.namespace.tolist()
+    features = fs.list_features(regex="feature.")
+    assert len(features) == 3
+
+    fs.delete_feature("feature1", namespace="test")
+    fs.delete_feature("feature2", namespace="test")
+    with pytest.raises(Exception):
+        fs.delete_feature("feature2", namespace="test")
+    fs.delete_feature("feature1", namespace="test2")
+    assert fs.list_features(namespace="test2").empty
+    assert fs.list_features(namespace="test").empty
+
+
+def test_dataframes(fs):
+    fs.create_namespace("test")
+    rng = np.random.default_rng(42)
+
+    dts = pd.date_range("2021-01-01", "2021-01-10")
+    df1 = pd.DataFrame({"time": dts, "test/df1": rng.standard_normal(len(dts))}).set_index("time")
+    dts2 = pd.date_range("2021-01-01", "2021-02-01", freq="60min")
+    df2 = pd.DataFrame({"time": dts2, "df2": [{"x": float(rng.standard_normal())} for _ in dts2]})
+    df3 = pd.DataFrame(
+        {
+            "time": dts2,
+            "test/df3": rng.standard_normal(len(dts2)),
+            "test/df4": [random_string(5) for _ in dts2],
+        }
+    )
+    df5 = pd.DataFrame({"time": dts2, "test/df5": rng.standard_normal(len(dts2))})
+
+    fs.create_feature("test/df1", description="df1", check=Column(float))
+    fs.create_feature("test/df2", description="df2", check=Column(object), serialized=True)
+    fs.create_feature("test/df3", description="df3", check=Column(float))
+    fs.create_feature("test/df4", description="df4", partition="year", check=Column(object))
+
+    with pytest.raises(Exception):
+        fs.save_dataframe(df1.rename(columns={"test/df1": "test/df5"}), "test/df5")
+    with pytest.raises(Exception):
+        fs.save_dataframe(df5)
+
+    fs.save_dataframe(df1, "test/df1")
+    fs.save_dataframe(df2, "df2", namespace="test")
+    fs.save_dataframe(df3)
+    fs.save_dataframe(df1, "test/df1")  # re-write: last write wins, same values
+
+    compare_df(fs.load_dataframe("test/df1"), df1)
+    compare_df(
+        fs.load_dataframe("test/df2"),
+        df2.set_index("time").rename(columns={"df2": "test/df2"}),
+    )
+    compare_df(fs.load_dataframe(["test/df3", "test/df4"]), df3.set_index("time"))
+
+
+def test_resampling(fs):
+    fs.create_namespace("test")
+    rng = np.random.default_rng(7)
+
+    dts = pd.date_range("2021-01-01", "2021-01-10")
+    df1 = pd.DataFrame({"time": dts, "test/resample1": rng.standard_normal(len(dts))}).set_index("time")
+    dts2 = pd.date_range("2021-01-01", "2021-02-01", freq="60min")
+    df2 = pd.DataFrame({"time": dts2, "test/resample2": rng.standard_normal(len(dts2))}).set_index("time")
+
+    fs.create_feature("test/resample1", check=Column(float))
+    fs.create_feature("test/resample2", check=Column(float))
+    fs.save_dataframe(df1)
+    fs.save_dataframe(df2)
+
+    # plain outer-align + ffill (ref tests:345-347)
+    result = fs.load_dataframe(["test/resample1", "test/resample2"])
+    compare = pd.concat([df1, df2], join="outer", axis=1).ffill()
+    compare_df(result, compare)
+
+    # resample grids (ref tests:348-353)
+    for freq in ["2d", "10min"]:
+        result = fs.load_dataframe(["test/resample1", "test/resample2"], freq=freq)
+        compare = pd.concat([df1, df2], join="outer", axis=1).resample(freq).ffill().ffill()
+        compare_df(result, compare)
+
+    # with bounds (ref tests:354-362): values carry in from before from_date
+    result = fs.load_dataframe(
+        ["test/resample1", "test/resample2"],
+        freq="10min", from_date="2021-01-10", to_date="2021-01-12",
+    )
+    compare = pd.concat([df1, df2], join="outer", axis=1).resample("10min").ffill().ffill()
+    compare = compare[
+        (compare.index >= pd.Timestamp("2021-01-10"))
+        & (compare.index <= pd.Timestamp("2021-01-12"))
+    ]
+    compare_df(result, compare)
+
+    # DataFrame feature spec (ref tests:363-370)
+    result = fs.load_dataframe(
+        fs.list_features(regex=r"resample."),
+        freq="10min", from_date="2021-01-10", to_date="2021-01-12",
+    )
+    compare_df(result[compare.columns.tolist()], compare)
+
+    # single-feature range filter (ref tests:371-377)
+    result = fs.load_dataframe("test/resample1", from_date="2021-01-10", to_date="2021-01-12")
+    compare = df1[(df1.index >= pd.Timestamp("2021-01-10")) & (df1.index <= pd.Timestamp("2021-01-12"))]
+    compare_df(result, compare)
+
+    # non-contiguous resampling with carry-in (ref tests:379-392)
+    dts3 = pd.date_range("2021-01-01", "2021-01-05")
+    df3 = pd.DataFrame({"time": dts3, "test/resample3": rng.standard_normal(len(dts3))}).set_index("time")
+    dts4 = pd.date_range("2021-01-10", "2021-02-15")
+    df4 = pd.DataFrame({"time": dts4, "test/resample4": rng.standard_normal(len(dts4))}).set_index("time")
+    fs.create_feature("test/resample3", check=Column(float))
+    fs.create_feature("test/resample4", check=Column(float))
+    fs.save_dataframe(df3)
+    fs.save_dataframe(df4)
+
+    compare = pd.concat([df3, df4], join="outer", axis=1).resample("1d").ffill().ffill()
+    compare = compare[compare.index >= pd.Timestamp("2021-01-14")]
+    result = fs.load_dataframe(["test/resample3", "test/resample4"], from_date="2021-01-14", freq="1d")
+    compare_df(result, compare)
+
+
+def test_serialized_features(fs):
+    fs.create_namespace("test")
+    fs.create_feature("test/non-serialized", check=Column(int))
+    fs.create_feature("test/serialized", serialized=True, check=Column(object))
+
+    dts = pd.date_range("2020-01-01", "2021-01-01")
+    df = pd.DataFrame(
+        {
+            "time": dts,
+            "test/serialized": [idx if idx < 150 else {"x": idx} for idx, _ in enumerate(dts)],
+        }
+    ).set_index("time")
+
+    with pytest.raises(Exception):
+        fs.update_feature("test/non-serialized", serialized=True)
+    with pytest.raises(Exception):
+        fs.save_dataframe(
+            df.rename(columns={"test/serialized": "test/non-serialized"}),
+            "test/non-serialized",
+        )
+    fs.save_dataframe(df, "test/serialized")
+    result = fs.load_dataframe("test/serialized")
+    compare_df(result, df)
+
+
+def test_empty_features(fs):
+    fs.create_namespace("test")
+    dts = pd.date_range("2021-01-01", "2021-01-10")
+    df1 = pd.DataFrame({"time": dts, "test/empty1": np.random.default_rng(0).standard_normal(len(dts))}).set_index("time")
+    fs.create_feature("test/empty1", check=Column(float))
+
+    result = fs.load_dataframe(["test/empty1"])
+    assert result.empty
+
+    result = fs.load_dataframe(
+        ["test/empty1"], from_date="2021-01-01", to_date="2021-01-10", freq="1d"
+    )
+    assert len(result) == len(dts)
+    assert result["test/empty1"].isna().all()
+
+    fs.save_dataframe(df1)
+    result = fs.load_dataframe(["test/empty1"], from_date="2020-01-01", to_date="2020-03-01")
+    assert result.empty
+
+
+def test_time_travel(fs):
+    fs.create_namespace("test")
+    rng = np.random.default_rng(11)
+    dts = pd.date_range("2021-01-01", "2021-01-10")
+
+    def frame(delta):
+        return pd.DataFrame(
+            {
+                "time": dts,
+                "test/timetravel1": rng.integers(0, 100, size=len(dts)),
+                "created_time": dts - pd.Timedelta(delta),
+            }
+        ).set_index("time")
+
+    df1, df2, df3 = frame("10min"), frame("30min"), frame("60min")
+    fs.create_feature("test/timetravel1", check=Column(int))
+    # saved out of created-time order on purpose: LWW must pick by created_time
+    fs.save_dataframe(df2)
+    fs.save_dataframe(df1)
+    fs.save_dataframe(df3)
+
+    compare_df(fs.load_dataframe("test/timetravel1"), df1.drop(columns="created_time"))
+    compare_df(
+        fs.load_dataframe("test/timetravel1", time_travel="-15min"),
+        df2.drop(columns="created_time"),
+    )
+    compare_df(
+        fs.load_dataframe("test/timetravel1", time_travel="-60min"),
+        df3.drop(columns="created_time"),
+    )
+    assert fs.load_dataframe("test/timetravel1", time_travel="-120min").empty
+
+
+def test_transforms(fs):
+    fs.create_namespace("test")
+    rng = np.random.default_rng(5)
+    dts = pd.date_range("2021-01-01", "2021-01-10")
+    df1 = pd.DataFrame(
+        {"time": dts, "test/raw-feature": rng.integers(0, 100, size=len(dts))}
+    ).set_index("time")
+
+    fs.create_feature("test/raw-feature", check=Column(int))
+    fs.save_dataframe(df1)
+
+    @fs.transform("test/squared-feature", from_features=["test/raw-feature"], check=Column(int))
+    def square(df):
+        return df ** 2
+
+    @fs.transform(
+        "test/combined-feature",
+        from_features=["test/raw-feature", "test/squared-feature"],
+        check=Column(int),
+    )
+    def add(df):
+        return df["test/raw-feature"] + df["test/squared-feature"]
+
+    result = fs.load_dataframe(
+        ["test/raw-feature", "test/squared-feature", "test/combined-feature"]
+    )
+    assert (result["test/squared-feature"] == result["test/raw-feature"] ** 2).all()
+    assert (
+        result["test/combined-feature"]
+        == result["test/raw-feature"] ** 2 + result["test/raw-feature"]
+    ).all()
+
+    # recursion must raise (ref tests:572-587)
+    fs.create_feature("test/recursive-feature", check=Column(float))
+
+    @fs.transform("test/recursive-feature-2", from_features=["test/recursive-feature"], check=Column(float))
+    def passthrough(df):
+        return df
+
+    @fs.transform("test/recursive-feature", from_features=["test/recursive-feature-2"], check=Column(float))
+    def passthrough2(df):
+        return df
+
+    with pytest.raises(Exception):
+        fs.load_dataframe("test/recursive-feature")
+    with pytest.raises(Exception):
+        fs.load_dataframe("test/recursive-feature-2")
+
+
+def test_clone_features(fs, tmp_store):
+    fs.create_namespace("test")
+    rng = np.random.default_rng(3)
+    dts = pd.date_range("2021-01-01", "2021-01-10")
+    df1 = pd.DataFrame(
+        {"time": dts, "test/old-feature": rng.integers(0, 100, size=len(dts))}
+    ).set_index("time")
+    fs.create_feature(
+        "test/old-feature", description="Will be cloned", serialized=True, check=Column(object)
+    )
+    fs.save_dataframe(df1)
+    fs.clone_feature("test/cloned-feature", from_name="test/old-feature")
+    feature = fs.list_features(name="test/cloned-feature").iloc[0]
+    assert feature.description == "Will be cloned"
+    assert bool(feature.serialized) is True
+    result = fs.load_dataframe("test/cloned-feature")
+    compare_df(result, df1.rename(columns={"test/old-feature": "test/cloned-feature"}))
+
+
+def test_data_deletion(fs, tmp_store):
+    import os
+
+    fs.create_namespace("test")
+    dts = pd.date_range("2021-01-01", "2021-01-10")
+    df1 = pd.DataFrame(
+        {"time": dts, "feature-to-delete": np.random.default_rng(1).integers(0, 100, len(dts))}
+    ).set_index("time")
+    fs.create_feature("test/feature-to-delete", check=Column(int))
+    fs.save_dataframe(df1, "test/feature-to-delete")
+    data_dir = os.path.join(tmp_store, "feature", "test", "feature-to-delete")
+    assert os.path.isdir(data_dir)
+    fs.delete_feature("test/feature-to-delete", delete_data=True)
+    assert not os.path.isdir(data_dir)
+
+    fs.create_feature("test/feature-to-delete", check=Column(int))
+    fs.save_dataframe(df1, "test/feature-to-delete")
+    assert os.path.isdir(data_dir)
+    fs.delete_feature("test/feature-to-delete")
+    assert os.path.isdir(data_dir)  # metadata-only delete keeps data
+    fs.clean_namespace("test")
+    assert not os.path.isdir(data_dir)
+
+
+def test_last(fs):
+    fs.create_namespace("test")
+    rng = np.random.default_rng(9)
+    dts = pd.date_range("2021-01-01", "2021-01-10")
+    df1 = pd.DataFrame(
+        {
+            "time": dts,
+            "test/last1": rng.integers(0, 100, size=len(dts)),
+            "test/last2": rng.integers(0, 100, size=len(dts)),
+        }
+    ).set_index("time")
+    fs.create_feature("test/last1", check=Column(int))
+    fs.create_feature("test/last2", check=Column(int))
+    fs.create_feature("test/last3", check=Column(int))
+    fs.save_dataframe(df1)
+
+    assert fs.last("test/last1") == {"test/last1": df1["test/last1"].values[-1]}
+    assert fs.last("test/last3") == {"test/last3": None}
+    result = fs.last(fs.list_features(regex=r"last."))
+    assert result == {
+        "test/last1": df1["test/last1"].values[-1],
+        "test/last2": df1["test/last2"].values[-1],
+        "test/last3": None,
+    }
