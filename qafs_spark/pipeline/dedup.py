@@ -1,0 +1,355 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine.
+
+Scale design notes (the reason each operator looks the way it does):
+
+* **Exact** — ``groupBy(md5(text))``: map-side partial aggregation collapses
+  duplicates before the shuffle; the shuffle carries one row per distinct
+  hash.
+* **MinHash+LSH** — per-doc signatures are computed inside whole-stage
+  codegen (array expressions over md5-derived shingle hashes — NO Python,
+  no ml.feature.MinHashLSH which would force a VectorUDT detour); candidate
+  generation is a self-equi-join on band keys, so the only shuffle is by
+  band key and truly similar docs co-locate. Pair verification computes
+  exact Jaccard only on candidates.
+* **SimHash** — 64-bit sketch; candidate generation uses the pigeonhole
+  block trick (split the sketch into ``d+1`` blocks → pairs within hamming
+  distance d must agree on ≥1 whole block), again an equi-join, never an
+  all-pairs cross join.
+* **n-gram Jaccard (exact)** — shingle-explode + self-join on shingle;
+  quadratic only within identical-shingle groups. This is the oracle for the
+  approximate variants.
+* **Embedding cosine** — exact threshold join via hyperplane-LSH bucketing
+  + verification; see :mod:`similarity` for the hyperplane machinery.
+
+All hashing is md5-derived integer arithmetic (no engine-private hash
+functions), so every operator is reproducible bit-for-bit in any SQL engine
+— that's what makes the DuckDB oracles in ``__spark_entry__`` possible.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime modulus for minhash perm hashes
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    df: DataFrame, content_col: str, id_col: str
+) -> DataFrame:
+    """One row per distinct content: (content_hash, rep_id=min id, n_dups)."""
+    return (
+        df.groupBy(F.md5(F.col(content_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative of each distinct content value."""
+    reps = exact_dedup(df, content_col, id_col).select(
+        F.col("rep_id").alias(id_col)
+    )
+    return df.join(reps, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined), [] when fewer than n tokens."""
+    t = tokens(col)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    starts = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(t, i, n), " "))
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(grams)
+    )
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """32-bit integer hash per shingle: first 8 hex chars of md5 — exactly
+    reproducible as ``('0x' || substr(md5(s),1,8))::BIGINT`` in SQL."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> List[Tuple[int, int]]:
+    """(a, b) pairs for the permutation hashes h_i(x) = (a*x + b) mod p.
+    a,b < 2^30 and x < 2^32 keep a*x + b < 2^63 (no 64-bit overflow) —
+    the same arithmetic holds in any BIGINT engine."""
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, 1 << 30, size=num_hashes)
+    b = rs.randint(0, 1 << 30, size=num_hashes)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """Array of num_hashes minima; null-free only when shingles is non-empty
+    (empty docs get an all-null signature — filter them first)."""
+    hashes = shingle_hashes(shingles)
+
+    def perm(a: int, b: int):
+        # closure factory: default-arg capture would change the lambda arity
+        # pyspark inspects for higher-order functions
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
+
+    sig = [
+        F.array_min(F.transform(hashes, perm(a, b)))
+        for a, b in minhash_params(num_hashes, seed)
+    ]
+    return F.array(*sig)
+
+
+def lsh_band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Band keys "b|h1,h2,..": docs sharing any key become candidates."""
+    keys = []
+    for band in range(num_bands):
+        sl = F.slice(signature, band * rows_per_band + 1, rows_per_band)
+        keys.append(
+            F.concat_ws(
+                "|", F.lit(str(band)), F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
+            )
+        )
+    return F.array(*keys)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b))).cast(
+        "double"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+
+    Shingle-explode + self-equi-join on the shingle hash: candidate pairs
+    are generated only where docs actually share a shingle, and the
+    intersection size falls out of the join group count — no array
+    intersection on the data path. The join shuffles by shingle hash; hot
+    shingles are the skew risk (AQE skew-join splits them).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_hashes(word_shingles(F.col(text_col), n))).alias("h"),
+        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
+    ).cast("double")
+    return (
+        pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    Output schema matches :func:`ngram_jaccard_pairs`; with enough bands for
+    the threshold it converges to the exact result with high probability.
+    """
+    rows_per_band = num_hashes // num_bands
+    base = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), n).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    return _minhash_pairs(base, num_hashes, num_bands, rows_per_band, threshold, seed)
+
+
+def _minhash_pairs(
+    base: DataFrame, num_hashes: int, num_bands: int, rows_per_band: int,
+    threshold: float, seed: int,
+) -> DataFrame:
+    with_sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    banded = with_sig.select(
+        "id", "sh",
+        F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long
+
+
+def simhash(col: Column) -> Column:
+    """60-bit SimHash over whitespace tokens (md5-derived token hashes).
+
+    Computed as array expressions per row (no explode/shuffle): for each bit,
+    sum +1/-1 votes across token hashes, set the bit if the sum is positive.
+    """
+    th = F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+    )
+    def voter(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(th, F.lit(0).cast("long"), voter(b))
+        bits.append(F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for piece in bits[1:]:
+        out = out + piece
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= d.
+
+    Pigeonhole candidates: split the sketch into d+1 blocks; any pair within
+    distance d agrees exactly on at least one block → equi-join per block,
+    union, verify. Never an all-pairs cross join.
+    """
+    n_blocks = max_distance + 1
+    block_bits = SIMHASH_BITS // n_blocks
+    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    blocks = []
+    for i in range(n_blocks):
+        width = block_bits if i < n_blocks - 1 else SIMHASH_BITS - block_bits * (n_blocks - 1)
+        mask = (1 << width) - 1
+        blocks.append(
+            s.select(
+                "id", "sh",
+                F.lit(i).alias("blk"),
+                F.shiftright(F.col("sh"), i * block_bits).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+        )
+    all_blocks = blocks[0]
+    for blk in blocks[1:]:
+        all_blocks = all_blocks.unionByName(blk)
+    a, b = all_blocks.alias("a"), all_blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("distance")
+        )
+        .filter(F.col("distance") <= max_distance)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+def embedding_dedup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    use_lsh: bool = True,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs of near-identical embeddings (cosine >= threshold).
+
+    With use_lsh, candidates come from hyperplane-sign buckets (vectors at
+    cosine >= 0.95 almost always share the full sign pattern for few planes);
+    exact cosine verifies. use_lsh=False does the exact quadratic join —
+    the oracle path for small data.
+    """
+    from .similarity import cosine, hyperplane_bucket
+
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if use_lsh:
+        dim = len(df.select(vec_col).first()[0])
+        v = v.withColumn("bucket", hyperplane_bucket(F.col("vec"), dim, num_planes, seed))
+        a, b = v.alias("a"), v.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        cond = F.col("a.id") < F.col("b.id")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the scale plan:
+
+* **Brute-force cosine top-k** — the exact baseline. Queries are a small
+  set: broadcast them, so the scan of the big side is shuffle-free; the
+  dot product is a JVM array expression (``zip_with`` + ``aggregate``) in
+  whole-stage codegen — no Python, no VectorUDT.
+* **Hyperplane-LSH top-k** — the scale path: seeded random hyperplanes give
+  each vector a sign-pattern bucket; the query probes its own bucket (plus
+  optional 1-bit-flip neighbors), turning a full scan into a bucket-pruned
+  scan. Recall tunes with planes/probes.
+
+Determinism: hyperplanes come from a seeded numpy RandomState and embed into
+the plan as literal arrays; cosine math is double-precision with a fixed
+fold order (sequential ``aggregate``), reproducible across runs.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(u: Column, v: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(_to_double(u), _to_double(v), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(u: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(_to_double(u), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(u: Column, v: Column) -> Column:
+    return dot(u, v) / (norm(u) * norm(v))
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    Broadcast the (small) query side; rank ties break on neighbor id so the
+    result is total-order deterministic.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    d = data.select(F.col(data_id).alias("neighbor_id"), F.col(data_vec).alias("__dv"))
+    joined = d.crossJoin(F.broadcast(q))
+    if not include_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qv"), F.col("__dv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> List[List[float]]:
+    rs = np.random.RandomState(seed)
+    return rs.standard_normal(size=(num_planes, dim)).tolist()
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, num_planes: int = 8, seed: int = 42
+) -> Column:
+    """Sign-pattern bucket id in [0, 2^num_planes): bit i = sign(vec · h_i)."""
+    planes = hyperplanes(dim, num_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 8,
+    multiprobe_bits: int = 1,
+    seed: int = 42,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within LSH bucket(s) only.
+
+    multiprobe_bits=b additionally probes every bucket at hamming distance
+    <= b from the query's bucket (recall knob). Output schema matches
+    :func:`brute_force_topk`.
+    """
+    dim = len(data.select(data_vec).first()[0])
+    d = data.select(
+        F.col(data_id).alias("neighbor_id"),
+        F.col(data_vec).alias("__dv"),
+        hyperplane_bucket(F.col(data_vec), dim, num_planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        hyperplane_bucket(F.col(query_vec), dim, num_planes, seed).alias("qbucket"),
+    )
+    # expand query buckets for multiprobe
+    probe_deltas = [0]
+    if multiprobe_bits >= 1:
+        probe_deltas += [1 << i for i in range(num_planes)]
+    if multiprobe_bits >= 2:
+        for i in range(num_planes):
+            for j in range(i + 1, num_planes):
+                probe_deltas.append((1 << i) | (1 << j))
+    probes = F.array(*[F.lit(x).cast("long") for x in probe_deltas])
+    q = q.withColumn(
+        "bucket", F.explode(F.transform(probes, lambda dlt: F.col("qbucket").bitwiseXOR(dlt)))
+    )
+    joined = d.join(F.broadcast(q), on="bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__dv")).alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

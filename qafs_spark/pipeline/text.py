@@ -1,0 +1,152 @@
+"""Text analysis over document tables — pure Spark column expressions.
+
+Everything here compiles to JVM-side Catalyst expressions (no UDFs): at
+100 TB these run inside whole-stage codegen directly over the Parquet scan,
+with column pruning ensuring only ``text`` is read.
+
+Deterministic by construction so results are oracle-checkable against a SQL
+engine (the same formulas are mirrored in ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword-voting
+# language-ID heuristic. Ordered dict: ties resolve to the earlier language.
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "por", "para"],
+}
+
+DEFAULT_STOPWORDS = LANG_STOPWORDS["en"]
+
+# BPE-ish token regex: words, numbers, or single non-space symbols.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; empty/blank text → empty array."""
+    t = F.split(F.trim(col), r"\s+")
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")).otherwise(t)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (long)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words / numbers / individual symbols,
+    via one regexp pass (approximates a BPE tokenizer's token count much
+    better than whitespace for punctuated text)."""
+    return F.coalesce(F.regexp_count(col, F.lit(TOKEN_REGEX)), F.lit(0)).cast("long")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars (0.0 for empty)."""
+    n_punct = F.length(F.regexp_replace(col, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(col) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(col).cast("double")
+    )
+
+
+def stopword_count(col: Column, stopwords: Optional[List[str]] = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or DEFAULT_STOPWORDS)])
+    lower_toks = F.transform(tokens(col), lambda x: F.lower(x))
+    return F.size(F.filter(lower_toks, lambda x: F.array_contains(sw, x))).cast("long")
+
+
+def stopword_ratio(col: Column, stopwords: Optional[List[str]] = None) -> Column:
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_count(col, stopwords).cast("double") / n.cast("double")
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    n = token_count(col)
+    total = F.aggregate(
+        tokens(col), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n.cast("double"))
+
+
+def quality_score(col: Column, stopwords: Optional[List[str]] = None) -> Column:
+    """Deterministic [0,1] quality heuristic (Gopher/C4-style signals):
+    length band, stopword presence, low punctuation noise, sane word length.
+    """
+    n = token_count(col)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(
+        F.when(n == 0, F.lit(0.0)).otherwise(F.lit(0.5))
+    )
+    sw = stopword_ratio(col, stopwords)
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(sw * 20.0)
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(col) * 2.0, F.lit(1.0))
+    mwl = mean_word_length(col)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return (len_ok * 0.3 + sw_ok * 0.3 + punct_ok * 0.2 + mwl_ok * 0.2)
+
+
+def lang_scores(col: Column) -> Dict[str, Column]:
+    """Per-language stopword-hit counts (the n-gram-heuristic vote)."""
+    return {
+        lang: stopword_count(col, words) for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by stopword votes; deterministic ties (list order);
+    'und' (undetermined) when no stopword hits at all."""
+    scores = lang_scores(col)
+    langs = list(LANG_STOPWORDS.keys())
+    best_lang = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return F.when(best_score <= 0, F.lit("und")).otherwise(best_lang)
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-content fingerprint (md5 hex — identical across engines)."""
+    return F.md5(col)
+
+
+def rolling_hashes(col: Column, k: int = 8) -> Column:
+    """Array of hashes of the text's character k-grams (rolling-window
+    fingerprint base). md5-derived so any engine reproduces them."""
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    idxs = F.sequence(F.lit(1), F.length(col) - (k - 1))
+    hashes = F.transform(
+        idxs,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(col, i, F.lit(k))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    return F.when(
+        F.coalesce(F.length(col), F.lit(0)) < k, F.array().cast("array<long>")
+    ).otherwise(hashes)
+
+
+def winnowing_fingerprint(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing (Schleimer et al., SIGMOD'03): distinct minima of each
+    w-window of k-gram hashes — a robust near-dup document sketch."""
+    hashes = rolling_hashes(col, k)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return F.when(
+        F.size(hashes) < w, F.array().cast("array<long>")
+    ).otherwise(F.array_sort(F.array_distinct(mins)))

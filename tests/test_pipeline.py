@@ -1,0 +1,194 @@
+"""Pipeline operators: text analysis, dedup family, similarity, multimodal."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from qafs_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    data = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different content with unique words here"),
+        (4, ""),
+        (5, "der hund und die katze sind nicht da"),
+    ]
+    return spark.createDataFrame(data, ["doc_id", "text"])
+
+
+def test_text_stats(docs):
+    out = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tok"),
+        text.char_count(F.col("text")).alias("n_char"),
+        text.stopword_ratio(F.col("text")).alias("sw"),
+        text.lang_id(F.col("text")).alias("lang"),
+    ).orderBy("doc_id").collect()
+    assert out[0]["n_tok"] == 9
+    assert out[4]["n_tok"] == 0 and out[4]["sw"] == 0.0
+    assert out[0]["lang"] == "en"
+    assert out[5]["lang"] == "de"
+    assert out[3]["lang"] == "und" or out[3]["lang"] == "en"  # no/few stopwords
+    assert abs(out[0]["sw"] - 2 / 9) < 1e-12  # "the" twice, "over" not a stopword
+
+
+def test_quality_score_bounds(docs):
+    rows = docs.select(text.quality_score(F.col("text")).alias("q")).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup(docs, "text", "doc_id")
+    dups = groups.filter(F.col("n_dups") > 1).collect()
+    assert len(dups) == 1
+    assert dups[0]["rep_id"] == 0 and dups[0]["n_dups"] == 2
+    kept = dedup.drop_exact_dups(docs, "text", "doc_id")
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 2).count() == 0
+
+
+def test_ngram_jaccard_and_minhash_agree(docs):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).collect()
+    }
+    # docs 0/2 identical (jaccard 1.0); 0/1 and 1/2 share most shingles
+    assert exact[(0, 2)] == 1.0
+    assert (0, 1) in exact and (1, 2) in exact
+    approx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_dedup(
+            docs, "text", "doc_id", n=3, num_hashes=32, num_bands=16, threshold=0.3
+        ).collect()
+    }
+    # identical docs always collide in every band; verified jaccard is exact
+    assert approx[(0, 2)] == 1.0
+    for pair, j in approx.items():
+        assert abs(exact[pair] - j) < 1e-12  # verification stage is exact
+
+
+def test_simhash_pairs(docs):
+    # ground-truth distance between the near-identical docs 0 and 1
+    s = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()
+    sketch = {r["doc_id"]: r["sh"] for r in s}
+    d01 = bin(sketch[0] ^ sketch[1]).count("1")
+    assert sketch[0] == sketch[2]  # identical text → identical sketch
+    assert d01 < bin(sketch[0] ^ sketch[3]).count("1")  # closer than unrelated
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in dedup.simhash_pairs(docs, "text", "doc_id", max_distance=d01).collect()
+    }
+    assert pairs[(0, 2)] == 0
+    assert pairs[(0, 1)] == d01  # pigeonhole blocks must recover the pair
+
+
+def test_embedding_dedup_and_topk(spark):
+    rs = np.random.RandomState(0)
+    base = rs.standard_normal((20, 16))
+    # make 3 near-duplicates of vector 0
+    vecs = np.vstack([base, base[0] + rs.standard_normal((3, 16)) * 0.01])
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact_pairs = dedup.embedding_dedup_pairs(
+        df, "embedding", "vec_id", threshold=0.99, use_lsh=False
+    )
+    lsh_pairs = dedup.embedding_dedup_pairs(
+        df, "embedding", "vec_id", threshold=0.99, use_lsh=True, num_planes=6
+    )
+    e = {(r["id_a"], r["id_b"]) for r in exact_pairs.collect()}
+    l = {(r["id_a"], r["id_b"]) for r in lsh_pairs.collect()}
+    assert {(0, 20), (0, 21), (0, 22)} <= e
+    assert l <= e  # LSH candidates verified exactly → subset
+    assert {(0, 20), (0, 21), (0, 22)} <= l  # near-identical vectors share buckets
+
+    # brute force vs LSH top-k
+    queries = df.filter(F.col("vec_id") == 0)
+    bf = similarity.brute_force_topk(df, queries, k=3)
+    got = [r["neighbor_id"] for r in bf.orderBy("rank").collect()]
+    assert set(got) == {20, 21, 22}
+    lsh = similarity.lsh_topk(df, queries, k=3, num_planes=6, multiprobe_bits=1)
+    got_lsh = [r["neighbor_id"] for r in lsh.orderBy("rank").collect()]
+    assert set(got_lsh) == {20, 21, 22}
+
+
+def test_winnowing_fingerprint(docs):
+    fp = docs.select(
+        "doc_id", text.winnowing_fingerprint(F.col("text"), k=8, w=4).alias("fp")
+    ).collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fp}
+    assert by_id[0] == by_id[2]  # identical docs → identical fingerprint
+    assert by_id[0] != by_id[3]
+    assert by_id[4] == []  # empty text
+
+
+def test_multimodal_plumbing(docs, spark):
+    assets = docs.filter(F.col("doc_id") < 4).select(
+        "doc_id",
+        multimodal.fake_image_bytes(F.col("text")).alias("content"),
+    )
+    decoded = multimodal.decode_images(assets).orderBy("doc_id").collect()
+    assert len(decoded) == 4
+    assert decoded[0]["width"] == 8 and decoded[0]["height"] == 8
+    assert decoded[0]["sha"] == decoded[2]["sha"]  # same text → same fake bytes
+
+    resized = multimodal.resize_images(assets, target=4).collect()
+    assert all(len(r["pixels"]) == 16 for r in resized)
+
+    frames = multimodal.sample_frames(assets, every_n=2, n_frames=3)
+    assert frames.count() == 4 * 3
+
+    with pytest.raises(Exception):  # real engine must refuse, not fake results
+        multimodal.decode_images(assets, engine="real").collect()
+
+
+def test_streaming_tumbling(spark, tmp_path):
+    from qafs_spark.streaming import read_event_stream, tumbling_agg
+
+    src = str(tmp_path / "events_in")
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(100),
+            "ts": pd.date_range("2024-01-01", periods=100, freq="90s"),
+            "user_id": [i % 5 for i in range(100)],
+            "event_type": ["click"] * 100,
+            "value": [float(i) for i in range(100)],
+            "props": ["{}"] * 100,
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = read_event_stream(spark, src)
+    assert stream.isStreaming
+    agg = tumbling_agg(stream, window="10 minutes", watermark="1 minute")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT * FROM tumbling_test ORDER BY window_start"
+    ).toPandas()
+    # batch oracle for the same aggregation
+    expected = (
+        spark.read.parquet(src)
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+        .toPandas()
+    )
+    # watermark may hold back the final window in availableNow mode
+    merged = out.merge(expected, on="window_start", suffixes=("", "_exp"))
+    assert (merged["n_events"] == merged["n_events_exp"]).all()
+    assert len(out) >= len(expected) - 1
