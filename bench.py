@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec, ...}, "sf": <sf>}.
+
+Each query is forced end-to-end with a `noop` write (full materialization on
+executors, nothing collected to the driver) so the timing measures the real
+distributed plan, not toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Representative slice of the catalog: feature-store core (ingest/load
+# semantics), analytic joins/aggs, and the training-data pipeline ops.
+HEADLINE = [
+    "feature_roundtrip",
+    "lww_dedup",
+    "time_travel",
+    "resample_asof",
+    "align_ffill",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "top_customers_per_nation",
+    "sessionize",
+    "token_stats_by_source",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "ann_topk",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entrymod
+    from qafs_spark.session import get_spark
+
+    spark = get_spark(app_name="qafs-spark-bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen paths once so per-query times measure the plan,
+    # not first-run classloading.
+    spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.time() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline-queries-total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,8 +101,12 @@ def minhash_signature(
 ) -> Column:
     """Array of num_hashes minima; null-free only when shingles is non-empty
     (empty docs get an all-null signature — filter them first)."""
-    hashes = shingle_hashes(shingles)
+    return minhash_signature_from_hashes(shingle_hashes(shingles), num_hashes, seed)
 
+
+def minhash_signature_from_hashes(
+    hashes: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
     def perm(a: int, b: int):
         # closure factory: default-arg capture would change the lambda arity
         # pyspark inspects for higher-order functions
@@ -150,10 +154,11 @@ def ngram_jaccard_pairs(
     intersection on the data path. The join shuffles by shingle hash; hot
     shingles are the skew risk (AQE skew-join splits them).
     """
+    hs = F.array_distinct(shingle_hashes(word_shingles(F.col(text_col), n)))
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(shingle_hashes(word_shingles(F.col(text_col), n))).alias("h"),
-        F.size(word_shingles(F.col(text_col), n)).alias("n_sh"),
+        F.explode(hs).alias("h"),
+        F.size(hs).alias("n_sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -191,9 +196,11 @@ def minhash_lsh_dedup(
     the threshold it converges to the exact result with high probability.
     """
     rows_per_band = num_hashes // num_bands
+    # work on distinct shingle HASHES end-to-end (signature AND verification)
+    # so jaccard values agree exactly with hash-based exact computations
     base = df.select(
         F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), n).alias("sh"),
+        F.array_distinct(shingle_hashes(word_shingles(F.col(text_col), n))).alias("sh"),
     ).filter(F.size("sh") > 0)
     return _minhash_pairs(base, num_hashes, num_bands, rows_per_band, threshold, seed)
 
@@ -202,7 +209,9 @@ def _minhash_pairs(
     base: DataFrame, num_hashes: int, num_bands: int, rows_per_band: int,
     threshold: float, seed: int,
 ) -> DataFrame:
-    with_sig = base.withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    with_sig = base.withColumn(
+        "sig", minhash_signature_from_hashes(F.col("sh"), num_hashes, seed)
+    )
     banded = with_sig.select(
         "id", "sh",
         F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band"),

@@ -1,0 +1,915 @@
+"""Declared query catalog: every operator from SURVEY.md §2 + the pipeline
+extensions, each as (a) a Spark DataFrame builder over the testdata tables
+and (b) an exactly-equivalent ANSI-SQL oracle for DuckDB.
+
+Cross-engine determinism rules used throughout (the reason results
+hash-match bit-for-bit):
+
+* money/double sums → integer **cents** before aggregation
+  (``CAST(round(x*100) AS BIGINT)``): double accumulation order differs
+  between engines, integer sums don't;
+* quantities (integral doubles) sum exactly in double — safe as-is;
+* all hashing is md5-derived integer arithmetic (``('0x'||substr(md5(s),1,8))
+  ::BIGINT`` ≡ ``conv(substring(md5(s),1,8),16,10)``) — no engine-private
+  hash functions;
+* cosines / float ratios are rounded (6 dp) where they appear as values;
+  ranking tiebreaks are always (score DESC, id ASC);
+* every aggregate/computed column is aliased identically on both sides.
+
+The events table doubles as the feature-store fixture: ``time`` =
+hour-truncated ``ts`` (duplicate times → last-write-wins is meaningful),
+``created_time`` = ``ts + (event_id % 7) minutes`` (deterministic ingest
+delay → time travel is meaningful).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import last_write_wins, resample_asof, time_travel_filter
+from .operators.align import align_features
+from .pipeline import dedup as dd
+from .pipeline import similarity as sim
+from .pipeline import text as tx
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def register(name: str, oracle: str = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        # events.ts is physical TIMESTAMP(NANOS) — Spark has no nanosecond
+        # timestamp type; read as long and truncate to microseconds exactly
+        # (integer `div`, never double division: ns epochs exceed 2^53).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def cents(col) -> F.Column:
+    """Deterministic money aggregation: double → integer cents."""
+    return F.round(col * 100).cast("long")
+
+
+# SQL fragment mirrors of the helpers above
+_SQL_CENTS = "CAST(round({x} * 100) AS BIGINT)"
+
+
+def _event_series_df(spark, sf_dir) -> DataFrame:
+    """events → feature-store shaped series (time, created_time, value,
+    event_id): hour-truncated time + deterministic ingest delay."""
+    return _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("time"),
+        (F.col("ts") + F.make_interval(mins=(F.col("event_id") % 7).cast("int"))).alias(
+            "created_time"
+        ),
+        F.col("value"),
+        F.col("event_id"),
+    )
+
+
+_SQL_EVENT_SERIES = """
+    SELECT date_trunc('hour', ts) AS time,
+           ts + (event_id % 7) * INTERVAL 1 MINUTE AS created_time,
+           value, event_id
+    FROM events
+"""
+
+_SQL_LWW = f"""
+    SELECT time, value FROM (
+        SELECT time, value,
+               row_number() OVER (
+                   PARTITION BY time
+                   ORDER BY created_time DESC, event_id DESC
+               ) AS rn
+        FROM ({_SQL_EVENT_SERIES})
+    ) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3/A1/W2/O1 — last-write-wins dedup
+# ---------------------------------------------------------------------------
+@register("lww_dedup", oracle=_SQL_LWW)
+def q_lww_dedup(spark, sf_dir):
+    """SURVEY §2 J3: upsert-over-append-only (reference pandas.py:160-161)."""
+    return last_write_wins(
+        _event_series_df(spark, sf_dir),
+        value_cols=["value"],
+        tiebreak_cols=["event_id"],
+    ).select("time", "value")
+
+
+# ---------------------------------------------------------------------------
+# P2 — time travel
+# ---------------------------------------------------------------------------
+@register(
+    "time_travel",
+    oracle=f"""
+    SELECT time, value FROM (
+        SELECT time, value,
+               row_number() OVER (
+                   PARTITION BY time
+                   ORDER BY created_time DESC, event_id DESC
+               ) AS rn
+        FROM ({_SQL_EVENT_SERIES})
+        WHERE created_time <= time + INTERVAL 30 MINUTE
+    ) WHERE rn = 1
+    """,
+)
+def q_time_travel(spark, sf_dir):
+    """SURVEY §2 P2 (reference pandas.py:127-131): state as known at
+    time+30min, then last-write-wins."""
+    filtered = time_travel_filter(_event_series_df(spark, sf_dir), "30min")
+    return last_write_wins(
+        filtered, value_cols=["value"], tiebreak_cols=["event_id"]
+    ).select("time", "value")
+
+
+# ---------------------------------------------------------------------------
+# J2 — resample-to-grid as-of (the golden semantics)
+# ---------------------------------------------------------------------------
+_RESAMPLE_FROM = "2024-01-05 00:00:00"
+_RESAMPLE_TO = "2024-01-25 00:00:00"
+_RESAMPLE_STEP_S = 6 * 3600
+_RESAMPLE_KMAX = 80  # 20 days / 6h
+
+
+@register(
+    "resample_asof",
+    oracle=f"""
+    WITH series AS ({_SQL_LWW}),
+    binned AS (
+        SELECT CAST(ceil((epoch(time) - epoch(TIMESTAMP '{_RESAMPLE_FROM}'))
+                    / {_RESAMPLE_STEP_S}.0) AS BIGINT) AS k,
+               arg_max(value, time) AS value
+        FROM series
+        WHERE time <= TIMESTAMP '{_RESAMPLE_TO}'
+        GROUP BY 1
+    ),
+    grid AS (SELECT CAST(unnest(range(0, {_RESAMPLE_KMAX + 1})) AS BIGINT) AS k),
+    allk AS (SELECT k FROM grid UNION SELECT k FROM binned),
+    filled AS (
+        SELECT a.k,
+               last_value(b.value IGNORE NULLS) OVER (
+                   ORDER BY a.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value
+        FROM allk a LEFT JOIN binned b USING (k)
+    )
+    SELECT TIMESTAMP '{_RESAMPLE_FROM}' + k * INTERVAL 6 HOUR AS time, value
+    FROM filled WHERE k BETWEEN 0 AND {_RESAMPLE_KMAX}
+    """,
+)
+def q_resample_asof(spark, sf_dir):
+    """SURVEY §2 J2 (reference pandas.py:163-172 + golden tests:348-362):
+    6h grid over [01-05, 01-25], carry-in from history through the bin chain."""
+    series = last_write_wins(
+        _event_series_df(spark, sf_dir).filter(
+            F.col("time") <= F.lit(pd.Timestamp(_RESAMPLE_TO))
+        ),
+        value_cols=["value"],
+        tiebreak_cols=["event_id"],
+    )
+    return resample_asof(
+        series.select("time", "value"),
+        ["value"],
+        pd.Timestamp(_RESAMPLE_FROM),
+        pd.Timestamp(_RESAMPLE_TO),
+        "6h",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/W1 — multi-series outer alignment + forward fill
+# ---------------------------------------------------------------------------
+@register(
+    "align_ffill",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT date_trunc('day', o_orderdate) AS time,
+               CAST(sum({_SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS orders_cents
+        FROM orders GROUP BY 1
+    ),
+    s2 AS (
+        SELECT date_trunc('day', l_shipdate) AS time,
+               CAST(sum({_SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS lineitem_cents
+        FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+        SELECT coalesce(s1.time, s2.time) AS time, s1.orders_cents, s2.lineitem_cents
+        FROM s1 FULL JOIN s2 ON s1.time = s2.time
+    )
+    SELECT time,
+           last_value(orders_cents IGNORE NULLS) OVER (
+               ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS orders_cents,
+           last_value(lineitem_cents IGNORE NULLS) OVER (
+               ORDER BY time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS lineitem_cents
+    FROM joined
+    """,
+)
+def q_align_ffill(spark, sf_dir):
+    """SURVEY §2 J1/W1 (reference timeseries.py:12-14): outer-align two daily
+    revenue series and forward-fill — via the scalable two-pass ffill."""
+    s1 = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("time"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("orders_cents"))
+    )
+    s2 = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("day", F.col("l_shipdate")).alias("time"))
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("lineitem_cents"))
+    )
+    return align_features([("orders_cents", s1), ("lineitem_cents", s2)])
+
+
+# ---------------------------------------------------------------------------
+# A2 — data bounds (default from/to derivation)
+# ---------------------------------------------------------------------------
+@register(
+    "data_bounds",
+    oracle="""
+    SELECT event_type, min(ts) AS min_time, max(ts) AS max_time,
+           count(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def q_data_bounds(spark, sf_dir):
+    """SURVEY §2 A2 (reference pandas.py:150-155): min/max time bounds."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min("ts").alias("min_time"),
+            F.max("ts").alias("max_time"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2.8 — JSON scalar functions (serialized-value surface)
+# ---------------------------------------------------------------------------
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract(spark, sf_dir):
+    """SURVEY §2.8 JSON decode (reference pandas.py:133-140 serialized path)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# General analytics (the substrate Spark provides "for free" — SURVEY §2.3)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum({_SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS sum_base_cents,
+           CAST(sum({_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS sum_disc_cents,
+           CAST(sum({_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS BIGINT) AS sum_charge_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit(pd.Timestamp("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(disc)).alias("sum_disc_cents"),
+            F.sum(cents(charge)).alias("sum_charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(sum({_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_cents,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue_cents DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """Shipping-priority style query: selective joins + top-k. The customer
+    dimension side is broadcast (small) — no shuffle of lineitem for it."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(pd.Timestamp("1997-03-15"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(pd.Timestamp("1997-03-15"))
+    )
+    return (
+        l.join(
+            F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+        .select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(F.col("revenue_cents").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5",
+    oracle=f"""
+    SELECT n_name,
+           CAST(sum({_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS revenue_cents
+    FROM region, nation, customer, orders, lineitem
+    WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """Local-volume style multi-join: every dimension side broadcast, the
+    only shuffle is the final groupBy on a handful of nation keys."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(pd.Timestamp("1996-01-01")))
+        & (F.col("o_orderdate") < F.lit(pd.Timestamp("1998-01-01")))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            )
+        )
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    oracle=f"""
+    SELECT n_name, c_custkey, revenue_cents, rank FROM (
+        SELECT n_name, c_custkey, revenue_cents,
+               row_number() OVER (
+                   PARTITION BY n_name
+                   ORDER BY revenue_cents DESC, c_custkey ASC
+               ) AS rank
+        FROM (
+            SELECT n_name, c_custkey,
+                   CAST(sum({_SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS revenue_cents
+            FROM nation, customer, orders
+            WHERE n_nationkey = c_nationkey AND c_custkey = o_custkey
+            GROUP BY n_name, c_custkey
+        )
+    ) WHERE rank <= 3
+    """,
+)
+def q_top_customers_per_nation(spark, sf_dir):
+    """SURVEY §2.5-style window function surface: top-k per group."""
+    from pyspark.sql import Window
+
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey")
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("revenue_cents").desc(), F.col("c_custkey").asc()
+    )
+    return rev.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (streaming-shaped semantics, batch parity check)
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize",
+    oracle=f"""
+    WITH flags AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            >= INTERVAL 15 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ),
+    sess AS (
+        SELECT *, sum(new_s) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM flags
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           CAST(sum({_SQL_CENTS.format(x='value')}) AS BIGINT) AS sum_cents
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessions via F.session_window (batch mode) — the same
+    operator the streaming path uses (SURVEY §2.9 extension)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.session_window(F.col("ts"), "15 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (pipeline extension)
+# ---------------------------------------------------------------------------
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_SQL_EN_STOP = "['the','a','of','and','to','in','is','that','it','for']"
+
+
+@register(
+    "doc_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len({_SQL_TOKENS}) END AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 OR len({_SQL_TOKENS}) = 0 THEN 0.0
+                ELSE CAST(len(list_filter(list_transform({_SQL_TOKENS}, x -> lower(x)),
+                                          x -> list_contains({_SQL_EN_STOP}, x))) AS DOUBLE)
+                     / CAST(len({_SQL_TOKENS}) AS DOUBLE)
+           END AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_doc_stats(spark, sf_dir):
+    """Pipeline: token counting + quality signals, pure column expressions."""
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.char_count(t).alias("n_chars"),
+        tx.stopword_ratio(t).alias("stopword_ratio"),
+    )
+
+
+def _sql_lang_score(words) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len(list_filter(list_transform({_SQL_TOKENS}, x -> lower(x)), "
+        f"x -> list_contains({arr}, x))) END"
+    )
+
+
+@register(
+    "lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               {_sql_lang_score(tx.LANG_STOPWORDS['en'])} AS s_en,
+               {_sql_lang_score(tx.LANG_STOPWORDS['de'])} AS s_de,
+               {_sql_lang_score(tx.LANG_STOPWORDS['fr'])} AS s_fr,
+               {_sql_lang_score(tx.LANG_STOPWORDS['es'])} AS s_es
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+                WHEN s_es > s_fr AND s_es > s_de AND s_es > s_en THEN 'es'
+                WHEN s_fr > s_de AND s_fr > s_en THEN 'fr'
+                WHEN s_de > s_en THEN 'de'
+                ELSE 'en' END AS lang_guess
+    FROM scored
+    """,
+)
+def q_lang_id(spark, sf_dir):
+    """Pipeline: stopword-vote language ID (first-wins tie order en>de>fr>es,
+    mirrored in the oracle's CASE ordering)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+@register(
+    "token_stats_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(sum(CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                         ELSE len({_SQL_TOKENS}) END AS BIGINT)) AS BIGINT) AS total_tokens,
+           count(*) AS n_docs,
+           CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def q_token_stats_by_source(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(tx.token_count(F.col("text"))).alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tx.char_count(F.col("text"))).alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_exact_dedup(spark, sf_dir):
+    """Pipeline: exact dedup by content hash (SURVEY Phase 4)."""
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_SQL_SHINGLES = """
+    SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(t[CAST(i AS INTEGER)] || ' ' ||
+                                   t[CAST(i AS INTEGER)+1] || ' ' ||
+                                   t[CAST(i AS INTEGER)+2]), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+             UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    )
+"""
+
+
+@register(
+    "ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES})
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+               / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Pipeline: exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+@register("minhash_lsh_dedup")  # oracle attached below if LSH is exact here
+def q_minhash_lsh_dedup(spark, sf_dir):
+    """Pipeline: MinHash+LSH banded near-dup with exact verification.
+    Same output contract as ngram_jaccard; with 16 bands × 2 rows the
+    candidate recall at jaccard 0.5 is ≥ 1-(1-0.5^2)^16 ≈ 99%."""
+    return dd.minhash_lsh_dedup(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=3,
+        num_hashes=32,
+        num_bands=16,
+        threshold=0.5,
+    )
+
+
+def _sql_simhash() -> str:
+    return """
+    WITH tok AS (
+        SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+              FROM documents WHERE length(trim(text)) > 0)
+    ),
+    votes AS (
+        SELECT doc_id, CAST(b AS INTEGER) AS b,
+               sum(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM tok, UNNEST(range(0, 60)) AS u(b)
+        GROUP BY doc_id, b
+    ),
+    sketch AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+        FROM votes GROUP BY doc_id
+    )
+    """
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+    {_sql_simhash()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS distance
+    FROM sketch a JOIN sketch b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 12
+    """,
+)
+def q_simhash_pairs(spark, sf_dir):
+    """Pipeline: SimHash near-dup pairs, hamming <= 12 (pigeonhole-block
+    candidate generation is lossless, so this equals the all-pairs oracle)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return dd.simhash_pairs(docs, "text", "doc_id", max_distance=12)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (pipeline extension)
+# ---------------------------------------------------------------------------
+_SQL_COSINE = """
+    list_sum(list_transform(range(1, 65),
+        i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+             * CAST(a.embedding[CAST(i AS INTEGER)] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INTEGER)] AS DOUBLE)))))
+"""
+
+
+@register(
+    "ann_topk",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine_r6, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_SQL_COSINE}, 6) AS cosine_r6,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_SQL_COSINE} DESC, b.vec_id ASC
+               ) AS rank
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark, sf_dir):
+    """Pipeline: brute-force cosine top-5 for 10 query vectors — the exact
+    ANN baseline (LSH variant is checked against this in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine_r6"),
+        "rank",
+    )
+
+
+@register(
+    "embedding_neardup",
+    oracle=f"""
+    SELECT id_a, id_b, cosine_r6 FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_SQL_COSINE}, 6) AS cosine_r6
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine_r6 >= 0.3
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Pipeline: embedding-cosine near-dup pairs (exact threshold join)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_dedup_pairs(
+        emb, "embedding", "vec_id", threshold=0.0, use_lsh=False
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine_r6")
+    ).filter(F.col("cosine_r6") >= 0.3)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary columns) — byte-level metadata is oracle-checkable
+# ---------------------------------------------------------------------------
+@register(
+    "binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_binary_meta(spark, sf_dir):
+    """Pipeline: treat text bytes as an opaque binary asset; extract
+    byte-level metadata (the decode stage itself is stubbed — see
+    qafs_spark.pipeline.multimodal)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+@register("multimodal_decode")  # no SQL oracle: mapInPandas stage (rows check)
+def q_multimodal_decode(spark, sf_dir):
+    """Pipeline: full multimodal plumbing — fake-encode text as binary
+    assets, decode via Arrow-batched mapInPandas, return per-asset features.
+    Deterministic but not SQL-expressible (Python decode stage)."""
+    from .pipeline import multimodal as mm
+
+    assets = _t(spark, sf_dir, "documents").select(
+        "doc_id", mm.fake_image_bytes(F.col("text")).alias("content")
+    )
+    return mm.decode_images(assets)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (Structured Streaming execution, SQL-tumbling oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum({_SQL_CENTS.format(x='value')}) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark, sf_dir):
+    """Streaming: 1h tumbling windows executed by Structured Streaming
+    (availableNow trigger, complete mode into a memory sink) — the oracle is
+    the equivalent batch SQL, proving stream/batch parity."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # stream schema mirrors the physical file: ts is INT64 nanos → convert
+    nanos_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    from .streaming import read_event_stream
+
+    stream = read_event_stream(
+        spark, sf_dir, schema=nanos_schema, glob="events.parquet"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+    name = f"qafs_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Feature-store end-to-end round trip (the engine itself, vs SQL oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "feature_roundtrip",
+    oracle=f"""
+    WITH series AS ({_SQL_LWW}),
+    binned AS (
+        SELECT CAST(ceil((epoch(time) - epoch(TIMESTAMP '2024-01-10 00:00:00'))
+                    / 86400.0) AS BIGINT) AS k,
+               arg_max(value, time) AS value
+        FROM series
+        WHERE time <= TIMESTAMP '2024-01-28 00:00:00'
+        GROUP BY 1
+    ),
+    grid AS (SELECT CAST(unnest(range(0, 19)) AS BIGINT) AS k),
+    allk AS (SELECT k FROM grid UNION SELECT k FROM binned),
+    filled AS (
+        SELECT a.k,
+               last_value(b.value IGNORE NULLS) OVER (
+                   ORDER BY a.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value
+        FROM allk a LEFT JOIN binned b USING (k)
+    )
+    SELECT TIMESTAMP '2024-01-10 00:00:00' + k * INTERVAL 1 DAY AS time, value
+    FROM filled WHERE k BETWEEN 0 AND 18
+    """,
+)
+def q_feature_roundtrip(spark, sf_dir):
+    """THE end-to-end check: ingest the events series through
+    FeatureStore.save_df (real partitioned-Parquet write + registry), load it
+    back with load_features(freq='1d', from, to) — scan, derived partition
+    pruning, LWW dedup, bin-compressed as-of resample — and match the SQL
+    golden computed directly on the raw events."""
+    import shutil
+    import tempfile
+
+    from .core import FeatureStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="qafs_roundtrip_")
+    try:
+        fs = FeatureStore(storage=root, spark=spark)
+        fs.create_namespace("bench")
+        from .checks import Column
+
+        fs.create_feature("bench/event_value", check=Column(float))
+        src = _event_series_df(spark, sf_dir).select("time", "created_time",
+                                                     F.col("value").alias("bench/event_value"))
+        fs.save_df(src, "bench/event_value")
+        out = fs.load_features(
+            "bench/event_value",
+            from_date="2024-01-10",
+            to_date="2024-01-28",
+            freq="1d",
+        )
+        result = out.select(
+            F.col("time"), F.col("bench/event_value").alias("value")
+        )
+        result = spark.createDataFrame(result.collect(), schema=result.schema)
+        return result
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -46,10 +46,15 @@ def read_event_stream(
     path: str,
     schema: T.StructType = EVENT_SCHEMA,
     max_files_per_trigger: Optional[int] = None,
+    glob: Optional[str] = None,
 ) -> DataFrame:
+    """File-source stream. ``path`` must be a directory (Structured Streaming
+    requirement); pass ``glob`` to select specific files within it."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
     return reader.parquet(path)
 
 
