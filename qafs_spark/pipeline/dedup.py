@@ -104,6 +104,34 @@ def minhash_signature(
     return minhash_signature_from_hashes(shingle_hashes(shingles), num_hashes, seed)
 
 
+def with_shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) with sh = distinct shingle hashes, computed through STAGED
+    projections.
+
+    Staging matters: higher-order-function lambdas re-evaluate their free
+    sub-expressions per array element, so nesting tokenize→shingle→hash in
+    one projection costs O(tokens²) regex splits per row (~10× slower
+    measured). Each stage below binds its result to a column attribute that
+    the next stage's lambdas reference as a plain array read.
+    """
+    t = tokens(F.col(text_col))
+    s1 = df.select(F.col(id_col).alias("id"), t.alias("_tk"))
+    tk = F.col("_tk")
+    starts = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(tk, i, n), " "))
+    s2 = s1.select(
+        "id",
+        F.when(F.size(tk) < n, F.array().cast("array<string>"))
+        .otherwise(F.array_distinct(grams))
+        .alias("_grams"),
+    )
+    return s2.select(
+        "id", F.array_distinct(shingle_hashes(F.col("_grams"))).alias("sh")
+    )
+
+
 def minhash_signature_from_hashes(
     hashes: Column, num_hashes: int = 32, seed: int = 42
 ) -> Column:
@@ -154,11 +182,11 @@ def ngram_jaccard_pairs(
     intersection on the data path. The join shuffles by shingle hash; hot
     shingles are the skew risk (AQE skew-join splits them).
     """
-    hs = F.array_distinct(shingle_hashes(word_shingles(F.col(text_col), n)))
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(hs).alias("h"),
-        F.size(hs).alias("n_sh"),
+    base = with_shingle_hashes(df, text_col, id_col, n)
+    sh = base.select(
+        "id",
+        F.explode("sh").alias("h"),
+        F.size("sh").alias("n_sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
@@ -197,11 +225,13 @@ def minhash_lsh_dedup(
     """
     rows_per_band = num_hashes // num_bands
     # work on distinct shingle HASHES end-to-end (signature AND verification)
-    # so jaccard values agree exactly with hash-based exact computations
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingle_hashes(word_shingles(F.col(text_col), n))).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    # so jaccard values agree exactly with hash-based exact computations.
+    # Empty-shingle docs are dropped with a token-count filter at the SCAN
+    # (one split per row) — a post-hoc size(sh)>0 filter would get
+    # predicate-pushed through the staged projections and re-nest the whole
+    # shingle expression inside the filter (measured ~7× slower).
+    nonempty = df.filter(F.size(tokens(F.col(text_col))) >= n)
+    base = with_shingle_hashes(nonempty, text_col, id_col, n)
     return _minhash_pairs(base, num_hashes, num_bands, rows_per_band, threshold, seed)
 
 
@@ -209,28 +239,29 @@ def _minhash_pairs(
     base: DataFrame, num_hashes: int, num_bands: int, rows_per_band: int,
     threshold: float, seed: int,
 ) -> DataFrame:
-    with_sig = base.withColumn(
-        "sig", minhash_signature_from_hashes(F.col("sh"), num_hashes, seed)
+    with_sig = base.select(
+        "id", minhash_signature_from_hashes(F.col("sh"), num_hashes, seed).alias("sig")
     )
+    # band join carries (id, band) ONLY — carrying the shingle arrays through
+    # the num_bands-way explode would multiply shuffle bytes by the band
+    # count; shingles are re-joined just for the surviving candidate pairs
     banded = with_sig.select(
-        "id", "sh",
+        "id",
         F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verif = cand.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
     union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
-        cand.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        verif.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -246,11 +277,23 @@ def simhash(col: Column) -> Column:
 
     Computed as array expressions per row (no explode/shuffle): for each bit,
     sum +1/-1 votes across token hashes, set the bit if the sum is positive.
+
+    NOTE: prefer :func:`simhash_from_token_hashes` over a staged token-hash
+    column in hot paths — nesting the md5 transform under the 60 per-bit
+    aggregates re-evaluates it per bit.
     """
-    th = F.transform(
+    return simhash_from_token_hashes(token_hashes(col))
+
+
+def token_hashes(col: Column) -> Column:
+    """60-bit md5-derived hash per whitespace token."""
+    return F.transform(
         tokens(col),
         lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
     )
+
+
+def simhash_from_token_hashes(th: Column) -> Column:
     def voter(b: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
@@ -264,6 +307,40 @@ def simhash(col: Column) -> Column:
     for piece in bits[1:]:
         out = out + piece
     return out
+
+
+def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh) sketches via explode + codegen hash aggregate.
+
+    The array-expression :func:`simhash` runs 60 interpreted per-bit
+    aggregates per row (higher-order functions don't codegen); this variant
+    explodes token hashes and computes the 60 bit-votes as plain ``sum``
+    aggregates inside whole-stage codegen — measured ~10× faster. Map-side
+    partial aggregation collapses each doc to one row before the shuffle
+    (a doc's tokens sit in the same input partition), so the exchange
+    carries one 60-long row per doc. Docs with zero tokens are absent from
+    the output (explode drops them) — filter/union them separately if their
+    all-zero sketch matters.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(token_hashes(F.col(text_col))).alias("h")
+    )
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sketch = None
+    for b in range(SIMHASH_BITS):
+        piece = F.when(F.col(f"_v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sketch = piece if sketch is None else sketch + piece
+    return votes.select("id", sketch.alias("sh"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -284,21 +361,24 @@ def simhash_pairs(
     """
     n_blocks = max_distance + 1
     block_bits = SIMHASH_BITS // n_blocks
-    s = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
-    blocks = []
+    s = simhash_table(df, text_col, id_col)
+    # one explode of (blk, key) structs — a per-block union would recompute
+    # the sketch once per block (measured n_blocks× slower)
+    block_structs = []
     for i in range(n_blocks):
         width = block_bits if i < n_blocks - 1 else SIMHASH_BITS - block_bits * (n_blocks - 1)
         mask = (1 << width) - 1
-        blocks.append(
-            s.select(
-                "id", "sh",
+        block_structs.append(
+            F.struct(
                 F.lit(i).alias("blk"),
-                F.shiftright(F.col("sh"), i * block_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                F.shiftright(F.col("sh"), i * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
             )
         )
-    all_blocks = blocks[0]
-    for blk in blocks[1:]:
-        all_blocks = all_blocks.unionByName(blk)
+    all_blocks = s.select(
+        "id", "sh", F.explode(F.array(*block_structs)).alias("bk")
+    ).select("id", "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
     a, b = all_blocks.alias("a"), all_blocks.alias("b")
     cand = (
         a.join(

@@ -675,14 +675,15 @@ def _sql_simhash() -> str:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS distance
     FROM sketch a JOIN sketch b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh, b.sh)) <= 12
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
 )
 def q_simhash_pairs(spark, sf_dir):
-    """Pipeline: SimHash near-dup pairs, hamming <= 12 (pigeonhole-block
-    candidate generation is lossless, so this equals the all-pairs oracle)."""
+    """Pipeline: SimHash near-dup pairs, hamming <= 3 (pigeonhole-block
+    candidate generation is lossless, so this equals the all-pairs oracle;
+    4 blocks × 15 bits keeps the candidate join selective)."""
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    return dd.simhash_pairs(docs, "text", "doc_id", max_distance=12)
+    return dd.simhash_pairs(docs, "text", "doc_id", max_distance=3)
 
 
 # ---------------------------------------------------------------------------

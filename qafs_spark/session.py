@@ -38,6 +38,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # InferFiltersFromGenerate re-derives `size(arr)>0 AND isnotnull(arr)`
+        # below every explode and predicate-pushdown then substitutes the
+        # array's FULL defining expression into the filter. Our explodes are
+        # over staged expensive arrays (shingle hashes, LSH band keys), where
+        # that inferred filter recomputes the array once more per row —
+        # measured ~10× slowdown on the dedup family. The rule only helps
+        # when exploding raw source columns, which we never do.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
