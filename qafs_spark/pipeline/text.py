@@ -141,7 +141,13 @@ def rolling_hashes(col: Column, k: int = 8) -> Column:
 
 def winnowing_fingerprint(col: Column, k: int = 8, w: int = 4) -> Column:
     """Winnowing (Schleimer et al., SIGMOD'03): distinct minima of each
-    w-window of k-gram hashes — a robust near-dup document sketch."""
+    w-window of k-gram hashes — a robust near-dup document sketch.
+
+    NOTE: `col` must be a plain column attribute in hot paths; better, use
+    :func:`winnowing_table`, which stages the rolling-hash array so the
+    window-min lambda reads it as an attribute instead of re-hashing every
+    k-gram per window (O(len·w) vs O(len²) md5 calls).
+    """
     hashes = rolling_hashes(col, k)
     mins = F.transform(
         F.sequence(F.lit(1), F.size(hashes) - (w - 1)),
@@ -150,3 +156,25 @@ def winnowing_fingerprint(col: Column, k: int = 8, w: int = 4) -> Column:
     return F.when(
         F.size(hashes) < w, F.array().cast("array<long>")
     ).otherwise(F.array_sort(F.array_distinct(mins)))
+
+
+def winnowing_table(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, w: int = 4
+) -> DataFrame:
+    """(id, fp array<long>) winnowing fingerprints via staged projections
+    (see :func:`winnowing_fingerprint` for why staging matters). Docs
+    shorter than k+w-1 chars get an empty fingerprint."""
+    s1 = df.select(
+        F.col(id_col).alias("id"), rolling_hashes(F.col(text_col), k).alias("_rh")
+    )
+    rh = F.col("_rh")
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size(rh) - (w - 1)),
+        lambda i: F.array_min(F.slice(rh, i, w)),
+    )
+    return s1.select(
+        "id",
+        F.when(F.size(rh) < w, F.array().cast("array<long>"))
+        .otherwise(F.array_sort(F.array_distinct(mins)))
+        .alias("fp"),
+    )

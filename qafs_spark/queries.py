@@ -914,3 +914,367 @@ def q_feature_roundtrip(spark, sf_dir):
         return result
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Additional analytics coverage (scan-pushdown, semi-join, conditional agg)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q6",
+    oracle=f"""
+    SELECT CAST(sum({_SQL_CENTS.format(x='l_extendedprice * l_discount')}) AS BIGINT)
+           AS revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6: the pure scan-filter-agg — every predicate reaches the
+    Parquet reader (PushedFilters), projection prunes to 4 columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+            .alias("revenue_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to the synthetic schema: "late" = shipped
+    >30 days after order): EXISTS → left-semi join, no row multiplication;
+    the filtered orders side is small enough for AQE to broadcast."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 30)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: ship-year filter, returnflag grouping):
+    selective fact-side filter before the join + conditional aggregation
+    (sum-of-CASE stays in codegen)."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring + document fingerprinting (pipeline extension)
+# ---------------------------------------------------------------------------
+_SQL_PUNCT_RATIO = """
+    CASE WHEN length(text) = 0 THEN 0.0
+         ELSE CAST(length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+              / CAST(length(text) AS DOUBLE) END
+"""
+
+_SQL_MWL = f"""
+    CASE WHEN length(trim(text)) = 0 OR len({_SQL_TOKENS}) = 0 THEN 0.0
+         ELSE CAST(list_sum(list_transform({_SQL_TOKENS}, x -> length(x))) AS DOUBLE)
+              / CAST(len({_SQL_TOKENS}) AS DOUBLE) END
+"""
+
+_SQL_SW_RATIO = f"""
+    CASE WHEN length(trim(text)) = 0 OR len({_SQL_TOKENS}) = 0 THEN 0.0
+         ELSE CAST(len(list_filter(list_transform({_SQL_TOKENS}, x -> lower(x)),
+                                   x -> list_contains({_SQL_EN_STOP}, x))) AS DOUBLE)
+              / CAST(len({_SQL_TOKENS}) AS DOUBLE) END
+"""
+
+_SQL_NTOK = f"""
+    CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKENS}) END
+"""
+
+
+@register(
+    "quality_score",
+    oracle=f"""
+    WITH signals AS (
+        SELECT doc_id,
+               {_SQL_NTOK} AS n,
+               {_SQL_SW_RATIO} AS sw,
+               {_SQL_PUNCT_RATIO} AS pr,
+               {_SQL_MWL} AS mwl
+        FROM documents
+    )
+    SELECT doc_id,
+           (((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0
+                   WHEN n = 0 THEN 0.0 ELSE 0.5 END * 0.3)
+             + (CASE WHEN sw >= 0.05 THEN 1.0 ELSE sw * 20.0 END * 0.3))
+            + ((1.0 - least(pr * 2.0, 1.0)) * 0.2))
+           + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END * 0.2)
+           AS quality
+    FROM signals
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Pipeline: Gopher/C4-style [0,1] quality heuristic, pure codegen
+    column expressions (length band, stopword presence, punctuation noise,
+    mean word length) — formula mirrored term-for-term in the oracle."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", tx.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@register(
+    "winnowing_fingerprint",
+    oracle="""
+    WITH rolling AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - 6),
+                   i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT
+               ) AS hashes
+        FROM documents WHERE length(text) >= 8
+    ),
+    mins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hashes) - 2),
+                   i -> list_min(list_slice(hashes, CAST(i AS INTEGER), CAST(i AS INTEGER) + 3))
+               )) AS fp
+        FROM rolling WHERE len(hashes) >= 4
+    )
+    SELECT doc_id, CAST(unnest(fp) AS BIGINT) AS h FROM mins
+    """,
+)
+def q_winnowing_fingerprint(spark, sf_dir):
+    """Pipeline: winnowing document fingerprint (Schleimer et al. SIGMOD'03)
+    over 8-char rolling hashes, window 4 — exploded to flat (doc_id, h) rows
+    so the value-hash comparison is array-representation agnostic."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8 + 4 - 1)
+    fp = tx.winnowing_table(docs, "text", "doc_id", k=8, w=4)
+    return fp.select(F.col("id").alias("doc_id"), F.explode("fp").alias("h"))
+
+
+# ---------------------------------------------------------------------------
+# A3 — last value per feature (partition-pruned tail read)
+# ---------------------------------------------------------------------------
+@register(
+    "last_value",
+    oracle=f"""
+    WITH series AS ({_SQL_LWW})
+    SELECT arg_max(value, time) AS value FROM series
+    """,
+)
+def q_last_value(spark, sf_dir):
+    """SURVEY §2 A3: most-recent value via the feature store's last() —
+    reads only the tail partition (descending partition-key probe), then
+    top-1 by (time, created_time)."""
+    import shutil
+    import tempfile
+
+    from .checks import Column
+    from .core import FeatureStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="qafs_last_")
+    try:
+        fs = FeatureStore(storage=root, spark=spark)
+        fs.create_namespace("bench")
+        fs.create_feature("bench/event_value", check=Column(float))
+        src = _event_series_df(spark, sf_dir).select(
+            "time", "created_time", F.col("value").alias("bench/event_value")
+        )
+        fs.save_df(src, "bench/event_value")
+        vals = fs.last("bench/event_value")
+        return spark.createDataFrame(
+            [(float(vals["bench/event_value"]),)], schema="value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# U1/U2/U3 — transform (virtual) features: registered fn over parents
+# ---------------------------------------------------------------------------
+@register(
+    "transform_feature",
+    oracle=f"""
+    WITH series AS ({_SQL_LWW}),
+    daily AS (
+        SELECT date_trunc('day', time) AS time,
+               CAST(sum({_SQL_CENTS.format(x='value')}) AS BIGINT) AS cents,
+               count(*) AS n
+        FROM series GROUP BY 1
+    )
+    SELECT time, CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) AS value FROM daily
+    """,
+)
+def q_transform_feature(spark, sf_dir):
+    """SURVEY §2 U1-U3: cloudpickled transform feature evaluated over two
+    parent features (daily cents / daily count) through the recursive DAG
+    loader + mapInPandas — the reference's virtual-feature surface
+    (core.py:541-582, model.py:183-218) end to end."""
+    import shutil
+    import tempfile
+
+    from .checks import Column
+    from .core import FeatureStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="qafs_tf_")
+    try:
+        fs = FeatureStore(storage=root, spark=spark)
+        fs.create_namespace("bench")
+        fs.create_feature("bench/daily_cents", check=Column(int))
+        fs.create_feature("bench/daily_n", check=Column(int))
+        series = last_write_wins(
+            _event_series_df(spark, sf_dir),
+            value_cols=["value"],
+            tiebreak_cols=["event_id"],
+        )
+        daily = series.groupBy(
+            F.date_trunc("day", F.col("time")).alias("time")
+        ).agg(
+            F.sum(cents(F.col("value"))).alias("bench/daily_cents"),
+            F.count(F.lit(1)).alias("bench/daily_n"),
+        )
+        fs.save_df(daily)
+
+        @fs.transform(
+            "bench/daily_avg_cents",
+            check=Column(float),
+            from_features=["bench/daily_cents", "bench/daily_n"],
+        )
+        def daily_avg(df):
+            return df["bench/daily_cents"] / df["bench/daily_n"]
+
+        out = fs.load_features("bench/daily_avg_cents")
+        result = out.select("time", F.col("bench/daily_avg_cents").alias("value"))
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming: sliding windows (stream/batch parity oracle)
+# ---------------------------------------------------------------------------
+@register(
+    "stream_sliding",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT to_timestamp(epoch(ts) - (epoch(ts) % 1800)) - CAST(i AS INTEGER) * INTERVAL 30 MINUTE
+               AS window_start,
+               event_type, value
+        FROM events, UNNEST(range(0, 2)) AS u(i)
+    )
+    SELECT window_start, event_type, count(*) AS n_events,
+           CAST(sum({_SQL_CENTS.format(x='value')}) AS BIGINT) AS sum_cents
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Streaming: 1h windows sliding every 30min via Structured Streaming —
+    each event lands in exactly 2 windows; oracle expands the assignment
+    with a range join in SQL."""
+    import uuid
+
+    from pyspark.sql import types as T
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    from .streaming import read_event_stream
+
+    stream = read_event_stream(
+        spark, sf_dir, schema=nanos_schema, glob="events.parquet"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        stream.groupBy(
+            F.window(F.col("ts"), "1 hour", "30 minutes"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_cents",
+        )
+    )
+    name = f"qafs_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register("lsh_ann_topk")  # approximate (recall < 1 by design): rows-only
+def q_lsh_ann_topk(spark, sf_dir):
+    """Pipeline: hyperplane-LSH bucketed approximate top-k — the scale path
+    for similarity search (bucket equi-join instead of the cross join).
+    Approximate ⇒ no SQL oracle; tests/ compare recall against brute force."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    return sim.lsh_topk(
+        emb, queries, k=5, num_planes=8, multiprobe_bits=1, seed=42
+    ).select("query_id", "neighbor_id", "cosine", "rank")
