@@ -266,18 +266,7 @@ class Column:
             logger.error(msg)
             return df
 
-        aggs = []
-        names = []
-        c = F.col(col)
-        if not self.nullable:
-            aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("__null"))
-            names.append("not_nullable")
-        for i, chk in enumerate(self.checks):
-            valid = chk.predicate(c)
-            # null values are judged by `nullable`, not by the predicate
-            bad = F.when(c.isNotNull() & ~valid, 1).otherwise(0)
-            aggs.append(F.sum(bad).alias(f"__c{i}"))
-            names.append(f"{chk.name}({chk.args})")
+        aggs, names = self._violation_aggs(col)
         if aggs:
             row = df.agg(*aggs).collect()[0]
             for label, cnt in zip(names, row):
@@ -289,6 +278,57 @@ class Column:
                 raise SchemaError(msg, failures)
             logger.error(msg)
         return df
+
+    def _violation_aggs(self, col: str):
+        """Violation-count aggregate per declared constraint (shared by the
+        blocking job in :meth:`validate` and the free observed path)."""
+        aggs, names = [], []
+        c = F.col(col)
+        if not self.nullable:
+            aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias("__null"))
+            names.append("not_nullable")
+        for i, chk in enumerate(self.checks):
+            valid = chk.predicate(c)
+            # null values are judged by `nullable`, not by the predicate
+            bad = F.when(c.isNotNull() & ~valid, 1).otherwise(0)
+            aggs.append(F.sum(bad).alias(f"__c{i}"))
+            names.append(f"{chk.name}({chk.args})")
+        return aggs, names
+
+    def attach_observation(self, df: DataFrame, col: str = "value"):
+        """Piggyback validation metrics on the NEXT action over ``df``.
+
+        Returns ``(df', observation, names)``; after the action (e.g. the
+        feature write) completes, pass the observation to
+        :meth:`report_observed`. This costs zero extra jobs — the violation
+        counters ride along inside the write scan — which is how log-mode
+        validation stays one-pass at 100 TB. The dtype check is still
+        enforced by the caller via :meth:`validate`-style schema comparison
+        (driver-side, no job). Returns ``(df, None, [])`` when there is
+        nothing to count."""
+        aggs, names = self._violation_aggs(col)
+        if not aggs:
+            return df, None, []
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        return df.observe(obs, *aggs), obs, names
+
+    def report_observed(self, obs, names, col: str = "value") -> Dict[str, int]:
+        """Log violations counted by :meth:`attach_observation`'s observation
+        once its action has run. Never raises (observed validation is the
+        log-mode path: the data is already written)."""
+        if obs is None:
+            return {}
+        failures = {
+            label: int(cnt) for label, cnt in zip(names, obs.get.values()) if cnt
+        }
+        if failures:
+            logger.error(
+                "Schema check failed for column %r (observed post-write): %s",
+                col, failures,
+            )
+        return failures
 
 
 def _raise_error_enabled() -> bool:

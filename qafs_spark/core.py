@@ -444,7 +444,26 @@ class FeatureStore:
                 "created_time", F.col("created_time").cast("timestamp")
             )
         if not validated:
-            check.validate(sdf, "value")
+            if _raise_error_enabled():
+                # blocking mode: one dedicated aggregate job BEFORE the write
+                # so invalid data is never persisted
+                check.validate(sdf, "value")
+                write_feature(sdf, self._path(ns, nm), scheme=rec.partition)
+            else:
+                # log mode: dtype gate is a driver-side schema comparison and
+                # the violation counters ride along inside the write job
+                # (df.observe) — validation costs zero extra passes
+                vt = dict(zip(sdf.columns, [f.dataType for f in sdf.schema.fields]))
+                if not check.dtype_ok(vt["value"]):
+                    logger.error(
+                        "Column 'value' has Spark type %s, expected family %r",
+                        vt["value"].simpleString(), check.dtype,
+                    )
+                    return
+                sdf, obs, names = check.attach_observation(sdf, "value")
+                write_feature(sdf, self._path(ns, nm), scheme=rec.partition)
+                check.report_observed(obs, names, "value")
+            return
         write_feature(sdf, self._path(ns, nm), scheme=rec.partition)
 
     # ------------------------------------------------------------------

@@ -398,3 +398,25 @@ def test_last(fs):
         "test/last2": df1["test/last2"].values[-1],
         "test/last3": None,
     }
+
+
+def test_check_modes(fs, monkeypatch):
+    """Blocking mode raises before writing; log mode writes the data and
+    counts violations inside the write job (df.observe — no extra pass)."""
+    from qafs_spark.exceptions import SchemaError
+
+    fs.create_namespace("chk")
+    fs.create_feature("chk/pos", check=Column(float, checks=[Check.greater_than(0)]))
+    dts = pd.date_range("2021-01-01", periods=5)
+    bad = pd.DataFrame({"time": dts, "chk/pos": [1.0, -2.0, 3.0, -4.0, 5.0]})
+
+    monkeypatch.setenv("QAFS_RAISE_ERROR", "true")
+    with pytest.raises(SchemaError):
+        fs.save_df(bad)
+    assert fs.load_dataframe("chk/pos").empty  # nothing persisted
+
+    monkeypatch.setenv("QAFS_RAISE_ERROR", "false")
+    fs.save_df(bad)  # logs 2 violations, persists all rows
+    out = fs.load_dataframe("chk/pos")
+    assert len(out) == 5
+    assert sorted(out["chk/pos"]) == [-4.0, -2.0, 1.0, 3.0, 5.0]

@@ -1,0 +1,113 @@
+"""Physical-plan assertions: the scale properties we claim must be visible
+in `.explain` output — filters reaching the Parquet scan, derived partition
+pruning, column pruning, and no single-task global windows on the ffill path.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from qafs_spark import Check, Column, FeatureStore
+from qafs_spark.operators.ffill import ffill
+from qafs_spark.sources.feature_dataset import read_feature, write_feature
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_lines(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+@pytest.fixture
+def feature_path(spark, tmp_store):
+    dts = pd.date_range("2021-01-01", periods=400, freq="6h")
+    pdf = pd.DataFrame(
+        {"time": dts, "created_time": dts, "value": range(400)}
+    )
+    sdf = spark.createDataFrame(pdf)
+    path = f"{tmp_store}/feature/ns/f1"
+    write_feature(sdf, path, scheme="date")
+    return path
+
+
+def test_time_filter_reaches_parquet_scan(spark, feature_path):
+    df = read_feature(
+        spark,
+        feature_path,
+        scheme="date",
+        from_date="2021-02-01",
+        to_date="2021-02-10",
+    )
+    plan = _scan_lines(df)
+    # data filter pushed into the Parquet reader
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(time" in plan and "LessThanOrEqual(time" in plan
+
+
+def test_derived_partition_pruning(spark, feature_path):
+    """Predicates on `time` imply bounds on the partition directory key —
+    the plan must show them as PartitionFilters (static pruning), not as
+    post-scan filters."""
+    df = read_feature(
+        spark,
+        feature_path,
+        scheme="date",
+        from_date="2021-02-01",
+        to_date="2021-02-10",
+    )
+    plan = _scan_lines(df)
+    assert "PartitionFilters" in plan
+    # the derived bounds on the partition key appear in the partition filters
+    assert plan.count("2021-02-01") >= 2  # once as time bound, once as key
+    # and pruning actually happened: selected partition count < total
+    files = df.select(F.input_file_name()).distinct().count()
+    assert files <= 10  # 10 days of 'date' partitions
+
+
+def test_column_pruning(spark, feature_path):
+    df = read_feature(spark, feature_path, scheme="date").select("value")
+    plan = _scan_lines(df)
+    assert "ReadSchema" in plan
+    # time/created_time not read for a value-only projection
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "value" in read_schema
+    assert "created_time" not in read_schema
+
+
+def test_ffill_two_pass_no_global_window(spark):
+    dts = pd.date_range("2021-01-01", periods=300, freq="12h")
+    vals = [float(i) if i % 3 else None for i in range(300)]
+    pdf = pd.DataFrame({"time": dts, "v": vals})
+    sdf = spark.createDataFrame(pdf)
+
+    two_pass = ffill(sdf, ["v"])  # bucket="auto" (month)
+    plan = _physical(two_pass)
+    # every Window operator must be partitioned (no `Window [...] ORDER BY`
+    # without PARTITION BY → no single-task stage)
+    for line in plan.splitlines():
+        if "Window " in line and "windowspecdefinition" in line:
+            assert "__ffill_bucket" in line, f"unpartitioned window: {line}"
+
+    # correctness oracle: two-pass == global-window result
+    golden = ffill(sdf, ["v"], bucket=None)
+    assert sorted(two_pass.collect()) == sorted(golden.collect())
+
+
+def test_lww_dedup_partial_agg(spark):
+    """Last-write-wins via max_by must show partial aggregation (map-side
+    combine) before the shuffle."""
+    from qafs_spark.operators import last_write_wins
+
+    dts = list(pd.date_range("2021-01-01", periods=50)) * 2
+    pdf = pd.DataFrame(
+        {
+            "time": dts,
+            "created_time": pd.date_range("2021-06-01", periods=100, freq="1min"),
+            "value": range(100),
+        }
+    )
+    out = last_write_wins(spark.createDataFrame(pdf), value_cols=["value"])
+    plan = _physical(out)
+    assert "partial_" in plan or "HashAggregate" in plan
