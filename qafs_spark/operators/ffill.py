@@ -12,13 +12,14 @@ time ROWS UNBOUNDED PRECEDING)`` — funnels the whole series through ONE task
    time column) and forward-fill *within* each bucket — parallel across
    buckets;
 2. aggregate each bucket's last non-null value per column (tiny result: one
-   row per bucket), compute the cross-bucket running carry on the driver, and
+   row per bucket), compute the cross-bucket running carry with a window over
+   that one-row-per-bucket aggregate (single trivial task), and
    broadcast-join it back; leading nulls in a bucket coalesce to the carry
    from earlier buckets.
 
 Cost at scale: one hash shuffle by bucket (or none if already partitioned),
 one map-side-combined aggregate, one broadcast join. No global sort, no
-single-task stage. Set ``bucket=None`` to force the simple global window
+single-task stage over DATA rows, and fully lazy — no plan-build-time job. Set ``bucket=None`` to force the simple global window
 (useful for small frames and as a correctness oracle — see tests).
 """
 
@@ -69,7 +70,6 @@ def ffill(
 def _ffill_two_pass(
     df: DataFrame, cols: Sequence[str], time_col: str, bucket_expr: Column
 ) -> DataFrame:
-    spark = df.sparkSession
     b = "__ffill_bucket"
     work = df.withColumn(b, bucket_expr)
 
@@ -85,39 +85,29 @@ def _ffill_two_pass(
 
     # Pass 2: last non-null value of each bucket (after pass 1, that is simply
     # the value at the bucket's max time — max_by ignores rows whose ordering
-    # key is NULL, giving us "last non-null" directly).
-    lasts = (
-        work.groupBy(b)
-        .agg(
-            *[
-                F.max_by(
-                    F.col(c), F.when(F.col(c).isNotNull(), F.col(time_col))
-                ).alias(c)
-                for c in cols
-            ]
-        )
-        .collect()
+    # key is NULL, giving us "last non-null" directly). The cross-bucket
+    # running carry is a window over THIS aggregate — one row per bucket, so
+    # the unpartitioned window is a single trivial task — and the whole
+    # operator stays LAZY: no collect(), no plan-build-time job, one job at
+    # the caller's action.
+    lasts = work.groupBy(b).agg(
+        *[
+            F.max_by(
+                F.col(c), F.when(F.col(c).isNotNull(), F.col(time_col))
+            ).alias(c)
+            for c in cols
+        ]
     )
-    if len(lasts) <= 1:
-        return work.drop(b)
-
-    lasts.sort(key=lambda r: r[b])
-    carry_rows = []
-    running = {c: None for c in cols}
-    for row in lasts:
-        carry_rows.append({b: row[b], **{f"__carry_{c}": running[c] for c in cols}})
-        for c in cols:
-            if row[c] is not None:
-                running[c] = row[c]
-
-    field_types = {f.name: f.dataType for f in work.schema.fields}
-    from pyspark.sql import types as T
-
-    carry_schema = T.StructType(
-        [T.StructField(b, field_types[b])]
-        + [T.StructField(f"__carry_{c}", field_types[c]) for c in cols]
+    w_carry = Window.orderBy(b).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    carry_df = spark.createDataFrame(carry_rows, schema=carry_schema)
+    carry_df = lasts.select(
+        b,
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w_carry).alias(f"__carry_{c}")
+            for c in cols
+        ],
+    )
 
     out = work.join(F.broadcast(carry_df), on=b, how="left")
     for c in cols:
