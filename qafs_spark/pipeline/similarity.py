@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -158,3 +159,151 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+def ivf_centroids(
+    data: DataFrame,
+    nlist: int = 16,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+) -> List[List[float]]:
+    """Deterministic IVF-flat coarse quantizer: `nlist` seed vectors chosen
+    by md5(id) order (a fixed pseudo-random sample — no iterative training,
+    fully reproducible). One tiny driver job; centroids then broadcast."""
+    rows = (
+        data.select(F.col(data_id).alias("id"), F.col(data_vec).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")))
+        .limit(nlist)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def _cell_assigner(centroids: List[List[float]]):
+    """Vectorized pandas UDF: argmax cosine(vec, centroid) per batch — one
+    numpy matmul per Arrow batch, no per-row Python."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series((M @ Cn.T).argmax(axis=1).astype("int32"))
+
+    return assign
+
+
+def _probe_cells(centroids: List[List[float]], nprobe: int):
+    """Vectorized pandas UDF: indices of the `nprobe` nearest cells."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype="float64")
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("array<int>")
+    def probes(vecs: pd.Series) -> pd.Series:
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sims = M @ Cn.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return probes
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    centroids: Optional[List[List[float]]] = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k (FAISS-style coarse quantization).
+
+    Vectors are assigned to their nearest of `nlist` centroid cells (one
+    Arrow-batched matmul per batch — the posting-list build); each query
+    probes its `nprobe` nearest cells and computes exact cosine only within
+    them. Scale shape: the candidate join is an equi-join on cell id — the
+    data side shuffles once by cell (or is pre-partitioned/bucketed by cell
+    in a real deployment), queries broadcast. Probing more cells trades
+    compute for recall. Output schema matches :func:`brute_force_topk`.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(data, nlist, data_id, data_vec)
+    assign = _cell_assigner(centroids)
+    probe = _probe_cells(centroids, nprobe)
+
+    d = data.select(
+        F.col(data_id).alias("neighbor_id"),
+        F.col(data_vec).alias("__dv"),
+        assign(F.col(data_vec)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        F.explode(probe(F.col(query_vec))).alias("cell"),
+    )
+    joined = d.join(F.broadcast(q), on="cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__dv")).alias("cosine")
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_train(
+    data: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    data_id: str = "vec_id",
+    data_vec: str = "embedding",
+) -> List[List[float]]:
+    """Train the coarse quantizer with distributed Lloyd iterations.
+
+    Seeded from :func:`ivf_centroids`, then `iters` rounds of: assign every
+    vector to its nearest cell (Arrow-batched matmul), recompute each cell's
+    mean by exploding (cell, dim, component) and averaging — a map-side-
+    combined groupBy over nlist×dim keys, so each round is one scan + one
+    tiny shuffle regardless of data size. Empty cells keep their previous
+    centroid."""
+    import numpy as np
+
+    cents = ivf_centroids(data, nlist, data_id, data_vec)
+    for _ in range(iters):
+        assign = _cell_assigner(cents)
+        assigned = data.select(
+            assign(F.col(data_vec)).alias("cell"), F.col(data_vec).alias("v")
+        )
+        comp = assigned.select(
+            "cell", F.posexplode(F.col("v")).alias("dim", "x")
+        )
+        means = (
+            comp.groupBy("cell", "dim")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        acc = {}
+        for r in means:
+            acc.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        for cell, dims in acc.items():
+            new[cell] = [dims[i] for i in range(len(dims))]
+        cents = new
+    return cents

@@ -1278,3 +1278,16 @@ def q_lsh_ann_topk(spark, sf_dir):
     return sim.lsh_topk(
         emb, queries, k=5, num_planes=8, multiprobe_bits=1, seed=42
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+@register("ivf_ann_topk")  # approximate (trained quantizer): rows-only
+def q_ivf_ann_topk(spark, sf_dir):
+    """Pipeline: IVF-flat ANN (FAISS-style) — Lloyd-trained coarse quantizer,
+    Arrow-batched matmul cell assignment, nprobe-cell candidate equi-join.
+    Approximate ⇒ no SQL oracle; recall vs brute force tested in tests/."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    cents = sim.ivf_train(emb, nlist=16, iters=1)
+    return sim.ivf_topk(
+        emb, queries, k=5, nlist=16, nprobe=6, centroids=cents
+    ).select("query_id", "neighbor_id", "cosine", "rank")

@@ -1,3 +1,4 @@
+from .stateful import latest_state_stream
 from .ingest import (
     read_event_stream,
     save_stream,
@@ -7,6 +8,7 @@ from .ingest import (
 )
 
 __all__ = [
+    "latest_state_stream",
     "read_event_stream",
     "save_stream",
     "session_agg",

@@ -192,3 +192,85 @@ def test_streaming_tumbling(spark, tmp_path):
     merged = out.merge(expected, on="window_start", suffixes=("", "_exp"))
     assert (merged["n_events"] == merged["n_events_exp"]).all()
     assert len(out) >= len(expected) - 1
+
+
+def test_stateful_latest_stream(spark, tmp_path):
+    """latest_state_stream across MULTIPLE micro-batches equals the batch
+    last-write-wins oracle over everything seen."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qafs_spark.streaming import latest_state_stream
+
+    # two parquet files -> two micro-batches (maxFilesPerTrigger=1)
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rows = []
+    for i in range(200):
+        rows.append(
+            {
+                "user_id": i % 7,
+                "time": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i % 50),
+                "created_time": pd.Timestamp("2024-02-01") + pd.Timedelta(minutes=i),
+                "value": float(i),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    import glob as globmod
+    import shutil as shutilmod
+
+    for i, chunk in enumerate((pdf.iloc[:100], pdf.iloc[100:])):
+        d = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(d)
+        part = globmod.glob(f"{d}/part-*.parquet")[0]
+        shutilmod.copy(part, str(src / f"b{i}.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, time timestamp, created_time timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = latest_state_stream(stream, ["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latest_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = (
+        spark.table("latest_state")
+        .groupBy("user_id")
+        .agg(F.max_by("value", F.struct("time", "created_time")).alias("value"))
+        .collect()
+    )
+    batch = spark.createDataFrame(pdf)
+    expect = {
+        r["user_id"]: r["value"]
+        for r in batch.groupBy("user_id")
+        .agg(F.max_by("value", F.struct("time", "created_time")).alias("value"))
+        .collect()
+    }
+    assert len(got) == 7
+    for r in got:
+        assert r["value"] == expect[r["user_id"]]
+
+
+def test_ivf_topk_recall(spark):
+    """IVF-flat ANN: high recall@5 vs the brute-force oracle when probing
+    a quarter of the cells."""
+    from qafs_spark.pipeline import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    cents = sim.ivf_train(emb, nlist=16, iters=2)
+    approx = sim.ivf_topk(emb, queries, k=5, nlist=16, nprobe=6, centroids=cents)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e) == 50
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall
