@@ -32,6 +32,9 @@ HEADLINE = [
     "top_customers_per_nation",
     "sessionize",
     "token_stats_by_source",
+    "tpch_q6",
+    "quality_score",
+    "simhash_pairs",
     "exact_dedup",
     "minhash_lsh_dedup",
     "ann_topk",

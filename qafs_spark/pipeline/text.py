@@ -97,6 +97,47 @@ def quality_score(col: Column, stopwords: Optional[List[str]] = None) -> Column:
     return (len_ok * 0.3 + sw_ok * 0.3 + punct_ok * 0.2 + mwl_ok * 0.2)
 
 
+def quality_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    stopwords: Optional[List[str]] = None,
+) -> DataFrame:
+    """(id, quality) with the token array STAGED through one projection —
+    :func:`quality_score` as a single expression re-tokenizes the text for
+    each signal (~6 regex splits per row); here every signal reads the
+    computed ``_tk`` attribute. Identical values, one tokenize pass."""
+    sw_arr = F.array(*[F.lit(w) for w in (stopwords or DEFAULT_STOPWORDS)])
+    s1 = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_txt"),
+        tokens(F.col(text_col)).alias("_tk"),
+    )
+    tk, txt = F.col("_tk"), F.col("_txt")
+    n = F.size(tk).cast("long")
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(
+        F.when(n == 0, F.lit(0.0)).otherwise(F.lit(0.5))
+    )
+    n_sw = F.size(
+        F.filter(F.transform(tk, lambda x: F.lower(x)), lambda x: F.array_contains(sw_arr, x))
+    ).cast("long")
+    sw = F.when(n == 0, F.lit(0.0)).otherwise(n_sw.cast("double") / n.cast("double"))
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(sw * 20.0)
+    n_punct = F.length(F.regexp_replace(txt, r"[^!-/:-@\[-`{-~]", ""))
+    pr = F.when(F.length(txt) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(txt).cast("double")
+    )
+    punct_ok = F.lit(1.0) - F.least(pr * 2.0, F.lit(1.0))
+    total_len = F.aggregate(tk, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    mwl = F.when(n == 0, F.lit(0.0)).otherwise(
+        total_len.cast("double") / n.cast("double")
+    )
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    return s1.select(
+        "id", (len_ok * 0.3 + sw_ok * 0.3 + punct_ok * 0.2 + mwl_ok * 0.2).alias("quality")
+    )
+
+
 def lang_scores(col: Column) -> Dict[str, Column]:
     """Per-language stopword-hit counts (the n-gram-heuristic vote)."""
     return {

@@ -1065,9 +1065,8 @@ def q_quality_score(spark, sf_dir):
     """Pipeline: Gopher/C4-style [0,1] quality heuristic, pure codegen
     column expressions (length band, stopword presence, punctuation noise,
     mean word length) — formula mirrored term-for-term in the oracle."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", tx.quality_score(F.col("text")).alias("quality")
-    )
+    docs = _t(spark, sf_dir, "documents")
+    return tx.quality_table(docs, "text", "doc_id").withColumnRenamed("id", "doc_id")
 
 
 @register(
