@@ -1290,3 +1290,42 @@ def q_ivf_ann_topk(spark, sf_dir):
     return sim.ivf_topk(
         emb, queries, k=5, nlist=16, nprobe=6, centroids=cents
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Generic as-of join (operators/asof.py) vs DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, {_SQL_CENTS.format(x='arg_max(value, event_id)')} AS p_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS ts_asof, p.p_cents AS p_cents_asof
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """Generic as-of join: every click gets the user's most recent purchase
+    at-or-before it (union + keyed-window plan — one hash shuffle, no range
+    join). Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(cents(F.max_by(F.col("value"), F.col("event_id"))).alias("p_cents"))
+    )
+    return asof_join(
+        clicks, purchases, left_time="ts", right_time="ts", by=["user_id"]
+    )

@@ -274,3 +274,55 @@ def test_ivf_topk_recall(spark):
     assert len(e) == 50
     recall = len(e & a) / len(e)
     assert recall >= 0.6, recall
+
+
+def test_asof_join_matches_pandas(spark):
+    """asof_join == pandas.merge_asof (by-key, inclusive, with tolerance)."""
+    import numpy as np
+    import pandas as pd
+
+    from qafs_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "time": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 10_000, 300)), unit="min"),
+            "lv": np.arange(300.0),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "time": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(np.sort(rng.integers(0, 10_000, 200)), unit="min"),
+            "rv": np.arange(200.0) * 10,
+        }
+    )
+    # as-of requires unique (k, time) on the right
+    right = right.drop_duplicates(["k", "time"], keep="last")
+
+    for tol in (None, "120min"):
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                by=["k"],
+                tolerance=tol,
+            )
+            .toPandas()
+            .sort_values("lv")
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("time"),
+            right.sort_values("time"),
+            on="time",
+            by="k",
+            tolerance=pd.Timedelta(tol) if tol else None,
+            suffixes=("", "_r"),
+        ).sort_values("lv").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got["rv_asof"], exp["rv"], check_names=False
+        )
