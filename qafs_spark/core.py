@@ -94,6 +94,9 @@ class FeatureStore:
         url: alias of ``storage`` (old-style API, reference tests:92).
         clock: injectable ``() -> pd.Timestamp`` used for default
             ``created_time`` (SURVEY §7 watch-list #5).
+        write_partitions: when set, ingests repartitionByRange to this many
+            writer tasks (see ``write_feature(distribute=...)``) — the knob
+            for parallel large-scale ingest; leave None for small frames.
     """
 
     def __init__(
@@ -106,7 +109,9 @@ class FeatureStore:
         url: Optional[str] = None,
         storage_options: Optional[Dict] = None,
         clock: Optional[Callable[[], pd.Timestamp]] = None,
+        write_partitions: Optional[int] = None,
     ):
+        self.write_partitions = write_partitions
         storage = storage or url
         if storage is None:
             raise FeatureStoreException("storage (or url=) is required")
@@ -448,7 +453,8 @@ class FeatureStore:
                 # blocking mode: one dedicated aggregate job BEFORE the write
                 # so invalid data is never persisted
                 check.validate(sdf, "value")
-                write_feature(sdf, self._path(ns, nm), scheme=rec.partition)
+                write_feature(sdf, self._path(ns, nm), scheme=rec.partition,
+                              distribute=self.write_partitions)
             else:
                 # log mode: dtype gate is a driver-side schema comparison and
                 # the violation counters ride along inside the write job
@@ -461,10 +467,12 @@ class FeatureStore:
                     )
                     return
                 sdf, obs, names = check.attach_observation(sdf, "value")
-                write_feature(sdf, self._path(ns, nm), scheme=rec.partition)
+                write_feature(sdf, self._path(ns, nm), scheme=rec.partition,
+                              distribute=self.write_partitions)
                 check.report_observed(obs, names, "value")
             return
-        write_feature(sdf, self._path(ns, nm), scheme=rec.partition)
+        write_feature(sdf, self._path(ns, nm), scheme=rec.partition,
+                              distribute=self.write_partitions)
 
     # ------------------------------------------------------------------
     # load

@@ -81,12 +81,22 @@ def write_feature(
     scheme: str = "date",
     mode: str = "append",
     sort_within_partitions: bool = True,
+    distribute: Optional[int] = None,
 ) -> None:
     """Append ``(time, created_time, value)`` rows as partitioned Parquet.
 
     Adds the ``partition`` column from ``time``; sorts rows by time within
     output files so Parquet row-group min/max statistics line up with the
     dominant query predicate.
+
+    ``distribute=N``: ``repartitionByRange(N, partition, time)`` before the
+    write — the scale knob for large ingests. Range partitioning on
+    (partition, time) keeps each writer task on a contiguous slice (1-2
+    output directories per task, even file sizes, stats still aligned with
+    ``time``) while parallelizing across N tasks; a plain
+    ``repartition("partition")`` would cap parallelism at #days and write
+    one giant file per hot day. Costs one range shuffle (with a sampling
+    pass), so leave None for small/already-partitioned inputs.
     """
     missing = {"time", "created_time", "value"} - set(df.columns)
     if missing:
@@ -95,6 +105,8 @@ def write_feature(
         df.select("time", "created_time", "value")
         .withColumn("partition", partition_expr(scheme))
     )
+    if distribute:
+        out = out.repartitionByRange(distribute, "partition", "time")
     if sort_within_partitions:
         out = out.sortWithinPartitions("partition", "time")
     out.write.mode(mode).partitionBy("partition").parquet(path)
