@@ -1329,3 +1329,89 @@ def q_asof_join(spark, sf_dir):
     return asof_join(
         clicks, purchases, left_time="ts", right_time="ts", by=["user_id"]
     )
+
+
+@register(
+    "feature_multi_load",
+    oracle=f"""
+    WITH series AS (
+        SELECT time, value FROM (
+            SELECT time, value,
+                   row_number() OVER (
+                       PARTITION BY time
+                       ORDER BY created_time DESC, event_id DESC
+                   ) AS rn
+            FROM ({_SQL_EVENT_SERIES})
+            WHERE created_time <= time + INTERVAL 10 MINUTE
+        ) WHERE rn = 1
+    ),
+    daily AS (
+        SELECT date_trunc('day', time) AS time,
+               CAST(sum({_SQL_CENTS.format(x='value')}) AS BIGINT) AS cents,
+               count(*) AS n
+        FROM series GROUP BY 1
+    ),
+    grid AS (
+        SELECT TIMESTAMP '2024-01-03 00:00:00' + CAST(unnest(range(0, 25)) AS BIGINT)
+               * INTERVAL 1 DAY AS time
+    ),
+    allt AS (SELECT time FROM grid UNION SELECT time FROM daily
+             WHERE time <= TIMESTAMP '2024-01-27 00:00:00'),
+    filled AS (
+        SELECT a.time,
+               last_value(d.cents IGNORE NULLS) OVER w AS cents,
+               last_value(d.n IGNORE NULLS) OVER w AS n
+        FROM allt a LEFT JOIN daily d USING (time)
+        WINDOW w AS (ORDER BY a.time ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT time, cents, n FROM filled
+    WHERE time >= TIMESTAMP '2024-01-03 00:00:00'
+      AND time <= TIMESTAMP '2024-01-27 00:00:00'
+    """,
+)
+def q_feature_multi_load(spark, sf_dir):
+    """End-to-end #2: TWO features (time-travel-filtered daily aggregates)
+    ingested through the store, loaded together on a daily grid — exercises
+    multi-feature outer alignment with per-feature as-of carry through the
+    registry-driven path, vs a directly-computed SQL golden."""
+    import shutil
+    import tempfile
+
+    from .checks import Column
+    from .core import FeatureStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="qafs_multi_")
+    try:
+        fs = FeatureStore(storage=root, spark=spark)
+        fs.create_namespace("bench")
+        fs.create_feature("bench/cents", check=Column(int))
+        fs.create_feature("bench/n", check=Column(int))
+        # daily aggregates of the LWW'd + time-travelled series, saved as
+        # two features with per-day timestamps and matching created_time
+        series = last_write_wins(
+            time_travel_filter(_event_series_df(spark, sf_dir), "10min"),
+            value_cols=["value"],
+            tiebreak_cols=["event_id"],
+        )
+        daily = series.groupBy(
+            F.date_trunc("day", F.col("time")).alias("time")
+        ).agg(
+            F.sum(cents(F.col("value"))).alias("bench/cents"),
+            F.count(F.lit(1)).alias("bench/n"),
+        )
+        fs.save_df(daily)
+        out = fs.load_features(
+            ["bench/cents", "bench/n"],
+            from_date="2024-01-03",
+            to_date="2024-01-27",
+            freq="1d",
+        )
+        result = out.select(
+            "time",
+            F.col("bench/cents").alias("cents"),
+            F.col("bench/n").alias("n"),
+        )
+        return spark.createDataFrame(result.collect(), schema=result.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
