@@ -505,6 +505,8 @@ _SQL_EN_STOP = "['the','a','of','and','to','in','is','that','it','for']"
     SELECT doc_id,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len({_SQL_TOKENS}) END AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))
+                AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars,
            CASE WHEN length(trim(text)) = 0 OR len({_SQL_TOKENS}) = 0 THEN 0.0
                 ELSE CAST(len(list_filter(list_transform({_SQL_TOKENS}, x -> lower(x)),
@@ -520,6 +522,7 @@ def q_doc_stats(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         "doc_id",
         tx.token_count(t).alias("n_tokens"),
+        tx.bpe_ish_token_count(t).alias("n_bpe_tokens"),
         tx.char_count(t).alias("n_chars"),
         tx.stopword_ratio(t).alias("stopword_ratio"),
     )
