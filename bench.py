@@ -54,11 +54,32 @@ def main() -> int:
     spark = get_spark(app_name="qafs-spark-bench")
     qs = entrymod.queries()
 
-    # Warm the JVM/codegen paths once so per-query times measure the plan,
-    # not first-run classloading.
+    # Warm the JVM paths once so per-query times measure the plan, not
+    # first-run classloading: shuffle/agg, window codegen, and the Parquet
+    # write committer + read path (first use costs seconds).
+    import shutil
+    import tempfile
+
     spark.range(1000).selectExpr("sum(id) s").write.format("noop").mode(
         "overwrite"
     ).save()
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        from pyspark.sql import Window, functions as F
+
+        w = spark.range(2000).select(
+            F.col("id"),
+            (F.col("id") % 7).alias("k"),
+            F.timestamp_micros(F.col("id") * 1000000).alias("time"),
+        )
+        w.withColumn(
+            "r", F.last("id", True).over(
+                Window.partitionBy("k").orderBy("time")
+                .rowsBetween(Window.unboundedPreceding, 0))
+        ).write.mode("overwrite").partitionBy("k").parquet(f"{warm_dir}/p")
+        spark.read.parquet(f"{warm_dir}/p").count()
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
 
     timings = {}
     total = 0.0
