@@ -38,6 +38,10 @@ HEADLINE = [
     "exact_dedup",
     "minhash_lsh_dedup",
     "ann_topk",
+    "tpch_q10",
+    "tpch_q18",
+    "decontam_hits",
+    "hash_sample",
 ]
 
 

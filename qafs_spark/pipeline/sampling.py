@@ -1,0 +1,125 @@
+"""Deterministic, content-keyed sampling for training-data curation.
+
+``df.sample(fraction)`` is the wrong tool for corpus curation at 100 TB: its
+selection depends on partition layout and RNG stream position, so re-running
+after a repartition (or on a different cluster) samples a *different* subset,
+and a doc can't be traced to "in" or "out". Everything here keys the decision
+on a **hash of the row's stable key** instead:
+
+* reproducible bit-for-bit across runs, partitionings, engines (md5-derived
+  arithmetic only — mirrored 1:1 in the DuckDB oracles);
+* pure narrow map work — no shuffle, no RNG state, runs inside whole-stage
+  codegen directly over the Parquet scan;
+* composable: the same (key, seed) always lands in the same bucket, so a
+  10% sample is a strict subset of the 20% sample (nested holdouts for free).
+
+Per-group top-k (``take_per_group``) is the one shuffling operator here: one
+hash shuffle by group, then a bounded per-group sort — the standard
+``row_number`` pattern whose skew risk is the group key, handled by AQE.
+
+Reference has no sampling surface; this is part of the mandated
+training-data-pipeline extension set (see COVERAGE.md "Pipeline extensions").
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# One bucket ≈ 0.01% granularity; plenty for sampling rates and tiny enough
+# that the modulo stays exact in 64-bit integer arithmetic.
+BUCKETS = 10_000
+
+
+def hash_bucket(key: Column, seed: int = 42, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from a row key.
+
+    First 8 hex chars of ``md5(key || ':' || seed)`` as a 32-bit integer,
+    mod ``buckets`` — exactly ``('0x' || substr(md5(key || ':seed'), 1, 8))
+    ::BIGINT % buckets`` in ANSI-ish SQL, so an external engine can audit
+    membership of any row.
+    """
+    salted = F.concat(key.cast("string"), F.lit(f":{seed}"))
+    h32 = F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("long")
+    return h32 % buckets
+
+
+def sql_hash_bucket(key_sql: str, seed: int = 42, buckets: int = BUCKETS) -> str:
+    """DuckDB mirror of :func:`hash_bucket` (for oracles/audits)."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_sql} AS VARCHAR) || ':{seed}'), 1, 8))"
+        f"::BIGINT % {buckets})"
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Keep rows whose bucket falls below ``fraction`` of the bucket space.
+
+    Nested property: ``hash_sample(df, k, 0.1)`` ⊆ ``hash_sample(df, k, 0.2)``
+    for the same seed. Narrow (no shuffle); the predicate is a plain Catalyst
+    filter, so column pruning and scan pushdown behave as usual.
+    """
+    return df.filter(hash_bucket(F.col(key_col), seed) < int(fraction * BUCKETS))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, seed: int = 42
+) -> DataFrame:
+    """Add a ``split`` column ("train"/"test") keyed on the row hash.
+
+    The same key always lands on the same side — safe against duplicate keys
+    leaking across the boundary *if* key identity is content identity (pair
+    with the dedup operators when it isn't).
+    """
+    is_test = hash_bucket(F.col(key_col), seed) < int(test_fraction * BUCKETS)
+    return df.withColumn("split", F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: Dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. upweight rare languages).
+
+    ``fractions`` maps stratum value → keep rate; unlisted strata use
+    ``default_fraction``. Still narrow: the stratum→threshold mapping is a
+    CASE expression, no join, no shuffle.
+    """
+    threshold = F.lit(int(default_fraction * BUCKETS))
+    for value, frac in fractions.items():
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(hash_bucket(F.col(key_col), seed) < threshold)
+
+
+def take_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic uniform-ish k rows per group ("reservoir" equivalent).
+
+    Rank rows inside each group by their hash bucket (ties → key) and keep
+    the first k. One shuffle on the group key; per-group work is a bounded
+    top-k, not a full sort, once Spark applies the rank-limit pushdown
+    (WindowGroupLimit in the physical plan).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_bucket(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= k)
+        .drop("__rank")
+    )

@@ -32,7 +32,9 @@ from pyspark.sql import functions as F
 
 from .operators import last_write_wins, resample_asof, time_travel_filter
 from .operators.align import align_features
+from .pipeline import decontam as dc
 from .pipeline import dedup as dd
+from .pipeline import sampling as sp
 from .pipeline import similarity as sim
 from .pipeline import text as tx
 
@@ -1418,3 +1420,295 @@ def q_feature_multi_load(spark, sf_dir):
         return spark.createDataFrame(result.collect(), schema=result.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (pipeline extension — see pipeline/sampling.py)
+# ---------------------------------------------------------------------------
+def _sql_bucket(key_sql: str, seed: int = 42) -> str:
+    return sp.sql_hash_bucket(key_sql, seed)
+
+
+@register(
+    "hash_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE {sp.sql_hash_bucket('doc_id')} < 1000
+    """,
+)
+def q_hash_sample(spark, sf_dir):
+    """Pipeline: deterministic 10% corpus sample keyed on md5(doc_id) —
+    stable across runs/partitionings/engines (unlike df.sample), no shuffle;
+    the 10% set is a strict subset of any larger rate at the same seed."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return sp.hash_sample(docs, "doc_id", 0.10)
+
+
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {sp.sql_hash_bucket('doc_id')} <
+          CASE WHEN lang = 'zh' THEN 5000
+               WHEN lang = 'fr' THEN 5000
+               WHEN lang = 'en' THEN 1000
+               ELSE 2000 END
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Pipeline: per-language sampling rates (upweight rare langs, downweight
+    the dominant one) via a CASE threshold over the same hash bucket — still
+    a narrow codegen filter, no join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sp.stratified_sample(
+        docs, "lang", "doc_id",
+        fractions={"zh": 0.5, "fr": 0.5, "en": 0.1},
+        default_fraction=0.2,
+    )
+
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM (SELECT source, n_chars,
+                 CASE WHEN {sp.sql_hash_bucket('doc_id')} < 1000
+                      THEN 'test' ELSE 'train' END AS split
+          FROM documents)
+    GROUP BY source, split
+    """,
+)
+def q_train_test_split(spark, sf_dir):
+    """Pipeline: hash-keyed 90/10 train/test split; per-(source, split)
+    doc and char counts prove the assignment is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        sp.train_test_split(docs, "doc_id", test_fraction=0.10)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+        )
+    )
+
+
+@register(
+    "sample_per_group",
+    oracle=f"""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {sp.sql_hash_bucket('doc_id')} ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_sample_per_group(spark, sf_dir):
+    """Pipeline: deterministic k-per-group downsample (5 docs per source) —
+    hash-ordered row_number; physical plan gets WindowGroupLimit so each
+    group does a bounded top-k, not a full sort."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sp.take_per_group(docs, ["source"], "doc_id", k=5)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (pipeline extension — see pipeline/decontam.py)
+# ---------------------------------------------------------------------------
+@register(
+    "decontam_hits",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    t[CAST(i AS INTEGER):CAST(i AS INTEGER)+3], ' ')), 1, 8)
+               )::BIGINT AS g
+        FROM tok, UNNEST(range(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 4
+    ),
+    bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+    SELECT doc_id, hits FROM (
+        SELECT doc_id, count(*) AS hits
+        FROM grams WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bg)
+        GROUP BY doc_id
+    )
+    """,
+)
+def q_decontam_hits(spark, sf_dir):
+    """Pipeline: benchmark decontamination — training docs sharing word
+    4-grams with the eval slice (doc_id % 97 = 0 stands in for a benchmark;
+    n is a parameter, 13 in production). Eval n-gram set is broadcast; the
+    corpus is never shuffled, only the per-doc hit count aggregates."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dc.ngram_hits(corpus, bench, "text", "doc_id", n=4)
+
+
+# ---------------------------------------------------------------------------
+# More TPC-H shapes: q10 (top-k group agg), q14 (broadcast-join conditional
+# agg), q18 (having-filtered semi join), q19-ish (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q10",
+    oracle=f"""
+    SELECT c_custkey, c_name, revenue_cents, n_name FROM (
+        SELECT c_custkey, any_value(c_name) AS c_name,
+               CAST(sum({_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')})
+                    AS BIGINT) AS revenue_cents,
+               any_value(n_name) AS n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey
+    ) ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue, top 20 customers. Dims (customer,
+    nation) broadcast; only the orders⋈lineitem fact join shuffles; the
+    top-k is a TakeOrderedAndProject, never a full sort. Integer-cents +
+    custkey tiebreak make the top-20 set engine-deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value(F.col("c_name")).alias("c_name"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+            F.any_value(F.col("n_name")).alias("n_name"),
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle=f"""
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN {_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')}
+                    ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum({_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')})
+                AS BIGINT) AS total_cents
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+    """,
+)
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14: promo revenue share. part is a broadcast dim (no shuffle
+    of lineitem); the month filter reaches the Parquet scan; the ratio's
+    numerator/denominator returned as exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            .alias("promo_cents"),
+            F.sum(rev).alias("total_cents"),
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18: large-volume orders. The HAVING subquery is a self-agg of
+    lineitem whose survivors are few → broadcast left-semi back onto the
+    fact; map-side partial aggs on both groupBys."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").join(
+        F.broadcast(big), F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle=f"""
+    SELECT CAST(sum({_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')})
+                AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (adapted to the slim part schema): disjunction of
+    brand/size/quantity conjunctions over a broadcast part join. Catalyst
+    extracts the common l_quantity bounds (CNF factoring) so a derived
+    range predicate still reaches the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents")
+        )
+    )

@@ -326,3 +326,94 @@ def test_asof_join_matches_pandas(spark):
         pd.testing.assert_series_equal(
             got["rv_asof"], exp["rv"], check_names=False
         )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + decontamination
+# ---------------------------------------------------------------------------
+def test_hash_sample_deterministic_and_nested(spark):
+    from qafs_spark.pipeline import sampling as sp
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    s10 = set(r.k for r in sp.hash_sample(df, "k", 0.10).collect())
+    s20 = set(r.k for r in sp.hash_sample(df, "k", 0.20).collect())
+    # rate lands near nominal (md5 buckets are uniform)
+    assert 120 <= len(s10) <= 280 and 300 <= len(s20) <= 520
+    # nested: the 10% sample is a strict subset of the 20% sample
+    assert s10 <= s20
+    # layout-independent: same membership after an adversarial repartition
+    s10b = set(
+        r.k for r in sp.hash_sample(df.repartition(13, "k"), "k", 0.10).collect()
+    )
+    assert s10 == s10b
+    # different seed → different (mostly disjoint-ish) sample
+    s10c = set(r.k for r in sp.hash_sample(df, "k", 0.10, seed=7).collect())
+    assert s10 != s10c
+
+
+def test_train_test_split_partitions_everything(spark):
+    from qafs_spark.pipeline import sampling as sp
+
+    df = spark.range(0, 500).withColumnRenamed("id", "k")
+    out = sp.train_test_split(df, "k", test_fraction=0.2).collect()
+    assert len(out) == 500
+    by = {}
+    for r in out:
+        by.setdefault(r.split, set()).add(r.k)
+    assert set(by) == {"train", "test"}
+    assert by["train"] | by["test"] == set(range(500))
+    assert not (by["train"] & by["test"])
+    # test side ≈ 20%
+    assert 60 <= len(by["test"]) <= 140
+
+
+def test_stratified_sample_rates(spark):
+    from qafs_spark.pipeline import sampling as sp
+
+    rows = [(i, "big" if i % 2 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["k", "stratum"])
+    out = sp.stratified_sample(
+        df, "stratum", "k", fractions={"big": 0.5}, default_fraction=0.05
+    ).collect()
+    big = sum(1 for r in out if r.stratum == "big")
+    small = sum(1 for r in out if r.stratum == "small")
+    assert 400 <= big <= 600      # ~50% of 1000
+    assert 20 <= small <= 90      # ~5% of 1000
+
+
+def test_take_per_group_deterministic(spark):
+    from qafs_spark.pipeline import sampling as sp
+
+    rows = [(i, f"g{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    a = sorted((r.g, r.k) for r in sp.take_per_group(df, ["g"], "k", 3).collect())
+    b = sorted(
+        (r.g, r.k)
+        for r in sp.take_per_group(df.repartition(11), ["g"], "k", 3).collect()
+    )
+    assert a == b
+    per_group = {}
+    for g, _ in a:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert all(v == 3 for v in per_group.values()) and len(per_group) == 7
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from qafs_spark.pipeline import decontam as dc
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),   # shares 4-gram w/ bench
+            (2, "one two three four five six seven"),     # clean
+            (3, "alpha beta gamma delta something else"), # shares 4-gram w/ bench
+            (4, "short text"),                            # < n tokens → clean
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta unrelated tail")], ["doc_id", "text"]
+    )
+    hits = {r.doc_id: r.hits for r in dc.ngram_hits(corpus, bench, n=4).collect()}
+    assert set(hits) == {1, 3} and all(v >= 1 for v in hits.values())
+    clean = sorted(r.doc_id for r in dc.decontaminate(corpus, bench, n=4).collect())
+    assert clean == [2, 4]

@@ -111,3 +111,46 @@ def test_lww_dedup_partial_agg(spark):
     out = last_write_wins(spark.createDataFrame(pdf), value_cols=["value"])
     plan = _physical(out)
     assert "partial_" in plan or "HashAggregate" in plan
+
+
+def test_hash_sample_is_narrow_no_shuffle(spark):
+    """Deterministic sampling must stay a codegen filter: no Exchange, no
+    Python UDF — the whole point vs df.sample is a shuffle-free, layout-
+    independent predicate."""
+    from qafs_spark.pipeline import sampling as sp
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    plan = _physical(sp.hash_sample(df, "k", 0.1))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF: pure Catalyst expressions
+    assert "Filter" in plan
+
+
+def test_take_per_group_bounded_topk(spark):
+    """k-per-group must compile to a WindowGroupLimit (bounded per-group
+    top-k), not an unbounded full sort per group."""
+    from qafs_spark.pipeline import sampling as sp
+
+    rows = [(i, f"g{i % 7}") for i in range(700)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    plan = _physical(sp.take_per_group(df, ["g"], "k", 3))
+    assert "WindowGroupLimit" in plan
+
+
+def test_decontam_broadcasts_benchmark(spark):
+    """The benchmark n-gram set must broadcast (eval sets are tiny vs a
+    100 TB corpus): the corpus side may aggregate, but the join with the
+    benchmark grams must be a BroadcastHashJoin, and the contaminated-id
+    anti join must broadcast too."""
+    from qafs_spark.pipeline import decontam as dc
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta")], ["doc_id", "text"]
+    )
+    plan = _physical(dc.decontaminate(corpus, bench, n=4))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
