@@ -116,8 +116,10 @@ def with_shingle_hashes(
     measured). Each stage below binds its result to a column attribute that
     the next stage's lambdas reference as a plain array read.
     """
+    from . import spread
+
     t = tokens(F.col(text_col))
-    s1 = df.select(F.col(id_col).alias("id"), t.alias("_tk"))
+    s1 = spread(df).select(F.col(id_col).alias("id"), t.alias("_tk"))
     tk = F.col("_tk")
     starts = F.sequence(F.lit(1), F.size(tk) - (n - 1))
     grams = F.transform(starts, lambda i: F.array_join(F.slice(tk, i, n), " "))
@@ -322,6 +324,9 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     the output (explode drops them) — filter/union them separately if their
     all-zero sketch matters.
     """
+    from . import spread
+
+    df = spread(df)
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(token_hashes(F.col(text_col))).alias("h")
     )

@@ -107,6 +107,9 @@ def quality_table(
     :func:`quality_score` as a single expression re-tokenizes the text for
     each signal (~6 regex splits per row); here every signal reads the
     computed ``_tk`` attribute. Identical values, one tokenize pass."""
+    from . import spread
+
+    df = spread(df)
     sw_arr = F.array(*[F.lit(w) for w in (stopwords or DEFAULT_STOPWORDS)])
     s1 = df.select(
         F.col(id_col).alias("id"),
@@ -205,7 +208,9 @@ def winnowing_table(
     """(id, fp array<long>) winnowing fingerprints via staged projections
     (see :func:`winnowing_fingerprint` for why staging matters). Docs
     shorter than k+w-1 chars get an empty fingerprint."""
-    s1 = df.select(
+    from . import spread
+
+    s1 = spread(df).select(
         F.col(id_col).alias("id"), rolling_hashes(F.col(text_col), k).alias("_rh")
     )
     rh = F.col("_rh")
