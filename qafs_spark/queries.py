@@ -636,7 +636,25 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
-@register("minhash_lsh_dedup")  # oracle attached below if LSH is exact here
+@register(
+    "minhash_lsh_dedup",
+    # The exact n-gram Jaccard result IS a valid oracle here: candidate
+    # pairs are exact-verified (false positives filtered), and the banded
+    # signatures are fully deterministic (md5 shingle hashes, seed=42), so
+    # candidate recall is a fixed property of the dataset — verified 25/25
+    # pairs identical to the exact operator at sf0.01. A recall miss would
+    # surface as a deterministic, debuggable diff, not flakiness.
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES})
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+               / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
 def q_minhash_lsh_dedup(spark, sf_dir):
     """Pipeline: MinHash+LSH banded near-dup with exact verification.
     Same output contract as ngram_jaccard; with 16 bands × 2 rows the
