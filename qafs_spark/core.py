@@ -573,7 +573,46 @@ class FeatureStore:
     def last(self, features: Any, namespace: Optional[str] = None) -> Dict[str, Any]:
         """Most recent value per feature (intended semantics of the
         commented-out reference test, tests:495-526; backend pandas.py:196-222
-        is the broken reference path)."""
+        is the broken reference path). Reads only the tail partition of each
+        feature (edge-partition probe), not the whole series."""
+        return self._edge_value(features, namespace, descending=True)
+
+    def first(self, features: Any, namespace: Optional[str] = None) -> Dict[str, Any]:
+        """Earliest value per feature — the symmetric A3 operator (reference
+        backend pandas.py:196-209 `first`, a dead code path upstream; we
+        implement the intended semantics). Reads only the head partition."""
+        return self._edge_value(features, namespace, descending=False)
+
+    def _edge_partition_bound(self, ns, nm, rec, descending: bool):
+        """Timestamp bound restricting a load to the head/tail partition dir.
+
+        A feature's ``partition`` key is monotone in ``time`` (date or year
+        of it), so the min/max value lives in the first/last ``partition=``
+        directory. Listing those dirs is one driver-side FS metadata call;
+        the returned bound flows through ``read_feature``'s derived partition
+        predicates (SURVEY §4) → Catalyst statically prunes every other
+        partition. At 100 TB this turns first()/last() from a full scan into
+        a one-partition read. Returns (from_ts, to_ts)."""
+        parts = fs_storage.list_dirs(self.spark, self._path(ns, nm))
+        keys = sorted(
+            p.split("=", 1)[1] for p in parts if p.startswith("partition=")
+        )
+        if not keys:
+            return None, None
+        if descending:
+            return pd.Timestamp(keys[-1]), None  # partition start, open end
+        key_start = pd.Timestamp(keys[0])
+        span = (
+            pd.DateOffset(years=1) if rec.partition == "year"
+            else pd.Timedelta(days=1)
+        )
+        # inclusive end just inside the head partition (to_date filters are
+        # inclusive, so the next partition's first instant must be excluded)
+        return None, key_start + span - pd.Timedelta(microseconds=1)
+
+    def _edge_value(
+        self, features: Any, namespace: Optional[str], descending: bool
+    ) -> Dict[str, Any]:
         specs = self._unpack_list(features, namespace=namespace)
         out: Dict[str, Any] = {}
         for ns, nm in specs:
@@ -582,12 +621,16 @@ class FeatureStore:
                 raise MissingFeatureException(
                     f"No feature named '{nm}' exists in '{ns}'"
                 )
+            from_ts, to_ts = (None, None)
+            if not rec.transform:  # transforms are computed, nothing to probe
+                from_ts, to_ts = self._edge_partition_bound(
+                    ns, nm, rec, descending
+                )
             series = self._load_single(
-                ns, nm, rec, None, None, None, None, callers=[], memo={}
+                ns, nm, rec, from_ts, to_ts, None, None, callers=[], memo={}
             )
-            row = (
-                series.orderBy(F.col("time").desc()).limit(1).collect()
-            )
+            order = F.col("time").desc() if descending else F.col("time").asc()
+            row = series.orderBy(order).limit(1).collect()
             val = row[0]["value"] if row else None
             if rec.serialized and isinstance(val, str):
                 val = json.loads(val)

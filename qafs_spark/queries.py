@@ -1159,6 +1159,40 @@ def q_last_value(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "first_value",
+    oracle=f"""
+    WITH series AS ({_SQL_LWW})
+    SELECT arg_min(value, time) AS value FROM series
+    """,
+)
+def q_first_value(spark, sf_dir):
+    """SURVEY §2 A3 (symmetric): earliest value via first() — head-partition
+    probe, one partition read, LWW within it."""
+    import shutil
+    import tempfile
+
+    from .checks import Column
+    from .core import FeatureStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="qafs_first_")
+    try:
+        fs = FeatureStore(storage=root, spark=spark)
+        fs.create_namespace("bench")
+        fs.create_feature("bench/event_value", check=Column(float))
+        src = _event_series_df(spark, sf_dir).select(
+            "time", "created_time", F.col("value").alias("bench/event_value")
+        )
+        fs.save_df(src, "bench/event_value")
+        vals = fs.first("bench/event_value")
+        return spark.createDataFrame(
+            [(float(vals["bench/event_value"]),)], schema="value double"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # U1/U2/U3 — transform (virtual) features: registered fn over parents
 # ---------------------------------------------------------------------------

@@ -399,6 +399,19 @@ def test_last(fs):
         "test/last3": None,
     }
 
+    # symmetric first() — head-partition probe
+    assert fs.first("test/last1") == {"test/last1": df1["test/last1"].values[0]}
+    assert fs.first("test/last3") == {"test/last3": None}
+
+    # the probe must restrict the read to ONE partition even when a later
+    # write within the edge partition changes the answer (LWW still applies)
+    upd = pd.DataFrame(
+        {"time": [dts[-1]], "test/last1": [999]}
+    ).set_index("time")
+    fs.save_dataframe(upd)
+    assert fs.last("test/last1") == {"test/last1": 999}
+    assert fs.first("test/last1") == {"test/last1": df1["test/last1"].values[0]}
+
 
 def test_check_modes(fs, monkeypatch):
     """Blocking mode raises before writing; log mode writes the data and
