@@ -384,7 +384,13 @@ def simhash_pairs(
     all_blocks = s.select(
         "id", "sh", F.explode(F.array(*block_structs)).alias("bk")
     ).select("id", "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
-    a, b = all_blocks.alias("a"), all_blocks.alias("b")
+    # Self-join as a SHUFFLE hash join, not broadcast: with identical
+    # children hashed on the same keys, Catalyst plans the second side as a
+    # ReusedExchange — the sketch (explode + 60-bit-vote aggregate, the
+    # expensive part) is computed ONCE and shuffled once. A broadcast join
+    # would recompute the whole sketch subplan for the build side (and
+    # couldn't ship a 100 TB corpus's sketch table anyway).
+    a, b = all_blocks.alias("a"), all_blocks.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
