@@ -4,8 +4,9 @@
 sf0.001; ``queries()``/``oracle_sql()`` expose the full declared catalog from
 ``qafs_spark.queries`` — every operator from SURVEY.md §2 plus the pipeline
 extensions, each with an exactly-equivalent DuckDB oracle (except the
-mapInPandas multimodal stage and the LSH variant, which are rows-only by
-nature and checked against their exact counterparts in tests/).
+mapInPandas multimodal stage and the approximate ANN variants, which are
+rows-only by nature and recall-checked against their exact counterparts in
+tests/).
 """
 
 from __future__ import annotations

@@ -1764,3 +1764,128 @@ def q_tpch_q19(spark, sf_dir):
             .alias("revenue_cents")
         )
     )
+
+
+@register(
+    "tpch_q7",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume_cents) AS BIGINT) AS revenue_cents
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               {_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')} AS volume_cents
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping, nation names adapted to the
+    synthetic data): lineitem joins orders on the shuffle key, every
+    dimension (supplier+nation, customer+nation) broadcasts, and the
+    nation-pair disjunction is applied post-join. One fact-fact shuffle,
+    final groupBy over a handful of (nation, nation, year) keys."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(pd.Timestamp("1996-01-01")))
+        & (F.col("l_shipdate") <= F.lit(pd.Timestamp("1997-12-31")))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = s.join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents")
+        )
+    )
+
+
+@register(
+    "tpch_q8",
+    oracle=f"""
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume_cents
+                         ELSE 0 END) AS BIGINT) AS nation_cents,
+           CAST(sum(volume_cents) AS BIGINT) AS total_cents
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               {_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')} AS volume_cents,
+               n2.n_name AS supp_nation
+        FROM part, supplier, lineitem, orders, customer, nation n1, nation n2,
+             region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+          AND r_name = 'EUROPE' AND s_nationkey = n2.n_nationkey
+          AND p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+    ) GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 shape (market share, adapted): integer-cents numerator and
+    denominator returned separately so the oracle hash is exact (a double
+    division would accumulate differently across engines). All five
+    dimension sides broadcast; lineitem-orders is the only real shuffle."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(pd.Timestamp("1996-01-01")))
+        & (F.col("o_orderdate") <= F.lit(pd.Timestamp("1997-12-31")))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust = c.join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey")).join(
+        F.broadcast(r), F.col("c_rkey") == F.col("r_regionkey")
+    )
+    supp = s.join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+    vol = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+            ).alias("nation_cents"),
+            F.sum(vol).alias("total_cents"),
+        )
+    )
