@@ -40,6 +40,7 @@ HEADLINE = [
     "ann_topk",
     "tpch_q10",
     "tpch_q18",
+    "tpch_q7",
     "decontam_hits",
     "hash_sample",
 ]
