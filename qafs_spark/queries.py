@@ -1262,7 +1262,8 @@ def q_transform_feature(spark, sf_dir):
     "stream_sliding",
     oracle=f"""
     WITH expanded AS (
-        SELECT to_timestamp(epoch(ts) - (epoch(ts) % 1800)) - CAST(i AS INTEGER) * INTERVAL 30 MINUTE
+        SELECT CAST(to_timestamp(epoch(ts) - (epoch(ts) % 1800)) AS TIMESTAMP)
+                 - CAST(i AS INTEGER) * INTERVAL 30 MINUTE
                AS window_start,
                event_type, value
         FROM events, UNNEST(range(0, 2)) AS u(i)

@@ -30,6 +30,28 @@ TABLES = [
 ]
 
 
+def schema_sig(df: pd.DataFrame) -> dict:
+    """Driver-strict schema signature: tz-awareness of a timestamp column is
+    part of the schema (the driver's gate failed `stream_sliding` on exactly
+    a TIMESTAMPTZ-vs-TIMESTAMP oracle mismatch that the old normalize()
+    silently stripped)."""
+    sig = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            tz = getattr(s.dt, "tz", None)
+            sig[c] = f"timestamp[tz={tz}]" if tz is not None else "timestamp"
+        elif pd.api.types.is_float_dtype(s):
+            sig[c] = "float"
+        elif pd.api.types.is_integer_dtype(s):
+            sig[c] = "int"
+        elif pd.api.types.is_bool_dtype(s):
+            sig[c] = "bool"
+        else:
+            sig[c] = "object"
+    return sig
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -98,10 +120,13 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        sig_a, sig_b = schema_sig(spark_pd), schema_sig(duck_pd)
         a, b = normalize(spark_pd), normalize(duck_pd)
         problems = []
         if len(a) != len(b):
             problems.append(f"rows {len(a)} vs {len(b)}")
+        if dict(sorted(sig_a.items())) != dict(sorted(sig_b.items())):
+            problems.append(f"schema {sig_a} vs {sig_b}")
         if list(a.columns) != list(b.columns):
             problems.append(f"cols {list(a.columns)} vs {list(b.columns)}")
         elif value_hash(a) != value_hash(b):
