@@ -113,7 +113,7 @@ def decode_images(
                         "width": img.shape[1],
                         "height": img.shape[0],
                         "mean_intensity": float(img.mean()),
-                        "sha": hashlib.sha1(bytes(content)).hexdigest(),
+                        "sha": hashlib.sha256(bytes(content)).hexdigest(),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])

@@ -119,14 +119,19 @@ def lsh_topk(
     data_vec: str = "embedding",
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within LSH bucket(s) only.
 
     multiprobe_bits=b additionally probes every bucket at hamming distance
     <= b from the query's bucket (recall knob). Output schema matches
     :func:`brute_force_topk`.
+
+    Pass ``dim`` explicitly to keep plan construction job-free; the
+    ``.first()`` fallback runs a (small) driver-side job at plan-build time.
     """
-    dim = len(data.select(data_vec).first()[0])
+    if dim is None:
+        dim = len(data.select(data_vec).first()[0])
     d = data.select(
         F.col(data_id).alias("neighbor_id"),
         F.col(data_vec).alias("__dv"),
@@ -159,6 +164,32 @@ def lsh_topk(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def recall_vs_exact(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of an approximate top-k against the exact tier.
+
+    Both inputs use the :func:`brute_force_topk` output schema. Returns
+    (query_id, n_exact, recall) — recall = |approx ∩ exact| / |exact|.
+    Both sides are tiny (n_queries × k rows); the semi-join broadcasts.
+    """
+    e = exact.select("query_id", "neighbor_id")
+    a = approx.select("query_id", "neighbor_id")
+    hits = (
+        e.join(F.broadcast(a), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = e.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, "query_id", "left")
+        .fillna(0, subset=["n_hits"])
+        .select(
+            "query_id",
+            "n_exact",
+            (F.col("n_hits") / F.col("n_exact")).alias("recall"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

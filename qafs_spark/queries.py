@@ -797,17 +797,45 @@ def q_binary_meta(spark, sf_dir):
     )
 
 
-@register("multimodal_decode")  # no SQL oracle: mapInPandas stage (rows check)
+@register(
+    "multimodal_decode",
+    # The fake decoder is deterministic md5 arithmetic, so it IS
+    # SQL-expressible: content = 'FAKEIMG1' || md5(text); the 8x8 'image'
+    # tiles md5(content)'s 16 digest bytes 4x, so mean_intensity is the
+    # mean of those 16 bytes (hex pairs decoded via strpos arithmetic).
+    oracle="""
+    WITH c AS (
+        SELECT doc_id, 'FAKEIMG1' || md5(text) AS content FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS width,
+           CAST(8 AS BIGINT) AS height,
+           list_avg([
+               (strpos('0123456789abcdef', substr(md5(content), 2*i-1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(content), 2*i, 1)) - 1)
+             for i in range(1, 17)
+           ]) AS mean_intensity,
+           sha256(content) AS sha
+    FROM c
+    """,
+)
 def q_multimodal_decode(spark, sf_dir):
     """Pipeline: full multimodal plumbing — fake-encode text as binary
     assets, decode via Arrow-batched mapInPandas, return per-asset features.
-    Deterministic but not SQL-expressible (Python decode stage)."""
+    The fake codec is pure md5 arithmetic, so the DuckDB oracle replays it
+    in SQL and the driver hash-checks the full distributed decode path."""
     from .pipeline import multimodal as mm
 
     assets = _t(spark, sf_dir, "documents").select(
         "doc_id", mm.fake_image_bytes(F.col("text")).alias("content")
     )
-    return mm.decode_images(assets)
+    return mm.decode_images(assets).select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_intensity",
+        "sha",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1333,7 +1361,7 @@ def q_lsh_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(8)
     return sim.lsh_topk(
-        emb, queries, k=5, num_planes=8, multiprobe_bits=1, seed=42
+        emb, queries, k=5, num_planes=8, multiprobe_bits=1, seed=42, dim=64
     ).select("query_id", "neighbor_id", "cosine", "rank")
 
 
@@ -1348,6 +1376,50 @@ def q_ivf_ann_topk(spark, sf_dir):
     return sim.ivf_topk(
         emb, queries, k=5, nlist=16, nprobe=6, centroids=cents
     ).select("query_id", "neighbor_id", "cosine", "rank")
+
+
+_SQL_ANN_RECALL_ORACLE = """
+    SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_exact, true AS recall_ok
+    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+"""
+
+
+@register("lsh_ann_recall", oracle=_SQL_ANN_RECALL_ORACLE)
+def q_lsh_ann_recall(spark, sf_dir):
+    """Pipeline: oracle-checkable certification of the LSH ANN machinery —
+    computes recall@5 per query against the exact brute-force tier *inside
+    Spark* and thresholds it, so the driver hash-checks that the bucketed
+    path actually recovers neighbors (per-query recall is 0.8-1.0 at this
+    config/sf; the 0.35 gate fails if bucketing breaks and recall collapses
+    toward the random-subset floor)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    approx = sim.lsh_topk(
+        emb, queries, k=5, num_planes=4, multiprobe_bits=2, seed=42, dim=64
+    )
+    return sim.recall_vs_exact(exact, approx).select(
+        "query_id",
+        "n_exact",
+        (F.col("recall") >= F.lit(0.35)).alias("recall_ok"),
+    )
+
+
+@register("ivf_ann_recall", oracle=_SQL_ANN_RECALL_ORACLE)
+def q_ivf_ann_recall(spark, sf_dir):
+    """Pipeline: oracle-checkable certification of the IVF ANN machinery —
+    recall@5 per query vs the exact tier, thresholded (0.6-1.0 measured at
+    this config/sf; 0.35 gate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    cents = sim.ivf_train(emb, nlist=16, iters=1)
+    approx = sim.ivf_topk(emb, queries, k=5, nlist=16, nprobe=8, centroids=cents)
+    return sim.recall_vs_exact(exact, approx).select(
+        "query_id",
+        "n_exact",
+        (F.col("recall") >= F.lit(0.35)).alias("recall_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
