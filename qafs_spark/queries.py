@@ -1962,3 +1962,274 @@ def q_tpch_q8(spark, sf_dir):
             F.sum(vol).alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H decorrelation / anti-join shapes (round-2 additions)
+# ---------------------------------------------------------------------------
+@register(
+    "tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution (the o_comment NOT LIKE
+    filter becomes a priority exclusion on the synthetic schema).
+
+    Scale shape: instead of left-outer-joining full orders rows onto
+    customer (which shuffles the whole fact), pre-aggregate orders to one
+    count per custkey (map-side combine), then outer-join the tiny count
+    table; the second agg runs over <=|customer| keys."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    per_cust = c.join(
+        counts, c.c_custkey == counts.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey AS pq_partkey,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_q, count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           count(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pq ON pq_partkey = p_partkey
+    WHERE p_brand = 'Brand#1' AND p_type = 'ECONOMY'
+      AND 5 * CAST(l_quantity AS BIGINT) * cnt < sum_q
+    """,
+)
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17: small-quantity lines of a brand/type vs 20% of the
+    part's average quantity (correlated avg subquery, hand-decorrelated).
+
+    Exactness: l_quantity is integer-valued, so `l_q < 0.2 * avg(q)` is
+    evaluated as `5 * l_q * cnt < sum_q` — pure integer arithmetic, no
+    float-boundary risk between engines.
+
+    Scale shape: the selected parts are tiny -> broadcast-semi-filter
+    lineitem FIRST, so the per-part avg aggregates only the surviving
+    parts' lines (not the full fact), and the avg side re-joins broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "ECONOMY")
+    )
+    pk = p.select("p_partkey")
+    li_sel = li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi")
+    pq = li_sel.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = li_sel.join(
+        F.broadcast(pq), F.col("l_partkey") == F.col("pq_partkey")
+    ).filter(
+        5 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sum_q")
+    )
+    return j.agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("total_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "tpch_q21",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21: suppliers who kept a finished multi-supplier order
+    waiting alone ("late" = shipped >30 days after order date, the
+    synthetic schema's l_receiptdate/l_commitdate stand-in).
+
+    Scale shape: the EXISTS + NOT EXISTS pair is hand-decorrelated into
+    per-order window aggregates (distinct suppliers, distinct late
+    suppliers) over ONE shuffle on l_orderkey — no self-join, the fact
+    table is scanned and exchanged exactly once. A late line qualifies iff
+    its order has >1 supplier and exactly 1 late one."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    li_o = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        li_o.withColumn(
+            "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(
+            F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q2",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           s_name, n_name, p_partkey, p_name
+    FROM part, ps, eu
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size = 15 AND p_type = 'SMALL'
+      AND s_acctbal = (SELECT min(eu2.s_acctbal)
+                       FROM ps ps2 JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+                       WHERE ps2.l_partkey = p_partkey)
+    """,
+)
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape: per-part minimum-acctbal EUROPE supplier (the
+    partsupp table does not exist in the synthetic schema — "supplies part"
+    derives from distinct lineitem (partkey, suppkey) pairs; min acctbal
+    stands in for min supplycost). Ties at the min are all returned, as in
+    the reference query.
+
+    Exactness: the correlated min compares a stored double against the min
+    of stored doubles — bit-identical across engines, no arithmetic.
+
+    Scale shape: selected parts broadcast-semi-filter lineitem before the
+    distinct (the expensive step shrinks from |lineitem| to the selected
+    parts' lines); the correlated min decorrelates into a partkey window
+    over that small candidate set; supplier x nation x region broadcasts."""
+    from pyspark.sql import Window
+
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_name")
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(F.broadcast(p.select("p_partkey")),
+                li.l_partkey == p.p_partkey, "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    eu = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    j = (
+        ps.join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        j.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            cents(F.col("s_acctbal")).alias("acctbal_cents"),
+            "s_name", "n_name", "p_partkey", "p_name",
+        )
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS cb, c_acctbal
+        FROM customer
+    ),
+    stats AS (
+        SELECT sum(cb) AS sum_cb, count(*) AS cnt FROM cust WHERE c_acctbal > 0.0
+    )
+    SELECT substr(c_name, 17, 2) AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(cb) AS BIGINT) AS totacctbal_cents
+    FROM cust, stats
+    WHERE cb * cnt > sum_cb
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, grouped by pseudo country code (last two digits of c_name —
+    the synthetic schema has no c_phone; "no orders at all" would match
+    almost nobody here, so the anti-join window is orders since 2000).
+
+    Exactness: `c_acctbal > avg(...)` evaluates as `cb * cnt > sum_cb` in
+    integer cents — no float-average boundary risk.
+
+    Scale shape: the global average is a 1-row broadcast; recent customers
+    pre-aggregate to distinct custkeys (map-side combine) before the
+    anti-join; no row multiplication anywhere."""
+    c = _t(spark, sf_dir, "customer").withColumn("cb", cents(F.col("c_acctbal")))
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("cb").alias("sum_cb"), F.count(F.lit(1)).alias("cnt")
+    )
+    active = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(pd.Timestamp("2000-01-01")))
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        F.col("cb") * F.col("cnt") > F.col("sum_cb")
+    )
+    return (
+        rich.join(active, rich.c_custkey == active.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 17, 2).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("cb").alias("totacctbal_cents"),
+        )
+    )
