@@ -175,21 +175,47 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_frac: Optional[float] = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
     Shingle-explode + self-equi-join on the shingle hash: candidate pairs
     are generated only where docs actually share a shingle, and the
     intersection size falls out of the join group count — no array
-    intersection on the data path. The join shuffles by shingle hash; hot
-    shingles are the skew risk (AQE skew-join splits them).
+    intersection on the data path. The join shuffles by shingle hash.
+
+    **Skew hardening**: hot shingles (boilerplate n-grams present in a large
+    fraction of the corpus) are the skew risk — a shingle shared by f docs
+    contributes O(f²) join rows. ``max_doc_frac=x`` switches to *df-capped
+    Jaccard*: shingles whose document frequency exceeds ``x * n_docs`` are
+    dropped from both candidate generation AND the similarity itself (the
+    standard stop-shingle treatment: ubiquitous grams carry no near-dup
+    signal, so the cap improves precision as well as killing the quadratic
+    blow-up). The hot set is tiny by construction (few shingles can exceed
+    a corpus-fraction bound) → broadcast anti-join; per-doc sizes are then
+    re-counted over the retained shingles so Jaccard stays exact w.r.t. the
+    capped universe. Without the cap, residual skew rides on AQE skew-join.
     """
     base = with_shingle_hashes(df, text_col, id_col, n)
-    sh = base.select(
-        "id",
-        F.explode("sh").alias("h"),
-        F.size("sh").alias("n_sh"),
-    )
+    if max_doc_frac is not None:
+        exploded = base.select("id", F.explode("sh").alias("h"))
+        total = base.agg(F.count(F.lit(1)).alias("__n_docs"))
+        hot = (
+            exploded.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("df").cast("double") > F.col("__n_docs") * F.lit(max_doc_frac))
+            .select("h")
+        )
+        kept = exploded.join(F.broadcast(hot), "h", "left_anti")
+        counts = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        sh = kept.join(counts, "id").select("id", "h", "n_sh")
+    else:
+        sh = base.select(
+            "id",
+            F.explode("sh").alias("h"),
+            F.size("sh").alias("n_sh"),
+        )
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
@@ -219,11 +245,21 @@ def minhash_lsh_dedup(
     num_bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
+    max_band_size: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     Output schema matches :func:`ngram_jaccard_pairs`; with enough bands for
     the threshold it converges to the exact result with high probability.
+
+    ``max_band_size`` caps hot band keys: a band bucket holding f docs emits
+    O(f²) candidate pairs, and a pathological key (e.g. the all-identical
+    signature of boilerplate-only docs) turns the candidate join quadratic.
+    Buckets larger than the cap are dropped entirely (the standard LSH
+    oversized-bucket skip — their members are either exact duplicates, which
+    :func:`exact_dedup` already collapses upstream, or hash collisions that
+    verification would reject). Recall loss is bounded to pairs whose ONLY
+    agreeing band is oversized.
     """
     rows_per_band = num_hashes // num_bands
     # work on distinct shingle HASHES end-to-end (signature AND verification)
@@ -234,12 +270,15 @@ def minhash_lsh_dedup(
     # shingle expression inside the filter (measured ~7× slower).
     nonempty = df.filter(F.size(tokens(F.col(text_col))) >= n)
     base = with_shingle_hashes(nonempty, text_col, id_col, n)
-    return _minhash_pairs(base, num_hashes, num_bands, rows_per_band, threshold, seed)
+    return _minhash_pairs(
+        base, num_hashes, num_bands, rows_per_band, threshold, seed,
+        max_band_size=max_band_size,
+    )
 
 
 def _minhash_pairs(
     base: DataFrame, num_hashes: int, num_bands: int, rows_per_band: int,
-    threshold: float, seed: int,
+    threshold: float, seed: int, max_band_size: Optional[int] = None,
 ) -> DataFrame:
     with_sig = base.select(
         "id", minhash_signature_from_hashes(F.col("sh"), num_hashes, seed).alias("sig")
@@ -251,6 +290,15 @@ def _minhash_pairs(
         "id",
         F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band"),
     )
+    if max_band_size is not None:
+        # oversized-bucket skip: the hot-key set is tiny → broadcast anti-join
+        big = (
+            banded.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") > max_band_size)
+            .select("band")
+        )
+        banded = banded.join(F.broadcast(big), "band", "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))

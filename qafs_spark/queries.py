@@ -637,6 +637,51 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "ngram_jaccard_capped",
+    # df-capped Jaccard: shingles in > 1% of docs are stop-shingles —
+    # excluded from candidate generation AND the similarity itself. The
+    # oracle replays the cap exactly (integer df vs n_docs * frac).
+    oracle="""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(t[CAST(i AS INTEGER)] || ' ' ||
+                                   t[CAST(i AS INTEGER)+1] || ' ' ||
+                                   t[CAST(i AS INTEGER)+2]), 1, 8))::BIGINT AS h
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0),
+             UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    hot AS (
+        SELECT h FROM sh0 GROUP BY h
+        HAVING CAST(count(*) AS DOUBLE) > (SELECT count(*) FROM documents) * 0.01
+    ),
+    kept AS (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n_sh
+        FROM sh0 WHERE h NOT IN (SELECT h FROM hot)
+    )
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+               / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE) AS jaccard
+        FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Pipeline: df-capped n-gram Jaccard — the skew-hardened variant that
+    drops shingles present in > 1% of documents (stop-shingles) before the
+    quadratic candidate join. At this sf the cap drops the ~29 hottest
+    shingles; at 100 TB it is what keeps boilerplate grams from turning the
+    shingle join O(corpus²)."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5,
+        max_doc_frac=0.01,
+    )
+
+
+@register(
     "minhash_lsh_dedup",
     # The exact n-gram Jaccard result IS a valid oracle here: candidate
     # pairs are exact-verified (false positives filtered), and the banded

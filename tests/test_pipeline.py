@@ -417,3 +417,37 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert set(hits) == {1, 3} and all(v >= 1 for v in hits.values())
     clean = sorted(r.doc_id for r in dc.decontaminate(corpus, bench, n=4).collect())
     assert clean == [2, 4]
+
+
+def test_minhash_band_size_cap(spark):
+    """Oversized-bucket skip: a generous cap keeps all verified pairs; a
+    cap of zero drops every bucket (no candidates at all)."""
+    from qafs_spark.pipeline import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = dd.minhash_lsh_dedup(docs, "text", "doc_id", threshold=0.5)
+    capped = dd.minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=0.5, max_band_size=10_000
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, capped.collect()))
+    none = dd.minhash_lsh_dedup(
+        docs, "text", "doc_id", threshold=0.5, max_band_size=0
+    )
+    assert none.count() == 0
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """df-capped Jaccard ignores ubiquitous shingles: two docs whose only
+    shared gram is corpus-wide boilerplate stop being a pair."""
+    import pandas as pd
+    from qafs_spark.pipeline import dedup as dd
+
+    boiler = "all rights reserved by the corp"
+    rows = [{"doc_id": i, "text": f"unique text number {i} {boiler}"} for i in range(10)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    uncapped = dd.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.3)
+    capped = dd.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.3, max_doc_frac=0.5
+    )
+    assert uncapped.count() > 0      # boilerplate makes everything "similar"
+    assert capped.count() == 0       # cap removes the shared-gram signal

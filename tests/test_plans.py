@@ -19,6 +19,7 @@ from qafs_spark.plans import (
     partition_filters,
     pushed_filters,
     read_schemas,
+    shuffle_count,
 )
 from qafs_spark.sources.feature_dataset import read_feature, write_feature
 
@@ -169,3 +170,37 @@ def test_decontam_broadcasts_benchmark(spark):
     plan = _physical(dc.decontaminate(corpus, bench, n=4))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_align_one_shuffle_for_n_series(spark):
+    """Multi-series alignment must shuffle ONCE regardless of N: the tall
+    union + conditional-agg pivot replaces N-1 iterated full-outer joins
+    (which cost one Exchange each)."""
+    from qafs_spark.operators.align import align_features
+
+    dfs = []
+    for i in range(5):
+        pdf = pd.DataFrame(
+            {
+                "time": pd.date_range("2021-01-01", periods=40, freq="6h"),
+                f"f{i}": [float(j + i) if j % (i + 2) else None for j in range(40)],
+            }
+        )
+        dfs.append((f"f{i}", spark.createDataFrame(pdf)))
+
+    aligned = align_features(dfs, fill=False)
+    assert shuffle_count(aligned) == 1, _physical(aligned)
+
+    # with fill: ffill adds its bucketed windows and one broadcast carry
+    # join, but NO per-series shuffle joins — a SortMergeJoin would mean the
+    # old iterated-full-outer formulation is back
+    filled = align_features(dfs)
+    plan = _physical(filled)
+    assert "SortMergeJoin" not in plan, plan
+
+    # correctness vs the join formulation: every series value lands on the
+    # union timeline
+    rows = {r["time"]: r for r in aligned.collect()}
+    for name, df in dfs:
+        for r in df.collect():
+            assert rows[r["time"]][name] == r[name]
