@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 from . import names as names_mod
 from . import storage as fs_storage
 from . import transforms as tfm
-from .checks import Column, _raise_error_enabled
+from .checks import Column, _canon_dtype, _raise_error_enabled
 from .exceptions import (
     FeatureStoreException,
     MissingFeatureException,
@@ -646,7 +646,16 @@ class FeatureStore:
         check: Optional[Column] = None,
         namespace: Optional[str] = None,
         from_features: Optional[List] = None,
+        returns: Optional[str] = None,
     ):
+        """Register a virtual feature computed from parents.
+
+        ``returns`` declares the output value dtype family ("float", "int",
+        "str", "bool", "datetime") so plan construction never has to run the
+        sampling-inference job; it wins over ``check``'s dtype. Undeclared
+        transforms fall back to check dtype, then to inference on a
+        100-row sample.
+        """
         from_features = from_features or []
         parents = self._unpack_list(from_features)
 
@@ -659,6 +668,8 @@ class FeatureStore:
             payload = tfm.serialize_transform(
                 func, [f"{pns}/{pnm}" for pns, pnm in parents]
             )
+            if returns is not None:
+                payload["returns"] = _canon_dtype(returns)
             ns, nm = self._split_name(name, namespace)
             if self.registry.get_feature(ns, nm) is not None:
                 self.update_feature(
@@ -754,8 +765,11 @@ class FeatureStore:
             )
             named.append((pfull, pseries.withColumnRenamed("value", pfull)))
         aligned = align_features(named)
-        check = Column.from_yaml(rec.check_yaml) if rec.check_yaml else Column()
-        vt = tfm.output_type_for(check.dtype, aligned, func, parent_names)
+        declared = payload.get("returns")
+        if declared is None:
+            check = Column.from_yaml(rec.check_yaml) if rec.check_yaml else Column()
+            declared = check.dtype
+        vt = tfm.output_type_for(declared, aligned, func, parent_names)
         return tfm.apply_transform(aligned, func, parent_names, vt)
 
     def _data_bounds(self, recs, time_travel) -> Optional[Tuple[pd.Timestamp, pd.Timestamp]]:

@@ -473,19 +473,22 @@ def embedding_dedup_pairs(
     use_lsh: bool = True,
     num_planes: int = 8,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Pairs of near-identical embeddings (cosine >= threshold).
 
     With use_lsh, candidates come from hyperplane-sign buckets (vectors at
     cosine >= 0.95 almost always share the full sign pattern for few planes);
     exact cosine verifies. use_lsh=False does the exact quadratic join —
-    the oracle path for small data.
+    the oracle path for small data. Pass ``dim`` explicitly to keep plan
+    construction job-free (the ``.first()`` fallback runs a driver job).
     """
     from .similarity import cosine, hyperplane_bucket
 
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if use_lsh:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
         v = v.withColumn("bucket", hyperplane_bucket(F.col("vec"), dim, num_planes, seed))
         a, b = v.alias("a"), v.alias("b")
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))

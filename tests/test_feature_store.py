@@ -433,3 +433,57 @@ def test_check_modes(fs, monkeypatch):
     out = fs.load_dataframe("chk/pos")
     assert len(out) == 5
     assert sorted(out["chk/pos"]) == [-4.0, -2.0, 1.0, 3.0, 5.0]
+
+
+def test_transform_returns_skips_inference_job(spark, fs):
+    """A declared `returns=` dtype must make transform plan construction
+    job-free: no limit(100).toPandas() sampling run before the action."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "time": pd.date_range("2021-01-01", periods=10, freq="1D"),
+            "value": [float(i) for i in range(10)],
+        }
+    )
+    fs.create_namespace("t")
+    fs.create_feature("t/base")
+    fs.save_df(spark.createDataFrame(pdf), name="t/base")
+
+    @fs.transform("t/doubled", from_features=["t/base"], returns="float")
+    def doubled(df):
+        return df["t/base"] * 2.0
+
+    def data_jobs(since):
+        """Plan-build jobs other than parquet footer/schema metadata reads
+        (those are Spark-internal listing jobs, not sampling)."""
+        tracker = spark.sparkContext.statusTracker()
+        names = []
+        for j in tracker.getJobIdsForGroup(None):
+            if j < since:
+                continue
+            info = tracker.getJobInfo(j)
+            for s in info.stageIds:
+                si = tracker.getStageInfo(s)
+                if si and not si.name.startswith("parquet at"):
+                    names.append(si.name)
+        return names
+
+    tracker = spark.sparkContext.statusTracker()
+    mark = max(tracker.getJobIdsForGroup(None), default=-1) + 1
+    out = fs.load_features("t/doubled")  # plan construction only
+    assert data_jobs(mark) == [], "declared returns= still ran a sampling job"
+
+    got = {r["time"]: r["t/doubled"] for r in out.collect()}
+    assert got[pd.Timestamp("2021-01-05")] == 8.0
+    assert out.schema["t/doubled"].dataType.typeName() == "double"
+
+    # negative control: an undeclared transform DOES run the sampler
+    @fs.transform("t/tripled", from_features=["t/base"])
+    def tripled(df):
+        return df["t/base"] * 3.0
+
+    tracker = spark.sparkContext.statusTracker()
+    mark = max(tracker.getJobIdsForGroup(None), default=-1) + 1
+    fs.load_features("t/tripled")
+    assert any("toPandas" in n or "collect" in n for n in data_jobs(mark))
