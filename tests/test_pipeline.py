@@ -451,3 +451,69 @@ def test_ngram_df_cap_drops_hot_shingles(spark):
     )
     assert uncapped.count() > 0      # boilerplate makes everything "similar"
     assert capped.count() == 0       # cap removes the shared-gram signal
+
+
+def test_streaming_watermark_drops_late(spark, tmp_path):
+    """Append mode + watermark: an event arriving below the watermark is
+    dropped deterministically; one above it is admitted into its (not yet
+    finalized) window. Two files processed as two micro-batches in mtime
+    order; the watermark advances between them."""
+    import os
+    import pandas as pd
+    from qafs_spark.streaming import read_event_stream, tumbling_agg
+
+    src = tmp_path / "late_in"
+    src.mkdir()
+
+    def mk(df, name, mtime):
+        p = str(src / name)
+        spark.createDataFrame(df).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = next(
+            f for f in os.listdir(p + ".dir") if f.endswith(".parquet")
+        )
+        os.rename(os.path.join(p + ".dir", part), p)
+        os.utime(p, (mtime, mtime))
+
+    def events(rows):
+        return pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [pd.Timestamp(t) for t in rows],
+                "user_id": [0] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    # batch 1: on-time events through 10:59 -> watermark advances to 10:29
+    b1 = events([f"2024-01-01 10:{m:02d}:00" for m in (0, 5, 15, 59)])
+    # batch 2: 12:00 anchor pushes the watermark to 11:30; 10:45 arrives
+    # late but above the then-current watermark -> admitted
+    b2 = events(["2024-01-01 12:00:00", "2024-01-01 10:45:00"])
+    # batch 3: 10:05 is far below the 11:30 watermark -> dropped
+    b3 = events(["2024-01-01 10:05:00"])
+    mk(b1, "b1.parquet", 1_700_000_000)
+    mk(b2, "b2.parquet", 1_700_000_100)
+    mk(b3, "b3.parquet", 1_700_000_200)
+
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    agg = tumbling_agg(stream, window="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # [10:00,10:10): the late 10:05 duplicate was dropped -> 2 not 3
+    assert got[pd.Timestamp("2024-01-01 10:00:00")] == 2
+    # [10:40,10:50): admitted late event present
+    assert got[pd.Timestamp("2024-01-01 10:40:00")] == 1
+    # [12:00,...) never finalizes in append mode (watermark stops at 11:30)
+    assert pd.Timestamp("2024-01-01 12:00:00") not in got
