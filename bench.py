@@ -89,6 +89,29 @@ def main() -> int:
     timings = {}
     total = 0.0
     for name in HEADLINE:
+        if name == "feature_roundtrip":
+            # attributed segments: ingest (partitioned write + registry)
+            # vs load (pruned scan -> LWW -> bin-compressed resample)
+            from qafs_spark.queries import feature_roundtrip_segments
+
+            ingest, load, cleanup = feature_roundtrip_segments(spark, sf_dir)
+            try:
+                t0 = time.time()
+                ingest()
+                t_ingest = round(time.time() - t0, 3)
+                t0 = time.time()
+                load().write.format("noop").mode("overwrite").save()
+                t_load = round(time.time() - t0, 3)
+            finally:
+                cleanup()
+            timings["feature_roundtrip_ingest"] = t_ingest
+            timings["feature_roundtrip_load"] = t_load
+            timings[name] = round(t_ingest + t_load, 3)
+            total += timings[name]
+            print(f"# {name}: {timings[name]:.2f}s "
+                  f"(ingest {t_ingest:.2f}s, load {t_load:.2f}s)",
+                  file=sys.stderr)
+            continue
         if name not in qs:
             continue
         t0 = time.time()

@@ -51,8 +51,23 @@ def asof_join(
     Ties: multiple right rows sharing ``(by, right_time)`` must be
     deduplicated by the caller (e.g. last-write-wins) — as-of semantics are
     otherwise ambiguous (engines disagree on which duplicate wins).
+
+    With an empty ``by`` the keyed window degenerates to a single task over
+    the full union — loudly warned here; for grid resampling use
+    ``resample_asof`` (bin compression), or pass a coarse monotone bucket
+    as ``by`` and stitch boundaries yourself.
     """
     by = list(by or [])
+    if not by:
+        import warnings
+
+        warnings.warn(
+            "asof_join with empty `by` runs ONE task over the full union "
+            "(unpartitioned window) — fine for small frames only. Use "
+            "resample_asof for grid as-of, or provide `by` keys.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if right_cols is None:
         right_cols = [
             c for c in right.columns if c not in set(by) | {right_time}

@@ -98,18 +98,17 @@ def decode_images(
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if engine == "real":
+                raise NotImplementedError(
+                    "Real image decode requires codec libraries "
+                    "(Pillow/cv2) not present in this environment"
+                )
             rows = []
-            for _, row in pdf.iterrows():
-                content = row[content_col]
-                if engine == "real":
-                    raise NotImplementedError(
-                        "Real image decode requires codec libraries "
-                        "(Pillow/cv2) not present in this environment"
-                    )
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
                 img = _fake_decode(bytes(content))
                 rows.append(
                     {
-                        id_col: row[id_col],
+                        id_col: rid,
                         "width": img.shape[1],
                         "height": img.shape[0],
                         "mean_intensity": float(img.mean()),
@@ -139,14 +138,14 @@ def resize_images(
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if engine == "real":
+                raise NotImplementedError("Real resize requires codec libs")
             rows = []
-            for _, row in pdf.iterrows():
-                if engine == "real":
-                    raise NotImplementedError("Real resize requires codec libs")
-                img = _fake_decode(bytes(row[content_col])).astype(np.float64)
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                img = _fake_decode(bytes(content)).astype(np.float64)
                 blk = img.shape[0] // target
                 pooled = img.reshape(target, blk, target, blk).mean(axis=(1, 3))
-                rows.append({id_col: row[id_col], "pixels": pooled.ravel().tolist()})
+                rows.append({id_col: rid, "pixels": pooled.ravel().tolist()})
             yield pd.DataFrame(rows, columns=[id_col, "pixels"])
 
     return df.select(id_col, content_col).mapInPandas(runner, schema=out_schema)
@@ -173,15 +172,15 @@ def sample_frames(
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if engine == "real":
+                raise NotImplementedError("Real frame extraction requires ffmpeg")
             rows = []
-            for _, row in pdf.iterrows():
-                if engine == "real":
-                    raise NotImplementedError("Real frame extraction requires ffmpeg")
-                content = bytes(row[content_col])
+            for rid, raw in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(raw)
                 for i in range(0, n_frames * every_n, every_n):
                     frame = hashlib.sha1(content + i.to_bytes(4, "big")).hexdigest()
                     rows.append(
-                        {id_col: row[id_col], "frame_idx": i, "frame_sha": frame}
+                        {id_col: rid, "frame_idx": i, "frame_sha": frame}
                     )
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame_sha"])
 

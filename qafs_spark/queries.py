@@ -1012,6 +1012,43 @@ def q_feature_roundtrip(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def feature_roundtrip_segments(spark, sf_dir):
+    """Bench-attribution variant of :func:`q_feature_roundtrip`: returns
+    ``(ingest, load, cleanup)`` thunks so bench.py can time the partitioned
+    write+registry segment separately from the scan→LWW→resample load
+    segment (round-over-round regressions become attributable)."""
+    import shutil
+    import tempfile
+
+    from .checks import Column
+    from .core import FeatureStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="qafs_roundtrip_")
+    fs = FeatureStore(storage=root, spark=spark)
+    fs.create_namespace("bench")
+    fs.create_feature("bench/event_value", check=Column(float))
+
+    def ingest():
+        src = _event_series_df(spark, sf_dir).select(
+            "time", "created_time", F.col("value").alias("bench/event_value")
+        )
+        fs.save_df(src, "bench/event_value")
+
+    def load():
+        return fs.load_features(
+            "bench/event_value",
+            from_date="2024-01-10",
+            to_date="2024-01-28",
+            freq="1d",
+        )
+
+    def cleanup():
+        shutil.rmtree(root, ignore_errors=True)
+
+    return ingest, load, cleanup
+
+
 # ---------------------------------------------------------------------------
 # Additional analytics coverage (scan-pushdown, semi-join, conditional agg)
 # ---------------------------------------------------------------------------
