@@ -2315,3 +2315,230 @@ def q_tpch_q22(spark, sf_dir):
             F.sum("cb").alias("totacctbal_cents"),
         )
     )
+
+
+@register(
+    "tpch_q9",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(sum({_SQL_CENTS.format(
+               x='(l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity)')})
+               AS BIGINT) AS profit_cents
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape: product-line profit by supplier nation and order year
+    (no partsupp in the synthetic schema — part retail price stands in for
+    supply cost; 'red%' parts stand in for '%green%').
+
+    Scale shape: part (name-filtered), supplier and nation broadcast; the
+    only big join is lineitem x orders on orderkey (shuffle, AQE-planned);
+    the groupBy is map-side combined over ~nations x years keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(cents(amount)).alias("profit_cents"))
+    )
+
+
+@register(
+    "tpch_q11",
+    oracle=f"""
+    WITH nat AS (
+        SELECT l_partkey,
+               CAST(sum({_SQL_CENTS.format(x='l_extendedprice')}) AS BIGINT) AS value_cents
+        FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, value_cents
+    FROM nat, (SELECT sum(value_cents) AS total_cents FROM nat)
+    WHERE value_cents * 1000 > total_cents
+    """,
+)
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape: value concentration — parts whose single-nation
+    shipped value exceeds 0.1% of that nation's total (partsupp value
+    becomes shipped lineitem value in the synthetic schema).
+
+    Exactness: the HAVING-vs-global-scalar comparison is evaluated as
+    `value_cents * 1000 > total_cents` — pure integer arithmetic.
+
+    Scale shape: nation's suppliers broadcast; one map-side-combined agg by
+    partkey; the global total is a 1-row broadcast over the agg (the agg is
+    NOT recomputed: Spark reuses the shuffle via ReusedExchange)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    nat_s = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    per_part = (
+        li.join(F.broadcast(nat_s), li.l_suppkey == nat_s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select("partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum({_SQL_CENTS.format(x='l_extendedprice * (1 - l_discount)')})
+                   AS BIGINT) AS total_cents
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_cents
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+    """,
+)
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15: top supplier by quarterly revenue (the view + scalar max
+    subquery). Integer-cents revenue makes the max-equality exact; ties all
+    return, per the reference query.
+
+    Scale shape: one map-side-combined agg by suppkey; the max is a 1-row
+    broadcast; supplier dim broadcasts onto the (tiny) winner set."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(pd.Timestamp("1996-01-01")))
+        & (F.col("l_shipdate") < F.lit(pd.Timestamp("1996-04-01")))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_cents"
+        )
+    )
+    mx = revenue.agg(F.max("total_cents").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_cents") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+    )
+
+
+@register(
+    "tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per part attribute bucket,
+    excluding blacklisted suppliers (negative balance stands in for the
+    complaints-comment filter; "supplies part" derives from lineitem).
+
+    Scale shape: the blacklist is a broadcast anti-join; part attrs
+    broadcast onto the fact; count(DISTINCT) shuffles (attrs, suppkey)
+    pre-deduplicated by the partial aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin([1, 4, 9, 16, 25, 36, 49])
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > 30
+      )
+    """,
+)
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in a nation who moved heavy volume of a
+    'red' part in 1996 (partsupp availqty > half-year-demand becomes
+    shipped-quantity > 30 — the nested semi-join chain is the point).
+
+    Scale shape: red parts broadcast into the fact scan; the per
+    (supplier, part) agg is map-side combined; the surviving supplier set
+    is tiny -> broadcast semi-join onto the (broadcast nation-filtered)
+    supplier dim. l_quantity is integer-valued so the HAVING is exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(pd.Timestamp("1996-01-01")))
+        & (F.col("l_shipdate") < F.lit(pd.Timestamp("1997-01-01")))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    heavy = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .filter(F.col("q") > 30)
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    )
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
