@@ -224,3 +224,67 @@ def winnowing_table(
         .otherwise(F.array_sort(F.array_distinct(mins)))
         .alias("fp"),
     )
+
+
+def repetition_table(df: DataFrame, text_col: str, id_col: str, n: int = 2) -> DataFrame:
+    """(id, n_tokens, distinct_tokens, dup_token_ratio, n_grams,
+    distinct_grams, dup_gram_ratio) — within-document repetition signals
+    (Gopher-style): heavily repetitive docs (boilerplate, generated spam)
+    show high duplicate token / n-gram fractions.
+
+    Pure Catalyst expressions over ONE tokenize pass (staged projection);
+    narrow plan, no shuffle — at 100 TB this is a map-only scan.
+    """
+    from . import spread
+
+    s1 = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    tk = F.col("_tk")
+    starts = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    grams = F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda i: F.array_join(F.slice(tk, i, n), " "))
+    )
+    s2 = s1.select("id", tk.alias("_tk"), grams.alias("_gr"))
+    gr = F.col("_gr")
+    n_tok = F.size(F.col("_tk")).cast("long")
+    d_tok = F.size(F.array_distinct(F.col("_tk"))).cast("long")
+    n_gr = F.size(gr).cast("long")
+    d_gr = F.size(F.array_distinct(gr)).cast("long")
+    return s2.select(
+        "id",
+        n_tok.alias("n_tokens"),
+        d_tok.alias("distinct_tokens"),
+        F.when(n_tok == 0, F.lit(0.0))
+        .otherwise((n_tok - d_tok).cast("double") / n_tok.cast("double"))
+        .alias("dup_token_ratio"),
+        n_gr.alias("n_grams"),
+        d_gr.alias("distinct_grams"),
+        F.when(n_gr == 0, F.lit(0.0))
+        .otherwise((n_gr - d_gr).cast("double") / n_gr.cast("double"))
+        .alias("dup_gram_ratio"),
+    )
+
+
+def top_terms_by_group(
+    df: DataFrame, text_col: str, group_col: str, k: int = 10
+) -> DataFrame:
+    """Top-k tokens per group by frequency (ties break on token string) —
+    the corpus-vocabulary inspection primitive.
+
+    Scale shape: explode → two-level aggregation with map-side combine on
+    (group, token); the top-k window gets WindowGroupLimit pushdown, so each
+    shuffle partition keeps only k rows per group before the final sort.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("grp").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "token", "n", "rank")
+    )

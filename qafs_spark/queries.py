@@ -2542,3 +2542,67 @@ def q_tpch_q20(spark, sf_dir):
     return s.join(
         F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
+
+
+# ---------------------------------------------------------------------------
+# Text: within-doc repetition + corpus vocabulary (round-2 additions)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_repetition",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM documents
+    ),
+    gr AS (
+        SELECT doc_id, t,
+               CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(t)),
+                         i -> t[CAST(i AS INTEGER)] || ' ' || t[CAST(i AS INTEGER) + 1])
+               END AS g
+        FROM tk
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS distinct_tokens,
+           CASE WHEN len(t) = 0 THEN 0.0
+                ELSE CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+           END AS dup_token_ratio,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS distinct_grams,
+           CASE WHEN len(g) = 0 THEN 0.0
+                ELSE CAST(len(g) - len(list_distinct(g)) AS DOUBLE) / len(g)
+           END AS dup_gram_ratio
+    FROM gr
+    """,
+)
+def q_doc_repetition(spark, sf_dir):
+    """Pipeline: within-document repetition signals (duplicate token and
+    2-gram fractions, Gopher-style) — map-only Catalyst expressions, one
+    tokenize pass, no shuffle."""
+    rep = tx.repetition_table(_t(spark, sf_dir, "documents"), "text", "doc_id", n=2)
+    return rep.withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "doc_top_terms",
+    oracle="""
+    SELECT source, token, n, rank FROM (
+        SELECT source, token, count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY count(*) DESC, token ASC
+               ) AS rank
+        FROM (SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY source, token
+    ) WHERE rank <= 10
+    """,
+)
+def q_doc_top_terms(spark, sf_dir):
+    """Pipeline: top-10 vocabulary terms per source — explode + map-side
+    combined (source, token) counts + WindowGroupLimit top-k."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return tx.top_terms_by_group(docs, "text", "source", k=10)
