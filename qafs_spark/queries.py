@@ -2606,3 +2606,105 @@ def q_doc_top_terms(spark, sf_dir):
     combined (source, token) counts + WindowGroupLimit top-k."""
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return tx.top_terms_by_group(docs, "text", "source", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Interval-containment join (binned range join) — operators/interval.py
+# ---------------------------------------------------------------------------
+@register(
+    "interval_join_clicks",
+    oracle="""
+    WITH purchases AS (
+        SELECT user_id, event_id AS window_id, ts AS s,
+               ts + INTERVAL 2 HOUR AS e
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.window_id, p.user_id, count(*) AS n_clicks
+    FROM purchases p JOIN clicks c
+      ON c.user_id = p.user_id AND c.ts >= p.s AND c.ts < p.e
+    GROUP BY 1, 2
+    """,
+)
+def q_interval_join_clicks(spark, sf_dir):
+    """Operator: interval-containment join — clicks landing inside each
+    user's 2-hour post-purchase window, counted per window. The DuckDB
+    oracle is the plain range-predicate join; the Spark plan is the binned
+    equi-join (one hash shuffle on (user_id, bin), never a nested loop)."""
+    from .operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = interval_join(
+        clicks, purchases, point_time="ts", by=["user_id"], bin_width="1h"
+    )
+    return joined.groupBy("window_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity rollup + sketch certification (round-2 additions)
+# ---------------------------------------------------------------------------
+@register(
+    "events_rollup",
+    oracle=f"""
+    SELECT CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(day(ts) AS BIGINT) AS d,
+           count(*) AS n_events,
+           CAST(sum({_SQL_CENTS.format(x='value')}) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY ROLLUP (year(ts), month(ts), day(ts))
+    """,
+)
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup: day -> month -> year ->
+    grand total in ONE pass via GROUP BY ROLLUP — Spark's Expand produces
+    the grouping sets and every level is map-side partially aggregated, so
+    the cascade costs one scan + one shuffle instead of four jobs."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "value",
+    )
+    return ev.rollup("y", "m", "d").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
+    )
+
+
+@register(
+    "approx_distinct_users",
+    # sketch certification row (pattern: lsh_ann_recall): the HLL estimate
+    # itself is approximate so it can't hash-match — but its exact
+    # counterpart and a relative-error bound can. rsd=0.02 -> |err| far
+    # below the 10% gate unless the sketch path breaks.
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_distinct_users(spark, sf_dir):
+    """Sketches: HyperLogLog++ distinct users per event type, certified
+    against the exact distinct count computed in the same aggregate —
+    the driver hash-checks the exact value AND that the sketch landed
+    within 10%. At 100 TB the sketch is the only viable path (fixed-size
+    state vs a distinct shuffle); the certification keeps it honest."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_approx"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    err_ok = (
+        F.abs(F.col("n_approx") - F.col("n_exact")).cast("double")
+        <= F.col("n_exact").cast("double") * 0.10
+    )
+    return agg.select("event_type", "n_exact", err_ok.alias("within_10pct"))

@@ -204,3 +204,44 @@ def test_align_one_shuffle_for_n_series(spark):
     for name, df in dfs:
         for r in df.collect():
             assert rows[r["time"]][name] == r[name]
+
+
+def test_interval_join_binned_no_nested_loop(spark):
+    """The binned interval join must plan as a hash equi-join — a
+    BroadcastNestedLoopJoin/CartesianProduct means the range predicate
+    leaked into the join condition."""
+    from qafs_spark.operators.interval import interval_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1] * 6 + [2] * 6,
+                "ts": list(pd.date_range("2024-01-01", periods=6, freq="40min")) * 2,
+            }
+        )
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 2],
+                "start": pd.to_datetime(
+                    ["2024-01-01 00:30", "2024-01-01 02:00", "2024-01-01 01:00"]
+                ),
+                "end": pd.to_datetime(
+                    ["2024-01-01 01:30", "2024-01-01 05:00", "2024-01-01 03:00"]
+                ),
+                "wid": [10, 11, 20],
+            }
+        )
+    )
+    out = interval_join(pts, iv, point_time="ts", by=["k"], bin_width="1h")
+    plan = _physical(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan, plan
+
+    # oracle: the naive non-equi join
+    naive = pts.join(
+        iv, (pts.k == iv.k) & (pts.ts >= iv.start) & (pts.ts < iv.end)
+    ).select(pts.k, "ts", "wid")
+    got = sorted((r["k"], r["ts"], r["wid"]) for r in out.select("k", "ts", "wid").collect())
+    exp = sorted((r["k"], r["ts"], r["wid"]) for r in naive.collect())
+    assert got == exp and len(got) > 0
