@@ -245,3 +245,24 @@ def test_interval_join_binned_no_nested_loop(spark):
     got = sorted((r["k"], r["ts"], r["wid"]) for r in out.select("k", "ts", "wid").collect())
     exp = sorted((r["k"], r["ts"], r["wid"]) for r in naive.collect())
     assert got == exp and len(got) > 0
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_store):
+    """Two tables bucketed on the join key by the same bucket count must
+    join with ZERO Exchanges — the co-located layout replaces the shuffle.
+    This is the 100 TB fact-fact join strategy (write once bucketed, join
+    forever shuffle-free)."""
+    from qafs_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS b")
+    write_bucketed(left, "bkt_left", ["k"], num_buckets=8)
+    write_bucketed(right, "bkt_right", ["k"], num_buckets=8)
+    try:
+        l, r = read_bucketed(spark, "bkt_left"), read_bucketed(spark, "bkt_right")
+        joined = l.join(r, "k").where("a >= 0")
+        assert shuffle_count(joined) == 0, _physical(joined)
+        assert joined.count() == 10_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
