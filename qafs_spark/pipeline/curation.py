@@ -1,0 +1,67 @@
+"""End-to-end corpus curation: the composed training-data pipeline.
+
+One lazy plan chaining the standard curation stages in their canonical
+order (cf. C4/Gopher/RefinedWeb-style pipelines):
+
+1. **quality filter** — Gopher-style [0,1] score, map-only Catalyst
+   expressions, rows drop at the scan;
+2. **exact dedup** — keep the min-id representative per distinct content
+   (md5 groupBy, map-side combined);
+3. **near-dup drop** — n-gram Jaccard pairs among survivors; the greedy
+   keep-lowest-id policy drops every doc that appears as the higher id of
+   a qualifying pair (deterministic, SQL-replayable; full
+   connected-components clustering is overkill for a drop policy);
+4. **decontamination** — remove docs sharing word n-grams with the
+   benchmark (broadcast eval grams, corpus never shuffled);
+5. **sampling** — deterministic content-keyed hash sample down to the
+   target fraction (narrow filter, nested-subset property).
+
+Each stage consumes the previous stage's survivors, so expensive stages
+(the quadratic-ish near-dup join) see an already-shrunk corpus. The whole
+chain is ONE DataFrame plan — Catalyst pipelines the narrow stages into
+the scan, and only dedup/near-dup shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .decontam import decontaminate
+from .dedup import drop_exact_dups, ngram_jaccard_pairs
+from .sampling import hash_sample
+from .text import quality_score
+
+
+def curate(
+    docs: DataFrame,
+    benchmark: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_threshold: float = 0.75,
+    ngram_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    max_doc_frac: Optional[float] = None,
+    decontam_n: int = 4,
+    min_hits: int = 1,
+    sample_fraction: Optional[float] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Run the full curation chain; returns surviving rows of ``docs``."""
+    good = docs.filter(quality_score(F.col(text_col)) >= quality_threshold)
+    uniq = drop_exact_dups(good, text_col, id_col)
+    pairs = ngram_jaccard_pairs(
+        uniq, text_col, id_col,
+        n=ngram_n, threshold=jaccard_threshold, max_doc_frac=max_doc_frac,
+    )
+    dupes = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    neat = uniq.join(F.broadcast(dupes), on=id_col, how="left_anti")
+    if benchmark is not None:
+        neat = decontaminate(
+            neat, benchmark, text_col, id_col, n=decontam_n, min_hits=min_hits
+        )
+    if sample_fraction is not None:
+        neat = hash_sample(neat, id_col, sample_fraction, seed=seed)
+    return neat

@@ -2708,3 +2708,103 @@ def q_approx_distinct_users(spark, sf_dir):
         <= F.col("n_exact").cast("double") * 0.10
     )
     return agg.select("event_type", "n_exact", err_ok.alias("within_10pct"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (pipeline/curation.py)
+# ---------------------------------------------------------------------------
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents WHERE doc_id % 97 <> 0
+    ),
+    signals AS (
+        SELECT doc_id, text, source,
+               {_SQL_NTOK} AS n, {_SQL_SW_RATIO} AS sw,
+               {_SQL_PUNCT_RATIO} AS pr, {_SQL_MWL} AS mwl
+        FROM corpus
+    ),
+    good AS (
+        SELECT doc_id, text, source FROM signals
+        WHERE (((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0
+                      WHEN n = 0 THEN 0.0 ELSE 0.5 END * 0.3)
+                + (CASE WHEN sw >= 0.05 THEN 1.0 ELSE sw * 20.0 END * 0.3))
+               + ((1.0 - least(pr * 2.0, 1.0)) * 0.2))
+              + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END * 0.2)
+              >= 0.75
+    ),
+    uniq AS (
+        SELECT doc_id, text, source FROM good
+        WHERE doc_id IN (SELECT min(doc_id) FROM good GROUP BY md5(text))
+    ),
+    sh AS (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(t[CAST(i AS INTEGER)] || ' ' ||
+                                       t[CAST(i AS INTEGER)+1] || ' ' ||
+                                       t[CAST(i AS INTEGER)+2]), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM uniq WHERE length(trim(text)) > 0),
+                 UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        )
+    ),
+    dupes AS (
+        SELECT DISTINCT id_b FROM (
+            SELECT b.doc_id AS id_b,
+                   CAST(count(*) AS DOUBLE)
+                   / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE)
+                   AS jaccard
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) WHERE jaccard >= 0.5
+    ),
+    neat AS (
+        SELECT * FROM uniq WHERE doc_id NOT IN (SELECT id_b FROM dupes)
+    ),
+    grams4 AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    t[CAST(i AS INTEGER):CAST(i AS INTEGER)+3], ' ')), 1, 8)
+               )::BIGINT AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM neat WHERE length(trim(text)) > 0),
+             UNNEST(range(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 4
+    ),
+    bg AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(array_to_string(
+                    t[CAST(i AS INTEGER):CAST(i AS INTEGER)+3], ' ')), 1, 8)
+               )::BIGINT AS g
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE doc_id % 97 = 0 AND length(trim(text)) > 0),
+             UNNEST(range(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 4
+    ),
+    dirty AS (
+        SELECT DISTINCT doc_id FROM grams4 WHERE g IN (SELECT g FROM bg)
+    )
+    SELECT doc_id, source FROM neat
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+      AND (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+           % 10000) < 5000
+    """,
+)
+def q_curation_pipeline(spark, sf_dir):
+    """Pipeline showcase: the COMPLETE curation chain — quality filter →
+    exact dedup → near-dup drop → benchmark decontamination → hash
+    downsample — as one lazy Spark plan, hash-matched stage-for-stage
+    against the SQL replay (doc_id % 97 = 0 plays the benchmark)."""
+    from .pipeline.curation import curate
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = curate(
+        corpus, bench,
+        quality_threshold=0.75, ngram_n=3, jaccard_threshold=0.5,
+        decontam_n=4, sample_fraction=0.5, seed=42,
+    )
+    return out.select("doc_id", "source")
