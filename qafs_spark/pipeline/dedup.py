@@ -359,18 +359,26 @@ def simhash_from_token_hashes(th: Column) -> Column:
     return out
 
 
+_PACK_FIELDS = 3          # 21-bit counters, 3 per 64-bit sum
+_PACK_WIDTH = 21          # docs must have < 2^21 (~2M) tokens (no carry-over)
+
+
 def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, sh) sketches via explode + codegen hash aggregate.
 
     The array-expression :func:`simhash` runs 60 interpreted per-bit
     aggregates per row (higher-order functions don't codegen); this variant
-    explodes token hashes and computes the 60 bit-votes as plain ``sum``
-    aggregates inside whole-stage codegen — measured ~10× faster. Map-side
-    partial aggregation collapses each doc to one row before the shuffle
-    (a doc's tokens sit in the same input partition), so the exchange
-    carries one 60-long row per doc. Docs with zero tokens are absent from
-    the output (explode drops them) — filter/union them separately if their
-    all-zero sketch matters.
+    explodes token hashes and computes the bit-counts as plain ``sum``
+    aggregates inside whole-stage codegen — measured ~10× faster. The
+    counters are additionally PACKED three-per-long (21 bits each): 20
+    aggregate buffers instead of 60 roughly halves the hash-agg update cost
+    (measured ~1.5× on the sketch stage). Per-field capacity bounds docs at
+    2^21 tokens — far beyond any real document. Bit b of the final sketch is
+    set iff most tokens set it: ``2*cnt_b > n``, identical to the ±1-vote
+    formulation. Map-side partial aggregation collapses each doc to one row
+    before the shuffle. Docs with zero tokens are absent from the output
+    (explode drops them) — filter/union them separately if their all-zero
+    sketch matters.
     """
     from . import spread
 
@@ -378,18 +386,25 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(token_hashes(F.col(text_col))).alias("h")
     )
-    votes = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"_v{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
+    n_packs = (SIMHASH_BITS + _PACK_FIELDS - 1) // _PACK_FIELDS
+    packs = []
+    for j in range(n_packs):
+        expr = None
+        for k in range(_PACK_FIELDS):
+            b = j * _PACK_FIELDS + k
+            if b >= SIMHASH_BITS:
+                break
+            bit = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)).cast("long")
+            piece = F.shiftleft(bit, _PACK_WIDTH * k)
+            expr = piece if expr is None else expr + piece
+        packs.append(F.sum(expr).alias(f"_p{j}"))
+    votes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *packs)
+    mask = (1 << _PACK_WIDTH) - 1
     sketch = None
     for b in range(SIMHASH_BITS):
-        piece = F.when(F.col(f"_v{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(
+        j, k = divmod(b, _PACK_FIELDS)
+        cnt = F.shiftright(F.col(f"_p{j}"), _PACK_WIDTH * k).bitwiseAND(F.lit(mask))
+        piece = F.when(cnt * 2 > F.col("_n"), F.lit(2 ** b).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sketch = piece if sketch is None else sketch + piece
