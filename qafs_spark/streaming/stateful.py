@@ -103,3 +103,61 @@ def latest_state_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming exact dedup: emit each distinct content exactly ONCE,
+    first-seen-wins across micro-batches (ties inside a batch: min id).
+
+    The ingestion-side counterpart of :func:`~qafs_spark.pipeline.dedup.
+    exact_dedup`: state is keyed by content md5 (one boolean-sized row per
+    distinct content — the same key the batch groupBy shuffles on), so a
+    continuously-arriving corpus deduplicates online instead of re-scanning
+    history every batch. Emits ``(content_hash, id)`` of first-seen docs.
+
+    State growth is one row per DISTINCT content — the theoretical minimum
+    for exact streaming dedup; near-dup variants belong in batch where the
+    candidate joins are expressible.
+    """
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    key_field_type = docs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("content_hash", T.StringType()),
+            T.StructField(id_col, key_field_type),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    hashed = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            return  # content already emitted in an earlier batch
+        best = None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            m = pdf[id_col].min()
+            best = m if best is None else min(best, m)
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame([{"content_hash": key[0], id_col: best}])
+
+    return (
+        hashed.groupBy("content_hash")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

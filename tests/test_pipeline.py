@@ -517,3 +517,53 @@ def test_streaming_watermark_drops_late(spark, tmp_path):
     assert got[pd.Timestamp("2024-01-01 10:40:00")] == 1
     # [12:00,...) never finalizes in append mode (watermark stops at 11:30)
     assert pd.Timestamp("2024-01-01 12:00:00") not in got
+
+
+def test_streaming_dedup_first_seen(spark, tmp_path):
+    """dedup_stream emits each distinct content exactly once across
+    micro-batches (first batch wins; within a batch the min id wins) —
+    equals the batch exact_dedup representative set restricted to
+    first-seen batches."""
+    import os
+    import pandas as pd
+    from qafs_spark.streaming.stateful import dedup_stream
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+
+    def mk(rows, name, mtime):
+        pdf = pd.DataFrame(rows)
+        p = str(src / name)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = next(f for f in os.listdir(p + ".dir") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".dir", part), p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: contents A (ids 5, 3 — min wins), B
+    mk([{"doc_id": 5, "text": "A"}, {"doc_id": 3, "text": "A"},
+        {"doc_id": 7, "text": "B"}], "b1.parquet", 1_700_000_000)
+    # batch 2: A again (suppressed), C (new)
+    mk([{"doc_id": 1, "text": "A"}, {"doc_id": 9, "text": "C"}],
+       "b2.parquet", 1_700_000_100)
+
+    schema = "doc_id LONG, text STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("SELECT * FROM dedup_stream_test").collect()
+    }
+    # A -> 3 (min id, batch 1; the batch-2 id 1 arrived too late), B -> 7, C -> 9
+    assert got == {3, 7, 9}
