@@ -2808,3 +2808,35 @@ def q_curation_pipeline(spark, sf_dir):
         decontam_n=4, sample_fraction=0.5, seed=42,
     )
     return out.select("doc_id", "source")
+
+
+@register(
+    "value_quantiles",
+    # exact interpolated percentiles hash-match across engines (same
+    # standard (1-g)*lower + g*upper definition); the t-digest approx tier
+    # rides along as a certified boolean (pattern: approx_distinct_users).
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS med_r6,
+           round(quantile_cont(value, 0.9), 6) AS p90_r6,
+           true AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_value_quantiles(spark, sf_dir):
+    """Sketches: exact interpolated median/p90 per event type (hash-matched
+    vs DuckDB quantile_cont) + approx_percentile certified within 5% in the
+    same aggregate. At 100 TB the exact percentile is a full sort per group
+    — the t-digest sketch is the scale path, and the certification row
+    keeps it honest."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_r6"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_r6"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("_amed"),
+        F.expr("percentile(value, 0.5)").alias("_med"),
+    )
+    ok = F.abs(F.col("_amed") - F.col("_med")) <= F.abs(F.col("_med")) * 0.05
+    return agg.select(
+        "event_type", "med_r6", "p90_r6", ok.alias("approx_within_5pct")
+    )
