@@ -2840,3 +2840,89 @@ def q_value_quantiles(spark, sf_dir):
     return agg.select(
         "event_type", "med_r6", "p90_r6", ok.alias("approx_within_5pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window frames / pivot / set ops (§2.4-2.7 breadth)
+# ---------------------------------------------------------------------------
+@register(
+    "trailing_avg",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(sum({_SQL_CENTS.format(x='value')}) OVER w AS BIGINT) AS trail_cents,
+           count(*) OVER w AS trail_n
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_trailing_avg(spark, sf_dir):
+    """Range-frame window: per-user trailing 1-hour sum/count over event
+    time — the time-series moving aggregate. Spark's RANGE frame needs a
+    numeric ordering key, so ts casts to epoch seconds (exact) and the
+    frame is [-3600, 0]; one hash shuffle by user, no self-join."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(cents(F.col("value"))).over(w).alias("trail_cents"),
+        F.count(F.lit(1)).over(w).alias("trail_n"),
+    )
+
+
+@register(
+    "event_type_pivot",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY 1
+    """,
+)
+def q_event_type_pivot(spark, sf_dir):
+    """Pivot: daily counts per event type as columns. Explicit pivot values
+    keep it a single-pass conditional aggregation (no extra distinct-values
+    job, map-side combined) — same plan the oracle's CASE form produces."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+@register(
+    "clickers_not_buyers",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-26 00:00:00'
+    """,
+)
+def q_clickers_not_buyers(spark, sf_dir):
+    """Set ops: users who clicked but made no RECENT purchase — EXCEPT
+    (distinct) compiles to map-side-deduplicated aggregates feeding a
+    left-anti hash join; no row multiplication."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") >= F.lit(pd.Timestamp("2024-01-26")))
+    ).select("user_id")
+    return clickers.subtract(buyers)
