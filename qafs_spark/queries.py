@@ -2926,3 +2926,39 @@ def q_clickers_not_buyers(spark, sf_dir):
         & (F.col("ts") >= F.lit(pd.Timestamp("2024-01-26")))
     ).select("user_id")
     return clickers.subtract(buyers)
+
+
+@register(
+    "bucket_centroids",
+    # centroid components aggregate in integer MICRO-units: a float avg's
+    # value depends on partition summation order (last-ulp nondeterminism
+    # across cluster layouts); round(x*1e6) sums are exact and the final
+    # division of identical integers is bit-identical in any engine.
+    oracle="""
+    SELECT CAST(vec_id % 10 AS BIGINT) AS bucket,
+           CAST(u.i - 1 AS BIGINT) AS dim,
+           CAST(sum(CAST(round(CAST(embedding[CAST(u.i AS INTEGER)] AS DOUBLE) * 1000000)
+                    AS BIGINT)) AS BIGINT) AS sum_micro,
+           count(*) AS n
+    FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+    GROUP BY 1, 2
+    """,
+)
+def q_bucket_centroids(spark, sf_dir):
+    """Vector aggregation: per-bucket centroid components of the embedding
+    column via posexplode + groupBy (bucket, dim) — the distributed
+    mean-vector shape IVF training uses. Map-side combine reduces the
+    shuffle to n_buckets x dim keys regardless of corpus size; no Python,
+    no VectorUDT, plain codegen arithmetic. Components aggregate in exact
+    integer micro-units (order-independent; see oracle comment)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        (F.col("vec_id") % 10).cast("long").alias("bucket"),
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    )
+    return comp.groupBy("bucket", F.col("dim").cast("long").alias("dim")).agg(
+        F.sum(F.round(F.col("x").cast("double") * 1000000).cast("long")).alias(
+            "sum_micro"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
