@@ -2854,7 +2854,11 @@ def q_value_quantiles(spark, sf_dir):
     FROM events
     WHERE user_id < 50
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY ts
+        -- ordered on WHOLE SECONDS to match Spark's numeric range frame
+        -- (timestamp cast to long truncates to seconds); sub-second
+        -- precision would make the two engines disagree on events within
+        -- a fraction of a second of the 1h boundary
+        PARTITION BY user_id ORDER BY date_trunc('second', ts)
         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
     )
     """,
