@@ -519,3 +519,49 @@ def embedding_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    k_iters: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected-component labels for near-dup pairs: (id, cluster) with
+    cluster = min id reachable within ``k_iters`` hops (min-label
+    propagation). After enough iterations this IS the connected component
+    (near-dup clusters have tiny diameters — duplicates of a doc are
+    duplicates of each other — so 3 hops is usually exact); the fixed
+    iteration count keeps the operator deterministic and SQL-replayable.
+
+    Scale shape per iteration: one self-join of the (id, label) frame with
+    the undirected edge list on id + one min-aggregate — both hash-shuffle
+    on id, the same key every round, so AQE reuses the partitioning. The
+    edge list is never exploded beyond 2|pairs| rows. Iterations are plan
+    unrolling (no driver loop state): the whole propagation is ONE lazy
+    plan.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("id"), F.col("src").alias("cluster")
+    )
+    for _ in range(k_iters):
+        neigh = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_min"))
+        )
+        labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+    return labels

@@ -2966,3 +2966,74 @@ def q_bucket_centroids(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: iterative min-label propagation (pipeline/dedup.py)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_clusters",
+    # the oracle unrolls the SAME 3 min-label iterations — results are
+    # equal by construction whether or not propagation has converged
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM (
+            SELECT DISTINCT doc_id,
+                   ('0x' || substr(md5(t[CAST(i AS INTEGER)] || ' ' ||
+                                       t[CAST(i AS INTEGER)+1] || ' ' ||
+                                       t[CAST(i AS INTEGER)+2]), 1, 8))::BIGINT AS h
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+                  FROM documents WHERE length(trim(text)) > 0),
+                 UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        )
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS DOUBLE)
+                   / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE)
+                   AS jaccard
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) WHERE jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS cluster FROM edges),
+    l1 AS (
+        SELECT l.id, least(l.cluster, coalesce(m.n_min, l.cluster)) AS cluster
+        FROM l0 l LEFT JOIN (
+            SELECT e.src, min(x.cluster) AS n_min
+            FROM edges e JOIN l0 x ON e.dst = x.id GROUP BY e.src
+        ) m ON l.id = m.src
+    ),
+    l2 AS (
+        SELECT l.id, least(l.cluster, coalesce(m.n_min, l.cluster)) AS cluster
+        FROM l1 l LEFT JOIN (
+            SELECT e.src, min(x.cluster) AS n_min
+            FROM edges e JOIN l1 x ON e.dst = x.id GROUP BY e.src
+        ) m ON l.id = m.src
+    ),
+    l3 AS (
+        SELECT l.id, least(l.cluster, coalesce(m.n_min, l.cluster)) AS cluster
+        FROM l2 l LEFT JOIN (
+            SELECT e.src, min(x.cluster) AS n_min
+            FROM edges e JOIN l2 x ON e.dst = x.id GROUP BY e.src
+        ) m ON l.id = m.src
+    )
+    SELECT id AS doc_id, cluster FROM l3
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Pipeline: near-dup CLUSTER labels — n-gram Jaccard pairs (>= 0.5)
+    fed through 3 rounds of min-label propagation, the iterative
+    connected-components step a dedup pipeline runs between pair
+    generation and representative selection. The whole propagation unrolls
+    into one lazy plan (no driver loop state)."""
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+    )
+    return dd.cluster_pairs(pairs, k_iters=3).withColumnRenamed("id", "doc_id")
