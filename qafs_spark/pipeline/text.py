@@ -288,3 +288,93 @@ def top_terms_by_group(
         .filter(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "token", "n", "rank")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap:
+    (id, chunk_idx, chunk_text, n_tokens) — the training-data chunking
+    primitive (context-window segmentation with cross-chunk overlap so
+    boundary information isn't lost).
+
+    Stride = max_tokens - overlap; the final chunk may be shorter (the tail
+    is emitted whenever it contains tokens not fully covered before). Pure
+    Catalyst: tokenize once (staged), build the start-index array with
+    ``sequence``, slice + rejoin per chunk, ``posexplode`` — narrow,
+    map-only, no Python.
+    """
+    from . import spread
+
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    s1 = spread(df).select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_tk")
+    )
+    tk = F.col("_tk")
+    n = F.size(tk)
+    # start indices 1, 1+stride, ... — last window begins at or before
+    # n - max_tokens + stride (any later start is fully covered already)
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(max_tokens)).cast("double") / stride).cast("int") + 1
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts, lambda i: F.array_join(F.slice(tk, i * stride + 1, max_tokens), " ")
+    )
+    s2 = s1.filter(n > 0).select("id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return s2.select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        "chunk_text",
+        F.size(F.split(F.col("chunk_text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int = 256,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs: (id, n_tokens, pack_key,
+    pack_id) — the sequence-packing step that batches short documents into
+    full context windows.
+
+    Deterministic contiguous packing: docs order by a content-independent
+    md5 rank inside coarse hash buckets; ``pack_id`` is the running token
+    total divided by the budget. Oversized docs simply occupy several packs'
+    worth of budget (chunk first via :func:`chunk_documents` if hard caps
+    matter). The running sum is a window INSIDE each hash bucket — packing
+    is bucket-local, so the window parallelizes across buckets and no
+    global single-task sort exists.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        (hash_bucket(F.col(id_col), seed=seed, buckets=64)).alias("pack_key"),
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit("#rank"))).alias("_r"),
+    )
+    w = (
+        Window.partitionBy("pack_key")
+        .orderBy("_r", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "pack_key",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / budget
+        ).cast("long").alias("pack_id"),
+    )

@@ -3037,3 +3037,68 @@ def q_dedup_clusters(spark, sf_dir):
         _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
     )
     return dd.cluster_pairs(pairs, k_iters=3).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Chunking + sequence packing (pipeline/text.py, training-data prep)
+# ---------------------------------------------------------------------------
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH tk AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    ch AS (
+        SELECT doc_id, u.i AS chunk_idx,
+               array_to_string(
+                   t[(CAST(u.i AS INTEGER) * 56 + 1):(CAST(u.i AS INTEGER) * 56 + 64)],
+                   ' ') AS chunk_text
+        FROM tk, UNNEST(range(0,
+            CASE WHEN len(t) <= 64 THEN 1
+                 ELSE CAST(ceil((len(t) - 64) / 56.0) AS BIGINT) + 1 END)) AS u(i)
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, chunk_text,
+           CAST(len(string_split_regex(chunk_text, '\\s+')) AS BIGINT) AS n_tokens
+    FROM ch
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """Pipeline: context-window chunking — 64-token windows, 8-token
+    overlap (stride 56), tail emitted when it holds uncovered tokens.
+    Tokenize-once staged projection + sequence/slice/posexplode; map-only,
+    no shuffle, no Python."""
+    return tx.chunk_documents(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_tokens=64, overlap=8,
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                   AS n_tokens,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+                   % 64) AS pack_key,
+               md5(CAST(doc_id AS VARCHAR) || '#rank') AS r
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, pack_key,
+           CAST(floor(CAST(sum(n_tokens) OVER w - n_tokens AS DOUBLE) / 256)
+                AS BIGINT) AS pack_id
+    FROM base
+    WINDOW w AS (PARTITION BY pack_key ORDER BY r, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Pipeline: sequence packing — deterministic contiguous packing of
+    docs into 256-token budget packs inside 64 md5 buckets (running-total
+    window per bucket; parallel across buckets, no global sort)."""
+    return tx.pack_sequences(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", budget=256, seed=42
+    )

@@ -567,3 +567,53 @@ def test_streaming_dedup_first_seen(spark, tmp_path):
     }
     # A -> 3 (min id, batch 1; the batch-2 id 1 arrived too late), B -> 7, C -> 9
     assert got == {3, 7, 9}
+
+
+def test_chunk_documents_coverage(spark):
+    """Every token position is covered by some chunk; consecutive chunks
+    overlap by exactly `overlap` tokens except possibly the tail."""
+    import pandas as pd
+    from qafs_spark.pipeline import text as tx
+
+    rows = [
+        {"doc_id": 0, "text": " ".join(f"w{i}" for i in range(150))},
+        {"doc_id": 1, "text": "short doc"},
+        {"doc_id": 2, "text": ""},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = tx.chunk_documents(df, "text", "doc_id", max_tokens=64, overlap=8)
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    # doc 0: 150 tokens, stride 56 -> chunks at 0, 56, 112 (tail len 38)
+    assert {(0, 0), (0, 1), (0, 2)} <= set(got)
+    assert got[(0, 0)]["n_tokens"] == 64
+    assert got[(0, 2)]["n_tokens"] == 150 - 112
+    assert got[(0, 1)]["chunk_text"].split()[0] == "w56"  # overlap of 8
+    assert got[(1, 0)]["chunk_text"] == "short doc"
+    assert not any(d == 2 for d, _ in got)  # empty doc emits nothing
+    # full coverage: reconstruct tokens from chunks of doc 0
+    covered = set()
+    for (d, i), r in got.items():
+        if d == 0:
+            covered |= set(r["chunk_text"].split())
+    assert covered == {f"w{i}" for i in range(150)}
+
+
+def test_pack_sequences_budget(spark):
+    """Pack running totals: within a pack key, pack_id increments whenever
+    the running total crosses the budget; every doc keeps its tokens."""
+    import pandas as pd
+    from qafs_spark.pipeline import text as tx
+
+    rows = [{"doc_id": i, "text": " ".join(["x"] * 40)} for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = tx.pack_sequences(df, "text", "doc_id", budget=100, seed=42).collect()
+    assert len(out) == 50 and all(r["n_tokens"] == 40 for r in out)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["pack_key"], []).append(r)
+    for rows_k in by_key.values():
+        # 40-token docs, budget 100 -> at most 3 docs start inside one pack
+        from collections import Counter
+
+        c = Counter(r["pack_id"] for r in rows_k)
+        assert all(v <= 3 for v in c.values())
