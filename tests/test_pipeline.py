@@ -617,3 +617,39 @@ def test_pack_sequences_budget(spark):
 
         c = Counter(r["pack_id"] for r in rows_k)
         assert all(v <= 3 for v in c.values())
+
+
+def test_new_ops_empty_inputs(spark):
+    """Edge behavior: empty inputs flow through the new operators without
+    errors and produce empty (not wrong) results."""
+    import pandas as pd
+    from qafs_spark.operators.interval import interval_join
+    from qafs_spark.pipeline import dedup as dd
+    from qafs_spark.pipeline import text as tx
+
+    empty_docs = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert tx.chunk_documents(empty_docs, "text", "doc_id").count() == 0
+    assert tx.repetition_table(empty_docs, "text", "doc_id").count() == 0
+    assert tx.pack_sequences(empty_docs, "text", "doc_id").count() == 0
+
+    no_pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert dd.cluster_pairs(no_pairs).count() == 0
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [pd.Timestamp("2024-01-01")]})
+    )
+    no_iv = spark.createDataFrame([], "k LONG, start TIMESTAMP, end TIMESTAMP")
+    assert interval_join(pts, no_iv, point_time="ts", by=["k"]).count() == 0
+
+
+def test_cluster_pairs_transitive(spark):
+    """Min-label propagation: a chain a-b-c-d collapses to one cluster
+    within 3 iterations; disjoint pairs keep separate labels."""
+    import pandas as pd
+    from qafs_spark.pipeline import dedup as dd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]})
+    )
+    got = {r["id"]: r["cluster"] for r in dd.cluster_pairs(pairs, 3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
