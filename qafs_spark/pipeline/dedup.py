@@ -526,6 +526,7 @@ def cluster_pairs(
     k_iters: int = 3,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    cache_edges: bool = True,
 ) -> DataFrame:
     """Connected-component labels for near-dup pairs: (id, cluster) with
     cluster = min id reachable within ``k_iters`` hops (min-label
@@ -546,6 +547,15 @@ def cluster_pairs(
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    if cache_edges:
+        # every iteration references `edges` (and the label seed does too):
+        # without materialization Spark recomputes the upstream pair
+        # generation once per reference — for near-dup pairs that is the
+        # whole shingle join, k_iters+1 times over. On a cluster you'd
+        # write the edge list out once; persist is the one-job analogue.
+        from pyspark import StorageLevel
+
+        edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("cluster")
     )
