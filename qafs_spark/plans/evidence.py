@@ -100,13 +100,23 @@ def global_window_count(df: DataFrame) -> int:
     """
     count = 0
     for line in executed_plan(df).splitlines():
-        # Window prints `Window [wexprs], [pspec], [ospec]` when partitioned
-        # and `Window [wexprs], [ospec]` when not; WindowGroupLimit prints
-        # `WindowGroupLimit [pspec], [ospec], <rank>, <k>, <mode>` with an
-        # empty `[]` pspec when unpartitioned.
-        m = re.search(r"\bWindow\s+(\[.*)$", line)
-        if m and len(re.findall(r"\[[^\]]*\]", m.group(1))) < 3:
-            count += 1
+        # Inside `windowspecdefinition(part..., order..., frame)` partition
+        # columns print bare while order columns carry ASC/DESC markers, so
+        # a spec whose every pre-frame argument is an ordering (or that has
+        # none) is unpartitioned. (Counting bracket groups is wrong: a
+        # partitioned-but-UNORDERED window — e.g. collect_set over the
+        # whole partition — prints only two groups and is NOT global.)
+        if "Window" in line:
+            m = re.search(
+                r"windowspecdefinition\((.*?)specifiedwindowframe", line
+            )
+            if m:
+                args = [a.strip() for a in m.group(1).rstrip(", ").split(",")]
+                args = [a for a in args if a]
+                if not args or all(
+                    " ASC" in a or " DESC" in a for a in args
+                ):
+                    count += 1
         m = re.search(r"\bWindowGroupLimit\s+\[([^\]]*)\]", line)
         if m and m.group(1).strip() == "":
             count += 1
