@@ -487,3 +487,29 @@ def test_transform_returns_skips_inference_job(spark, fs):
     mark = max(tracker.getJobIdsForGroup(None), default=-1) + 1
     fs.load_features("t/tripled")
     assert any("toPandas" in n or "collect" in n for n in data_jobs(mark))
+
+
+def test_uri_scheme_storage_roundtrip(spark, tmp_store):
+    """A scheme-qualified storage root (file:) flows through the whole
+    save -> registry -> load chain via the Hadoop FileSystem API — the same
+    code path s3a://, gs://, abfs:// take on a cluster with those
+    connectors (the cloud matrix itself is unexercisable in this
+    container; URI handling is the part we CAN pin)."""
+    import pandas as pd
+    from qafs_spark import FeatureStore
+
+    fs = FeatureStore(storage=f"file://{tmp_store}/uri_root", spark=spark)
+    fs.create_namespace("u")
+    fs.create_feature("u/f")
+    pdf = pd.DataFrame(
+        {
+            "time": pd.date_range("2021-01-01", periods=5, freq="1D"),
+            "value": [float(i) for i in range(5)],
+        }
+    )
+    fs.save_df(spark.createDataFrame(pdf), name="u/f")
+    out = fs.load_features("u/f")
+    got = {r["time"]: r["u/f"] for r in out.collect()}
+    assert got[pd.Timestamp("2021-01-03")] == 2.0
+    assert len(got) == 5
+    assert set(fs.list_features(namespace="u")) >= set()  # registry reachable
