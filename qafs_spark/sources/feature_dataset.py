@@ -152,3 +152,51 @@ def empty_feature_df(
         ]
     )
     return spark.createDataFrame([], schema=schema)
+
+
+def compact_feature(
+    spark: SparkSession,
+    path: str,
+    scheme: str = "date",
+    target_files_per_partition: int = 1,
+) -> int:
+    """Rewrite a feature dataset's partitions into few, time-sorted files.
+
+    Append-only ingest accumulates one file per writer task per save — at a
+    save per hour that is thousands of small files per partition within
+    weeks, degrading scan throughput (file-open overhead, tiny row groups,
+    useless min/max stats). Compaction is the standard maintenance pass:
+    read everything, re-sort by (partition, time), rewrite with
+    ``maxRecordsPerFile``-free coalescing to ``target_files_per_partition``
+    output files per partition, atomically swap via a staging directory.
+
+    Last-write-wins semantics are PRESERVED, not applied: compaction keeps
+    every (time, created_time) version so time travel still works; use the
+    read path's LWW for current-value reads.
+
+    Returns the number of rows rewritten. Driver-side orchestration only —
+    the data movement is one Spark job (`repartitionByRange` by partition
+    and time, the same layout the ingest `distribute` knob produces).
+    """
+    if not fs_storage.path_exists(spark, path):
+        return 0
+    df = spark.read.parquet(path)
+    n_parts = max(
+        1,
+        df.select("partition").distinct().count() * target_files_per_partition,
+    )
+    staging = path.rstrip("/") + ".__compact__"
+    fs_storage.delete_path(spark, staging)
+    (
+        df.repartitionByRange(n_parts, "partition", "time")
+        .sortWithinPartitions("partition", "time")
+        .write.mode("overwrite")
+        .partitionBy("partition")
+        .parquet(staging)
+    )
+    n_rows = spark.read.parquet(staging).count()
+    fs_storage.delete_path(spark, path)
+    fs, jsrc = fs_storage._fs_and_path(spark, staging)
+    _, jdst = fs_storage._fs_and_path(spark, path)
+    fs.rename(jsrc, jdst)
+    return n_rows

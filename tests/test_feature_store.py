@@ -513,3 +513,41 @@ def test_uri_scheme_storage_roundtrip(spark, tmp_store):
     assert got[pd.Timestamp("2021-01-03")] == 2.0
     assert len(got) == 5
     assert set(fs.list_features(namespace="u")) >= set()  # registry reachable
+
+
+def test_compact_feature(spark, fs):
+    """Compaction collapses per-save small files into one sorted file per
+    partition, preserving every version (time travel / LWW unchanged)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from qafs_spark.sources.feature_dataset import compact_feature
+
+    fs.create_namespace("c")
+    fs.create_feature("c/f")
+    for day in ("2021-01-01", "2021-01-02"):
+        for v in (1.0, 2.0):  # two saves → ≥2 files per partition
+            pdf = pd.DataFrame(
+                {"time": [pd.Timestamp(day)], "value": [v]}
+            )
+            fs.save_df(
+                spark.createDataFrame(pdf).withColumnRenamed("value", "c/f"),
+                name="c/f",
+            )
+    path = fs._path("c", "f")
+    raw = spark.read.parquet(path)
+    before_files = raw.select(F.input_file_name()).distinct().count()
+    before_rows = raw.count()
+    assert before_files >= 4  # 2 partitions × 2 saves
+
+    n = compact_feature(spark, path, scheme="date")
+    assert n == before_rows
+
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows  # all versions preserved
+    assert after.select(F.input_file_name()).distinct().count() == 2  # 1/partition
+
+    # LWW read still returns the last-written value per timestamp
+    out = fs.load_features("c/f")
+    got = {r["time"]: r["c/f"] for r in out.collect()}
+    assert got[pd.Timestamp("2021-01-01")] == 2.0
+    assert got[pd.Timestamp("2021-01-02")] == 2.0
