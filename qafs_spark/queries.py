@@ -3102,3 +3102,92 @@ def q_pack_sequences(spark, sf_dir):
     return tx.pack_sequences(
         _t(spark, sf_dir, "documents"), "text", "doc_id", budget=256, seed=42
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: cohort retention + ordered funnel
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.act_week) AS BIGINT) AS week_no,
+           count(DISTINCT a.user_id) AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Analytics: weekly cohort retention matrix — first-event cohort per
+    user joined back onto distinct (user, week) activity. The firsts agg is
+    small (one row per user) → broadcast onto the distinct-activity agg;
+    both aggs map-side combine."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.floor(
+                    (F.col("act_week").cast("long") - F.col("cohort_week").cast("long"))
+                    / (7 * 86400)
+                )
+            ).cast("long").alias("week_no"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "funnel_ordered",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS viewed,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS then_clicked,
+           CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                          AND t_buy > t_click THEN 1 ELSE 0 END) AS BIGINT)
+               AS then_bought
+    FROM per_user
+    """,
+)
+def q_funnel_ordered(spark, sf_dir):
+    """Analytics: strictly-ordered view -> click -> purchase funnel — the
+    min-timestamp-per-stage conditional aggregation (one map-side-combined
+    groupBy per user, one tiny global agg; no self-joins, no window)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("long")).alias("viewed"),
+        F.sum(clicked.cast("long")).alias("then_clicked"),
+        F.sum(bought.cast("long")).alias("then_bought"),
+    )

@@ -653,3 +653,43 @@ def test_cluster_pairs_transitive(spark):
     )
     got = {r["id"]: r["cluster"] for r in dd.cluster_pairs(pairs, 3).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_save_stream_feeds_feature_store(spark, tmp_path, fs):
+    """The lambda collapse: a stream written via save_stream lands in the
+    exact batch feature-dataset layout, immediately readable through
+    FeatureStore.load_features with identical last-write-wins semantics."""
+    import pandas as pd
+    from qafs_spark.streaming import save_stream
+
+    fs.create_namespace("s")
+    fs.create_feature("s/streamed")
+    path = fs._path("s", "streamed")
+
+    src = str(tmp_path / "stream_src")
+    pdf = pd.DataFrame(
+        {
+            "time": list(pd.date_range("2021-03-01", periods=5, freq="1D")) * 2,
+            "created_time": pd.date_range(
+                "2021-06-01", periods=10, freq="1min"
+            ),
+            "value": [float(i) for i in range(10)],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "time TIMESTAMP, created_time TIMESTAMP, value DOUBLE"
+    ).parquet(src)
+    q = save_stream(
+        stream, path, checkpoint=str(tmp_path / "ckpt"), scheme="date"
+    )
+    q.awaitTermination(120)
+
+    out = fs.load_features("s/streamed")
+    got = {r["time"]: r["s/streamed"] for r in out.collect()}
+    # LWW: for each timestamp the later created_time (values 5..9) wins
+    assert got == {
+        pd.Timestamp("2021-03-01") + pd.Timedelta(days=i): float(5 + i)
+        for i in range(5)
+    }
