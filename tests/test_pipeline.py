@@ -738,3 +738,85 @@ def test_jsonl_csv_document_sources(spark, tmp_path):
 
     stats = tx.repetition_table(spark.read.parquet(pq), "text", "doc_id")
     assert stats.count() == 6
+
+
+def test_asof_join_property_random(spark):
+    """Property test: asof_join == pandas.merge_asof across randomized
+    key cardinalities, densities, and tolerances (hypothesis drives the
+    shapes; each case is an independent oracle comparison)."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qafs_spark.operators.asof import asof_join
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_keys=st.integers(1, 6),
+        n_left=st.integers(1, 60),
+        n_right=st.integers(1, 40),
+        tol_min=st.sampled_from([None, 30, 240]),
+    )
+    def run(seed, n_keys, n_left, n_right, tol_min):
+        rng = np.random.default_rng(seed)
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, n_keys, n_left),
+                "time": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(
+                    np.sort(rng.integers(0, 5_000, n_left)), unit="min"
+                ),
+                "lv": np.arange(float(n_left)),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, n_keys, n_right),
+                "time": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(
+                    np.sort(rng.integers(0, 5_000, n_right)), unit="min"
+                ),
+                "rv": np.arange(float(n_right)) * 10,
+            }
+        ).drop_duplicates(["k", "time"], keep="last")
+
+        tol = None if tol_min is None else f"{tol_min}min"
+        got = (
+            asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                by=["k"],
+                right_cols=["rv"],
+                tolerance=tol,
+            )
+            .toPandas()
+            .sort_values(["k", "time", "lv"])
+            .reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            left.sort_values("time"),
+            right.sort_values("time").rename(columns={"time": "time_asof"}),
+            left_on="time",
+            right_on="time_asof",
+            by="k",
+            direction="backward",
+            tolerance=None if tol_min is None else pd.Timedelta(minutes=tol_min),
+        ).sort_values(["k", "time", "lv"]).reset_index(drop=True)
+        # pandas drops time_asof when the match is outside tolerance; ours
+        # nulls it — align by comparing the joined value and matched time
+        assert len(got) == len(exp)
+        assert (
+            got["rv_asof"].fillna(-1).tolist()
+            == exp["rv"].fillna(-1).tolist()
+        )
+        assert (
+            got["time_asof"].fillna(pd.Timestamp(0)).tolist()
+            == exp["time_asof"].fillna(pd.Timestamp(0)).tolist()
+        )
+
+    run()
