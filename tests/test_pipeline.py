@@ -820,3 +820,73 @@ def test_asof_join_property_random(spark):
         )
 
     run()
+
+
+def test_align_resample_property_random(spark):
+    """Property test for the golden J1+J2+W1 semantics: align_features +
+    resample_asof equals pandas `concat(outer).resample(freq).ffill().ffill()`
+    across randomized series densities, offsets, and grid frequencies."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qafs_spark.operators.align import align_features
+    from qafs_spark.operators.resample import resample_asof
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n1=st.integers(2, 40),
+        n2=st.integers(2, 40),
+        freq=st.sampled_from(["30min", "2h", "1d"]),
+    )
+    def run(seed, n1, n2, freq):
+        rng = np.random.default_rng(seed)
+
+        def series(n, name):
+            ts = pd.Timestamp("2024-02-01") + pd.to_timedelta(
+                np.sort(rng.choice(20_000, size=n, replace=False)), unit="min"
+            )
+            return pd.DataFrame({"time": ts, name: rng.standard_normal(n)})
+
+        s1, s2 = series(n1, "a"), series(n2, "b")
+        from_ts, to_ts = pd.Timestamp("2024-02-03"), pd.Timestamp("2024-02-10")
+
+        aligned = align_features(
+            [("a", spark.createDataFrame(s1)), ("b", spark.createDataFrame(s2))],
+            fill=False,
+        )
+        got = (
+            resample_asof(aligned, ["a", "b"], from_ts, to_ts, freq)
+            .toPandas()
+            .sort_values("time")
+            .reset_index(drop=True)
+        )
+        # golden: the REFERENCE formula (concat.resample(freq).ffill()
+        # .ffill() — row-based as-of, reference tests:348-353), extended to
+        # the operator's [from_ts, to_ts] grid contract by a row-level
+        # reindex-ffill (carry past data end; NaN before data start). The
+        # from_ts midnight anchor keeps both grids in phase for these freqs.
+        golden = (
+            pd.concat(
+                [s1.set_index("time"), s2.set_index("time")],
+                join="outer", axis=1,
+            )
+            .resample(freq)
+            .ffill()
+            .ffill()
+        )
+        grid = pd.date_range(from_ts, to_ts, freq=freq)
+        golden = golden.reindex(grid, method="ffill")
+        assert got["time"].tolist() == grid.tolist()
+        for c in ("a", "b"):
+            g = got[c].to_numpy()
+            e = golden[c].to_numpy()
+            both_nan = np.isnan(g) & np.isnan(e)
+            assert np.all(both_nan | (g == e)), (c, seed, freq)
+
+    run()
