@@ -107,6 +107,17 @@ def resample_asof(
     ``aligned`` must have unique ``time`` rows (dedup first) and may include
     history rows before ``from_ts`` — they compress into negative bins and
     feed the carry-in chain exactly as the golden's uncut grid would.
+
+    Semantics are ROW-based, matching the reference golden
+    ``concat(outer).resample(freq).ffill().ffill()`` (reference
+    tests:348-353) exactly: within a bin the LATEST ROW wins for all
+    columns — if that row holds a null in some column while an earlier
+    same-bin row held a value, the null wins and the grid point falls back
+    to the previous bin's carry. This is what pandas' row-wise
+    ``Resampler.ffill`` does, and what the driver's DuckDB oracle rows and
+    ``test_align_resample_property_random`` pin. (A per-column as-of is a
+    DIFFERENT operator: run each series through its own resample, or ffill
+    the aligned frame per column before binning.)
     """
     f = parse_offset(freq)
     from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
