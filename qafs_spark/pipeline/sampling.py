@@ -101,6 +101,83 @@ def stratified_sample(
     return df.filter(hash_bucket(F.col(key_col), seed) < threshold)
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    target_rows: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling (multilingual corpus balancing).
+
+    Resamples so group shares follow ``n_g^alpha`` with **alpha = 0.5** — the
+    standard temperature trick (alpha < 1 flattens the mixture toward uniform
+    so rare languages/sources are upweighted; see e.g. the mBERT/XLM-R
+    exponential-smoothing recipe). Expected output size ≈ ``target_rows``.
+
+    Every step is integer-exact so the selection is bit-for-bit reproducible
+    across engines (and auditable in the DuckDB oracle):
+
+    * per-group micro-weight ``w_g = round(sqrt(n_g) * 1e6)`` — ``sqrt`` is
+      IEEE-correctly-rounded in every engine (unlike ``pow(n, alpha)``, which
+      is why alpha is pinned to 0.5);
+    * keep-rate threshold ``t_g = min(B, (B * target * w_g) div (sum_w *
+      n_g))`` in pure BIGINT arithmetic (no float summation-order hazards);
+    * membership: ``hash_bucket(key) < t_g`` — same md5 bucket as every other
+      sampler here, so temperature samples nest with holdouts/splits.
+
+    Scale shape: one map-side-combined count per group (tiny), a broadcast
+    of the per-group thresholds, and a narrow filter over the corpus — the
+    100 TB side is never shuffled. BIGINT headroom: ``B * target * w_g``
+    overflows int64 only past ~9e18 (target ~1e8 × groups of ~1e13 rows);
+    cast the numerator to decimal(38,0) if you ever get there.
+    """
+    counts = df.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    weights = counts.withColumn(
+        "__w", F.round(F.sqrt(F.col("__n")) * F.lit(1_000_000)).cast("long")
+    )
+    total = weights.agg(F.sum("__w").alias("__sum_w"))
+    thresholds = (
+        weights.crossJoin(F.broadcast(total))
+        .withColumn(
+            "__thr",
+            F.least(
+                F.lit(BUCKETS).cast("long"),
+                F.expr(
+                    f"(CAST({BUCKETS} AS BIGINT) * {int(target_rows)} * __w)"
+                    " div (__sum_w * __n)"
+                ),
+            ),
+        )
+        .select("__grp", "__thr")
+    )
+    return (
+        df.join(
+            F.broadcast(thresholds), df[group_col] == F.col("__grp"), "inner"
+        )
+        .filter(hash_bucket(F.col(key_col), seed) < F.col("__thr"))
+        .drop("__grp", "__thr")
+    )
+
+
+def sql_temperature_thresholds(
+    table: str, group_sql: str, target_rows: int, buckets: int = BUCKETS
+) -> str:
+    """DuckDB CTE mirroring :func:`temperature_sample`'s threshold table."""
+    return f"""
+    __n AS (SELECT {group_sql} AS __grp, count(*) AS __n FROM {table} GROUP BY 1),
+    __w AS (SELECT __grp, __n,
+                   CAST(round(sqrt(__n) * 1000000) AS BIGINT) AS __w FROM __n),
+    __s AS (SELECT sum(__w) AS __sum_w FROM __w),
+    __t AS (SELECT __grp,
+                   least({buckets}, ({buckets}::BIGINT * {int(target_rows)} * __w)
+                         // (__sum_w * __n)) AS __thr
+            FROM __w, __s)
+    """
+
+
 def take_per_group(
     df: DataFrame,
     group_cols: Sequence[str],

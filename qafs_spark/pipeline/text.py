@@ -290,6 +290,90 @@ def top_terms_by_group(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf-idf: (doc, term, tf, df, rank).
+
+    Uses the *raw* inverse-document-frequency variant ``score = tf * (N /
+    df)``: within one document the corpus size N is constant, so the ranking
+    reduces to ``tf / df`` — a single IEEE-correctly-rounded double division
+    that is bit-identical in every engine (a log-idf would rank the same way
+    for df < N but costs a libm call with 1-ulp cross-engine wiggle). Ties
+    break on the term string, so ranks are fully deterministic.
+
+    Scale shape: explode → map-side-combined (doc, term) counts; document
+    frequency is a second aggregate **over the tf frame** (one row per
+    (doc, term) — never re-reads the corpus); equi-join on term; per-doc
+    top-k gets WindowGroupLimit pushdown so each shuffle partition keeps at
+    most k rows per doc. Hot terms skew the term-join — AQE skew-split
+    handles it, or pre-drop stopword-frequency terms (df > cap) the same way
+    ngram_jaccard_capped does.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc").orderBy(
+        (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
+        F.col("term").asc(),
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "term", "tf", "df", "rank")
+    )
+
+
+def unigram_logprob_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document unigram-LM negative log-likelihood (perplexity proxy):
+    (doc, n_tokens, nll_micro).
+
+    The unigram model is the corpus itself: ``p(t) = n_t / T``. A document's
+    score is ``-Σ log p(t_i)`` — unusually high per-token NLL means rare
+    gibberish, unusually low means boilerplate; both are standard
+    quality-filter signals.
+
+    Float discipline: the per-token log-prob is frozen to integer micro-nats
+    ``lp_t = round(ln(n_t / T) * 1e6)`` **once per vocabulary term**, then
+    everything downstream (per-doc sum) is exact BIGINT arithmetic — no
+    summation-order nondeterminism, cross-engine reproducible.
+
+    Scale shape: vocabulary counts via map-side-combined aggregate; the
+    scalar total T is a one-row broadcast; token→lp is an equi-join of the
+    token stream against the (small) vocabulary table, then one
+    map-side-combined per-doc sum. The corpus is shuffled once (on term)
+    and once on doc id.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    lp = cnt.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("t").cast("double"))
+            * F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    return (
+        tok.join(lp, "term")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("lp")).cast("long").alias("nll_micro"),
+        )
+        .select(F.col("doc").alias(id_col), "n_tokens", "nll_micro")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

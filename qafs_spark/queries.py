@@ -3191,3 +3191,86 @@ def q_funnel_ordered(spark, sf_dir):
         F.sum(clicked.cast("long")).alias("then_clicked"),
         F.sum(bought.cast("long")).alias("then_bought"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted mixture sampling — pipeline/sampling.py
+# ---------------------------------------------------------------------------
+@register(
+    "temperature_mix",
+    oracle=f"""
+    WITH {sp.sql_temperature_thresholds('documents', 'lang', 250)}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN __t ON d.lang = __t.__grp
+    WHERE {sp.sql_hash_bucket('d.doc_id')} < __t.__thr
+    """,
+)
+def q_temperature_mix(spark, sf_dir):
+    """Pipeline: temperature-(alpha=0.5) mixture resampling over languages —
+    per-group thresholds from integer-exact sqrt micro-weights, broadcast
+    back over a narrow hash filter (the corpus side is never shuffled)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sp.temperature_sample(docs, "lang", "doc_id", target_rows=250)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — pipeline/text.py
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+    SELECT doc AS doc_id, term, tf, df, rank FROM (
+        SELECT tf.doc, tf.term, tf.tf, dfreq.df,
+               row_number() OVER (
+                   PARTITION BY tf.doc
+                   ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE)
+                            DESC, tf.term ASC
+               ) AS rank
+        FROM tf JOIN dfreq USING (term)
+    ) WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Pipeline: top-3 tf-idf terms per document (raw-idf variant — the
+    per-doc ranking reduces to one correctly-rounded tf/df double division,
+    bit-identical across engines; ties break on the term string)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return tx.tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM NLL (perplexity proxy) — pipeline/text.py
+# ---------------------------------------------------------------------------
+@register(
+    "unigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM cnt),
+    lp AS (SELECT term,
+                  CAST(round(ln(CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+                             * 1000000) AS BIGINT) AS lp
+           FROM cnt, tot)
+    SELECT doc AS doc_id, count(*) AS n_tokens,
+           CAST(-sum(lp.lp) AS BIGINT) AS nll_micro
+    FROM tok JOIN lp USING (term)
+    GROUP BY doc
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Pipeline: per-doc unigram negative log-likelihood — per-term log-probs
+    frozen to integer micro-nats once per vocabulary entry, then exact BIGINT
+    sums per document (no float-summation-order hazards)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return tx.unigram_logprob_table(docs, "text", "doc_id")

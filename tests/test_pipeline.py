@@ -890,3 +890,83 @@ def test_align_resample_property_random(spark):
             assert np.all(both_nan | (g == e)), (c, seed, freq)
 
     run()
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    from qafs_spark.pipeline import sampling as sp
+
+    rows = (
+        [(i, "big") for i in range(1600)]
+        + [(10_000 + i, "mid") for i in range(400)]
+        + [(20_000 + i, "rare") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = sp.temperature_sample(df, "g", "k", target_rows=210).collect()
+    by = {}
+    for r in out:
+        by[r.g] = by.get(r.g, 0) + 1
+    # thresholds are exact: w = (40, 20, 10)e6, sum_w = 70e6 →
+    # rates 0.075 / 0.15 / 0.30 → expected 120 / 60 / 30 (±md5 noise)
+    assert 85 <= by["big"] <= 155
+    assert 38 <= by["mid"] <= 85
+    assert 17 <= by["rare"] <= 45
+    # alpha=0.5 flattens: dominant group's share shrinks, rare group's grows
+    n_out = sum(by.values())
+    assert by["big"] / n_out < 1600 / 2100
+    assert by["rare"] / n_out > 100 / 2100
+    # deterministic under adversarial repartition
+    a = sorted(r.k for r in out)
+    b = sorted(
+        r.k
+        for r in sp.temperature_sample(
+            df.repartition(13, "k"), "g", "k", target_rows=210
+        ).collect()
+    )
+    assert a == b
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from qafs_spark.pipeline import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "apple apple banana common common"),
+            ("d2", "banana common"),
+            ("d3", "cherry common common common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tx.tfidf_top_terms(docs, "text", "doc_id", k=2)
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df) for r in out.collect()}
+    # d1: apple 2/1=2.0 > common 2/3 > banana 1/2
+    assert got[("d1", 1)] == ("apple", 2, 1)
+    assert got[("d1", 2)] == ("common", 2, 3)
+    # d3: cherry 1/1 > common 3/3
+    assert got[("d3", 1)] == ("cherry", 1, 1)
+    assert got[("d3", 2)] == ("common", 3, 3)
+    # k bound respected
+    assert all(rank <= 2 for (_, rank) in got)
+
+
+def test_unigram_logprob_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from qafs_spark.pipeline import text as tx
+
+    corpus = {
+        "d1": "a a b c",
+        "d2": "b c c d",
+        "d3": "a d d d",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    out = {
+        r.doc_id: (r.n_tokens, r.nll_micro)
+        for r in tx.unigram_logprob_table(docs, "text", "doc_id").collect()
+    }
+    cnt = Counter(t for text in corpus.values() for t in text.split())
+    total = sum(cnt.values())
+    lp = {t: round(math.log(n / total) * 1_000_000) for t, n in cnt.items()}
+    for doc_id, text in corpus.items():
+        toks = text.split()
+        assert out[doc_id] == (len(toks), -sum(lp[t] for t in toks))
