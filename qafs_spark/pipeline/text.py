@@ -374,6 +374,75 @@ def unigram_logprob_table(df: DataFrame, text_col: str, id_col: str) -> DataFram
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: "List[str]",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval for a bag-of-terms query: (doc, score_micro,
+    rank), top-k docs.
+
+    Okapi BM25 with the standard ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (always positive) and length normalization against the corpus mean.
+    Float discipline: every step is an IEEE-correctly-rounded double op
+    evaluated in the identical expression shape on both engines, and the
+    per-(doc, term) partial score is frozen to integer micro-units before
+    the per-doc sum — so results hash-match bit-for-bit cross-engine (the
+    one ``ln`` has a ~1e-10 rounding-boundary exposure per vocab term;
+    see unigram_logprob_table, same reasoning).
+
+    Scale shape: doc lengths are one map-side-combined aggregate over the
+    token stream; corpus scalars (N, total tokens) are a one-row broadcast;
+    the query-term filter collapses the stream to |Q| terms' postings before
+    any join (predicate on the exploded term — at 100 TB this is the
+    inverted-index probe, not a corpus scan per term). Top-k via
+    WindowGroupLimit over a single global partition of ≤ |candidate docs|
+    scored rows — bounded by docs containing ≥1 query term.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    dl = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
+    )
+    tf = (
+        tok.filter(F.col("term").isin(list(query_terms)))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / nd
+    idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+    denom = tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl))
+    part = idf * (tfd * F.lit(k1 + 1.0)) / denom
+    scored = joined.select(
+        "doc", F.round(part * F.lit(1_000_000)).cast("long").alias("s_micro")
+    )
+    per_doc = scored.groupBy("doc").agg(F.sum("s_micro").alias("score_micro"))
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("doc").asc())
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc").alias(id_col), "score_micro", "rank")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str,

@@ -3274,3 +3274,54 @@ def q_unigram_logprob(spark, sf_dir):
     sums per document (no float-summation-order hazards)."""
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return tx.unigram_logprob_table(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — pipeline/text.py
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "window", "vector")
+
+
+@register(
+    "bm25_topk",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+    tf AS (SELECT doc, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'join', 'window', 'vector')
+           GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc,
+               CAST(round(
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                               / (CAST(total_tokens AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))))
+                   * 1000000) AS BIGINT) AS s_micro
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN stats
+    ),
+    per_doc AS (SELECT doc, sum(s_micro) AS score_micro FROM scored GROUP BY doc)
+    SELECT doc AS doc_id, CAST(score_micro AS BIGINT) AS score_micro, rank
+    FROM (
+        SELECT doc, score_micro,
+               row_number() OVER (ORDER BY score_micro DESC, doc ASC) AS rank
+        FROM per_doc
+    ) WHERE rank <= 20
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """Pipeline: Okapi BM25 top-20 for a bag-of-terms query — inverted-index
+    probe (query-term filter on the exploded stream), broadcast corpus
+    scalars, per-(doc, term) partials frozen to micro-units before the exact
+    per-doc BIGINT sum."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return tx.bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=20)

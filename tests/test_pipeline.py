@@ -970,3 +970,39 @@ def test_unigram_logprob_matches_python(spark):
     for doc_id, text in corpus.items():
         toks = text.split()
         assert out[doc_id] == (len(toks), -sum(lp[t] for t in toks))
+
+
+def test_bm25_ranking_sane(spark):
+    import math
+
+    from qafs_spark.pipeline import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "spark spark spark filler filler"),
+            ("d2", "spark filler filler filler filler"),
+            ("d3", "filler filler filler filler filler"),
+            ("d4", "spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: (r.score_micro, r.rank) for r in
+           tx.bm25_topk(docs, "text", "doc_id", ["spark"], k=10).collect()}
+    # d3 has no query term -> absent; the others score positive
+    assert set(out) == {"d1", "d2", "d4"}
+    assert all(s > 0 for s, _ in out.values())
+    # short doc with the term (d4) outranks long doc with one hit (d2);
+    # tf=3 (d1) also beats tf=1-in-long-doc (d2)
+    assert out["d4"][0] > out["d2"][0]
+    assert out["d1"][0] > out["d2"][0]
+    # ranks are dense 1..3 consistent with score order
+    ranks = sorted(out.values(), key=lambda t: t[1])
+    assert [r for _, r in ranks] == [1, 2, 3]
+    assert all(ranks[i][0] >= ranks[i + 1][0] for i in range(len(ranks) - 1))
+    # cross-check one partial against pure-python BM25 (d4: tf=1, dl=1)
+    n_docs, total = 4, 16
+    df_ = 3
+    avgdl = total / n_docs
+    idf = math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+    s = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (1.0 / avgdl)))
+    assert out["d4"][0] == round(s * 1_000_000)
