@@ -395,20 +395,28 @@ def bm25_topk(
     one ``ln`` has a ~1e-10 rounding-boundary exposure per vocab term;
     see unigram_logprob_table, same reasoning).
 
-    Scale shape: doc lengths are one map-side-combined aggregate over the
-    token stream; corpus scalars (N, total tokens) are a one-row broadcast;
-    the query-term filter collapses the stream to |Q| terms' postings before
-    any join (predicate on the exploded term — at 100 TB this is the
-    inverted-index probe, not a corpus scan per term). Top-k via
-    WindowGroupLimit over a single global partition of ≤ |candidate docs|
-    scored rows — bounded by docs containing ≥1 query term.
+    Scale shape: exactly TWO passes over the corpus — (1) doc lengths (the
+    full token stream is unavoidable for length normalization), (2) the
+    query-term postings, where Catalyst pushes the ``isin`` below the
+    aggregate into the scan (the inverted-index probe). Both aggregated
+    frames persist (MEMORY_AND_DISK) because two consumers each would
+    otherwise replay the tokenize lineage per branch — measured 4 explodes
+    of the corpus without it, 2 with. Corpus scalars (N, total tokens) are
+    a one-row broadcast. The global top-k is ``TakeOrderedAndProject``
+    (per-partition top-k, merge of k·partitions rows — never a global
+    sort); ranks are then a window over ≤ k rows, a single trivial task.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    dl = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    dl = (
+        tok.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tokens")
     )
@@ -416,6 +424,7 @@ def bm25_topk(
         tok.filter(F.col("term").isin(list(query_terms)))
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     joined = (
@@ -435,11 +444,12 @@ def bm25_topk(
         "doc", F.round(part * F.lit(1_000_000)).cast("long").alias("s_micro")
     )
     per_doc = scored.groupBy("doc").agg(F.sum("s_micro").alias("score_micro"))
+    topk = per_doc.orderBy(F.col("score_micro").desc(), F.col("doc").asc()).limit(k)
+    # rank over the already-limited k rows: a one-task window over ≤ k rows
+    # (the heavy lifting happened in TakeOrderedAndProject above)
     w = Window.orderBy(F.col("score_micro").desc(), F.col("doc").asc())
-    return (
-        per_doc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("doc").alias(id_col), "score_micro", "rank")
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        F.col("doc").alias(id_col), "score_micro", "rank"
     )
 
 

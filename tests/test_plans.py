@@ -266,3 +266,20 @@ def test_bucketed_join_no_shuffle(spark, tmp_store):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_bm25_global_topk_is_take_ordered(spark):
+    """bm25's global top-k must compile to TakeOrderedAndProject
+    (per-partition top-k + bounded merge), never a full global sort; the
+    rank window runs over the already-limited k rows only."""
+    from qafs_spark.pipeline import text as tx
+
+    docs = spark.createDataFrame(
+        [(i, f"spark join t{i % 5} filler") for i in range(100)],
+        ["doc_id", "text"],
+    )
+    plan = _physical(tx.bm25_topk(docs, "text", "doc_id", ["spark", "join"], k=5))
+    assert "TakeOrderedAndProject" in plan
+    # no Sort node other than inside TakeOrderedAndProject / the tiny
+    # post-limit window (which must sit ABOVE the limit)
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
