@@ -132,9 +132,17 @@ def temperature_sample(
     overflows int64 only past ~9e18 (target ~1e8 × groups of ~1e13 rows);
     cast the numerator to decimal(38,0) if you ever get there.
     """
-    counts = df.groupBy(F.col(group_col).alias("__grp")).agg(
-        F.count(F.lit(1)).alias("__n")
+    from pyspark import StorageLevel
+
+    counts = (
+        df.groupBy(F.col(group_col).alias("__grp"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # persist: the tiny one-row-per-group frame feeds three consumers
+    # (weights, the weight total, the threshold join) — without it each
+    # branch replays the full-corpus count (measured 3 corpus scans for
+    # what should be 1 + the output filter's own scan)
     weights = counts.withColumn(
         "__w", F.round(F.sqrt(F.col("__n")) * F.lit(1_000_000)).cast("long")
     )

@@ -312,10 +312,18 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persist: tf feeds both the document-frequency aggregate and the final
+    # join — one tokenize pass instead of two
+    tf = (
+        tok.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc").orderBy(
         (F.col("tf").cast("double") / F.col("df").cast("double")).desc(),
@@ -349,10 +357,19 @@ def unigram_logprob_table(df: DataFrame, text_col: str, id_col: str) -> DataFram
     map-side-combined per-doc sum. The corpus is shuffled once (on term)
     and once on doc id.
     """
+    from pyspark import StorageLevel
+
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    # persist: the vocabulary-count frame feeds the total-tokens scalar and
+    # the log-prob table; the corpus itself is tokenized exactly twice (LM
+    # build + scoring join), which is the natural two-pass shape
+    cnt = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     tot = cnt.agg(F.sum("n").alias("t"))
     lp = cnt.crossJoin(F.broadcast(tot)).select(
         "term",
