@@ -149,3 +149,91 @@ def resample_asof(
         full.filter((F.col(_K) >= 0) & (F.col(_K) <= k_max))
         .select(_grid_time(F.col(_K), from_ts, f).alias("time"), *value_cols)
     )
+
+
+def resample_interpolate(
+    series: DataFrame,
+    from_ts,
+    to_ts,
+    freq,
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted LINEAR interpolation onto the [from_ts, to_ts] grid —
+    the extension beyond the reference's ffill-only resample (equivalent to
+    evaluating pandas ``interpolate(method="time")`` at each grid point).
+
+    At grid point g with (t0, v0) the latest non-null observation at-or-
+    before g and (t1, v1) the earliest strictly after (observations beyond
+    ``to_ts`` participate as right anchors):
+
+        v(g) = v0 + (v1 - v0) * ((g - t0) / (t1 - t0))
+
+    Tail carries v0 when no right anchor exists; grid points before the
+    first observation are null. Every arithmetic step is an IEEE-correctly-
+    rounded double op over exact microsecond integers, so results replay
+    bit-for-bit in any engine (DuckDB oracle uses its native ASOF joins —
+    a completely different plan computing the same reals).
+
+    Scale shape (same bin-compression argument as :func:`resample_asof`):
+    ONE aggregate per bin yields both the last and first observation
+    (``max_by``/``min_by`` structs, map-side combined — raw history never
+    shuffles whole); the left anchors forward-fill and the right anchors
+    (reindexed to bin k-1) BACKWARD-fill via the same two-pass bucketed
+    ffill run over the negated bin index. No per-grid-point join, no
+    global sort, no single-task window over data rows.
+    """
+    f = parse_offset(freq)
+    from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
+    spark = series.sparkSession
+    k_max = n_steps(from_ts, to_ts, f)
+    if k_max < 0:
+        raise FeatureStoreException("to_date must be >= from_date for resample")
+
+    obs = series.filter(F.col(value_col).isNotNull()).select(
+        F.col(time_col).alias("__t"), F.col(value_col).alias("__v")
+    )
+    per_bin = (
+        obs.withColumn(_K, _bin_index(F.col("__t"), from_ts, f))
+        .groupBy(_K)
+        .agg(
+            F.max_by(F.struct("__t", "__v"), F.col("__t")).alias("__last"),
+            F.min_by(F.struct("__t", "__v"), F.col("__t")).alias("__first"),
+        )
+    )
+    # left anchors live in their own bin; right anchors are "the first
+    # observation of bin j", which is the NEXT point for every grid k <= j-1
+    left = per_bin.select(
+        _K, F.col("__last.__t").alias("__pt"), F.col("__last.__v").alias("__pv")
+    )
+    right = per_bin.select(
+        (F.col(_K) - 1).alias(_K),
+        F.col("__first.__t").alias("__nt"),
+        F.col("__first.__v").alias("__nv"),
+    )
+    grid = spark.range(k_max + 1).select(F.col("id").alias(_K))
+    full = (
+        grid.join(left.join(right, on=_K, how="full"), on=_K, how="full")
+    )
+    full = ffill(
+        full, ["__pt", "__pv"], time_col=_K,
+        bucket=F.floor(F.col(_K) / F.lit(_FFILL_BUCKET_BINS)),
+    )
+    full = full.withColumn("__nk", -F.col(_K))
+    full = ffill(
+        full, ["__nt", "__nv"], time_col="__nk",
+        bucket=F.floor(F.col("__nk") / F.lit(_FFILL_BUCKET_BINS)),
+    ).drop("__nk")
+
+    g = _grid_time(F.col(_K), from_ts, f)
+    dg = (F.unix_micros(g) - F.unix_micros(F.col("__pt"))).cast("double")
+    dt = (F.unix_micros(F.col("__nt")) - F.unix_micros(F.col("__pt"))).cast("double")
+    v = (
+        F.when(F.col("__pt").isNull(), F.lit(None).cast("double"))
+        .when(F.col("__nt").isNull(), F.col("__pv"))
+        .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * (dg / dt))
+    )
+    return (
+        full.filter((F.col(_K) >= 0) & (F.col(_K) <= k_max))
+        .select(g.alias(time_col), v.alias(value_col))
+    )

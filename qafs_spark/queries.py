@@ -3325,3 +3325,47 @@ def q_bm25_topk(spark, sf_dir):
     per-doc BIGINT sum."""
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return tx.bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=20)
+
+
+# ---------------------------------------------------------------------------
+# Linear-interpolation resample — operators/resample.py
+# ---------------------------------------------------------------------------
+@register(
+    "resample_interpolate",
+    oracle=f"""
+    WITH series AS ({_SQL_LWW}),
+    obs AS (SELECT time AS t, value AS v FROM series WHERE value IS NOT NULL),
+    grid AS (SELECT unnest(generate_series(TIMESTAMP '{_RESAMPLE_FROM}',
+                    TIMESTAMP '{_RESAMPLE_TO}', INTERVAL 6 HOUR)) AS time),
+    prev AS (SELECT g.time, o.t AS pt, o.v AS pv
+             FROM grid g ASOF LEFT JOIN obs o ON g.time >= o.t),
+    nxt AS (SELECT g.time, o.t AS nt, o.v AS nv
+            FROM grid g ASOF LEFT JOIN obs o ON g.time < o.t)
+    SELECT p.time,
+           CASE WHEN p.pt IS NULL THEN NULL
+                WHEN n.nt IS NULL THEN p.pv
+                ELSE p.pv + (n.nv - p.pv) *
+                     (CAST(epoch_us(p.time) - epoch_us(p.pt) AS DOUBLE)
+                      / CAST(epoch_us(n.nt) - epoch_us(p.pt) AS DOUBLE))
+           END AS value
+    FROM prev p JOIN nxt n USING (time)
+    """,
+)
+def q_resample_interpolate(spark, sf_dir):
+    """Extension beyond reference ffill-only resample: time-weighted linear
+    interpolation at grid points (pandas interpolate(method='time')
+    equivalent), bin-compressed ffill/bfill anchors — the DuckDB oracle
+    computes the same reals via native ASOF joins in both directions."""
+    from qafs_spark.operators.resample import resample_interpolate
+
+    series = last_write_wins(
+        _event_series_df(spark, sf_dir),
+        value_cols=["value"],
+        tiebreak_cols=["event_id"],
+    )
+    return resample_interpolate(
+        series.select("time", "value"),
+        pd.Timestamp(_RESAMPLE_FROM),
+        pd.Timestamp(_RESAMPLE_TO),
+        "6h",
+    )

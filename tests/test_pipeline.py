@@ -1006,3 +1006,36 @@ def test_bm25_ranking_sane(spark):
     idf = math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
     s = idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * (1.0 / avgdl)))
     assert out["d4"][0] == round(s * 1_000_000)
+
+
+def test_resample_interpolate_matches_pandas(spark):
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from qafs_spark.operators.resample import resample_interpolate
+
+    rng = np.random.default_rng(7)
+    times = pd.to_datetime(
+        sorted(rng.choice(np.arange(0, 3600 * 24 * 10, 3600), 40, replace=False)),
+        unit="s", origin="2024-03-01",
+    )
+    vals = rng.normal(size=40).round(3)
+    series = spark.createDataFrame(pd.DataFrame({"time": times, "value": vals}))
+    from_ts, to_ts, freq = "2024-03-02 00:00:00", "2024-03-09 00:00:00", "5h"
+
+    out = (
+        resample_interpolate(series, from_ts, to_ts, freq)
+        .toPandas().sort_values("time").reset_index(drop=True)
+    )
+    # pandas golden: union index -> time interpolation -> tail carry
+    grid = pd.date_range(from_ts, to_ts, freq="5h")
+    s = pd.Series(vals, index=times)
+    union = s.reindex(s.index.union(grid))
+    golden = union.interpolate(method="time").ffill().reindex(grid)
+    assert list(out["time"]) == list(grid)
+    for got, want in zip(out["value"], golden.values):
+        if pd.isna(want):
+            assert pd.isna(got)
+        else:
+            assert got == pytest.approx(want, rel=1e-9)
