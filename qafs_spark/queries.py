@@ -3369,3 +3369,68 @@ def q_resample_interpolate(spark, sf_dir):
         pd.Timestamp(_RESAMPLE_TO),
         "6h",
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection — exact integer arithmetic
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_anomalies",
+    oracle=f"""
+    WITH scored AS (
+        SELECT event_id, user_id, {_SQL_CENTS.format(x='value')} AS x,
+               count(*) OVER w AS n,
+               CAST(sum({_SQL_CENTS.format(x='value')}) OVER w AS BIGINT) AS s,
+               CAST(sum({_SQL_CENTS.format(x='value')}
+                        * {_SQL_CENTS.format(x='value')}) OVER w AS BIGINT) AS q
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY date_trunc('second', ts)
+            RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                      AND INTERVAL 1 SECOND PRECEDING
+        )
+    )
+    SELECT event_id, user_id, x AS value_cents, n AS base_n, s AS base_cents
+    FROM scored
+    WHERE n >= 5 AND (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+    """,
+)
+def q_rolling_anomalies(spark, sf_dir):
+    """Analytics: per-user trailing-24h z-score anomalies (|x - mean| >
+    3*std against the PRECEDING window, self excluded) in EXACT integer
+    arithmetic — the float z-score inequality cross-multiplies to
+    (n*x - s)^2 > 9*(n*q - s^2) over BIGINT cents, so the flagged set is
+    bit-reproducible on any engine (no float variance accumulation order).
+    One hash shuffle by user, a bounded range frame, no self-join. BIGINT
+    headroom: n*q needs n * max_cents^2 < 2^63 — fine to ~1e10-row windows
+    at 4-digit values; switch the products to DECIMAL(38,0) beyond that
+    (ANSI mode raises rather than wraps, so overflow is loud)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    x = cents(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-86400, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        x.alias("x"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x).over(w).alias("s"),
+        F.sum(x * x).over(w).alias("q"),
+    )
+    n, sx, q = F.col("n"), F.col("s"), F.col("q")
+    dev = n * F.col("x") - sx
+    return (
+        scored.filter((n >= 5) & (dev * dev > F.lit(9) * (n * q - sx * sx)))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("x").alias("value_cents"),
+            n.alias("base_n"),
+            sx.alias("base_cents"),
+        )
+    )
