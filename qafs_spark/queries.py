@@ -3434,3 +3434,60 @@ def q_rolling_anomalies(spark, sf_dir):
             sx.alias("base_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: fixed-width histogram + seasonal traffic profile
+# ---------------------------------------------------------------------------
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           CAST(min(round(value * 100)) AS BIGINT) AS lo_cents,
+           CAST(max(round(value * 100)) AS BIGINT) AS hi_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark, sf_dir):
+    """Profiling: fixed-width (25-unit) value histogram per event type with
+    exact bin extrema in cents — one map-side-combined aggregate; the bin
+    expression floor(value/25.0) is a single correctly-rounded double op so
+    bin assignment is engine-exact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(25.0)).cast("long").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(cents(F.col("value"))).alias("lo_cents"),
+        F.max(cents(F.col("value"))).alias("hi_cents"),
+    )
+
+
+@register(
+    "seasonal_profile",
+    oracle=f"""
+    SELECT event_type,
+           CAST(isodow(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           count(*) AS n,
+           CAST(sum({_SQL_CENTS.format(x='value')}) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_seasonal_profile(spark, sf_dir):
+    """Profiling: hour-of-week traffic/value profile per event type (the
+    observability seasonal baseline) — single aggregate, exact integer
+    sums; Spark weekday()+1 == DuckDB isodow (Mon=1..Sun=7)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.weekday(F.col("ts")) + F.lit(1)).cast("long").alias("dow"),
+        F.hour(F.col("ts")).cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents(F.col("value"))).alias("sum_cents"),
+    )
