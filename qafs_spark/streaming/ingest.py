@@ -154,3 +154,40 @@ def save_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    gap: str = "2 hours",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream interval join: each RIGHT row (e.g. purchase) matches
+    LEFT rows (e.g. clicks) with the same ``key`` whose event time falls in
+    ``[right.ts, right.ts + gap)`` — the streaming twin of
+    ``operators.interval.interval_join`` (batch query
+    ``interval_join_clicks``).
+
+    Both sides carry event-time watermarks, and the join condition bounds
+    the time skew, so Spark derives a state-eviction horizon for each side:
+    state size is O(key cardinality x (gap + watermark)) rows, never the
+    full stream. Output is append-mode pairs; aggregate downstream (or in
+    a foreachBatch) as needed.
+
+    Equi-key + time-range is exactly the shape Structured Streaming's
+    symmetric hash join handles; anything without the equality key would
+    degenerate to broadcast-nested-loop state and should be re-keyed first.
+    """
+    l = left.withWatermark(time_col, watermark).alias("l")
+    r = right.withWatermark(time_col, watermark).alias("r")
+    return l.join(
+        r,
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"l.{time_col}") >= F.col(f"r.{time_col}"))
+        & (
+            F.col(f"l.{time_col}")
+            < F.col(f"r.{time_col}") + F.expr(f"INTERVAL {gap}")
+        ),
+    )

