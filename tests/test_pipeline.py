@@ -1118,3 +1118,33 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q2.awaitTermination(120)
     got_op = {(r.c_id, r.p_id) for r in spark.sql("SELECT * FROM ssj_op").collect()}
     assert got_op == batch
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    """A flat-valued user with one large spike must flag exactly the spike
+    (against the self-excluded trailing window); jitter below 3 sigma must
+    not flag."""
+    import pandas as pd
+
+    from qafs_spark.queries import QUERIES
+
+    # build a miniature events parquet layout the query can read
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="anom_")
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # user 0: values alternate 10/12 every 10 min, one 500 spike at i=30
+    for i in range(60):
+        rows.append((i, base + pd.Timedelta(minutes=10 * i), 0, "click",
+                     500.0 if i == 30 else (10.0 if i % 2 else 12.0), "{}"))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["rolling_anomalies"](spark, d).collect()
+    flagged = {r.event_id for r in out}
+    assert 30 in flagged
+    # the spike also inflates the windows of its successors' baselines —
+    # but none of the flat values may flag once the spike leaves the window
+    late = {r for r in flagged if r > 30 + 24 * 6}
+    assert not late
+    # and nothing before the spike flags
+    assert not {r for r in flagged if r < 30}
