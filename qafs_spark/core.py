@@ -485,13 +485,25 @@ class FeatureStore:
         freq: Optional[str] = None,
         time_travel: Optional[str] = None,
         namespace: Optional[str] = None,
+        method: str = "ffill",
     ) -> DataFrame:
         """One lazy Spark plan over all requested features (SURVEY §3.2).
 
         Returns a DataFrame with a ``time`` column plus one column per
         feature named ``namespace/name``, outer-aligned and forward-filled;
         with ``freq``, rows sit on the regular grid with as-of carry-in.
+
+        ``method`` (only meaningful with ``freq``): ``"ffill"`` is the
+        reference's golden as-of carry; ``"interpolate"`` evaluates
+        time-weighted linear interpolation at each grid point instead
+        (extension; see ``operators.resample.resample_interpolate``) —
+        each series interpolates independently against its own
+        observations, then the grids join on ``time``.
         """
+        if method not in ("ffill", "interpolate"):
+            raise FeatureStoreException(
+                f"Unknown resample method '{method}' (use 'ffill' or 'interpolate')"
+            )
         specs = self._unpack_list(features, namespace=namespace)
         if not specs:
             raise FeatureStoreException("No features requested")
@@ -536,6 +548,16 @@ class FeatureStore:
 
         cols = [n for n, _ in named]
         if freq is not None:
+            if method == "interpolate":
+                from .operators.resample import resample_interpolate
+
+                out = None
+                for name, series in named:
+                    g = resample_interpolate(
+                        series, from_ts, to_ts, freq, value_col=name
+                    )
+                    out = g if out is None else out.join(g, on="time", how="inner")
+                return out
             aligned = align_features(named, fill=False)
             return resample_asof(aligned, cols, from_ts, to_ts, freq)
         return align_features(named)

@@ -551,3 +551,42 @@ def test_compact_feature(spark, fs):
     got = {r["time"]: r["c/f"] for r in out.collect()}
     assert got[pd.Timestamp("2021-01-01")] == 2.0
     assert got[pd.Timestamp("2021-01-02")] == 2.0
+
+
+def test_load_features_interpolate(fs):
+    """load_features(freq=..., method='interpolate') evaluates linear
+    time interpolation per feature; 'ffill' stays the golden carry; bad
+    method raises."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from qafs_spark.exceptions import FeatureStoreException
+
+    fs.create_namespace("ip")
+    fs.create_feature("ip/a")
+    fs.create_feature("ip/b")
+    t = pd.to_datetime(["2021-01-01", "2021-01-03", "2021-01-05"])
+    fs.save_df(pd.DataFrame({"time": t, "ip/a": [0.0, 4.0, 8.0]}))
+    fs.save_df(pd.DataFrame({"time": t, "ip/b": [10.0, 10.0, 4.0]}))
+
+    out = (
+        fs.load_features(
+            ["ip/a", "ip/b"], from_date="2021-01-01", to_date="2021-01-05",
+            freq="1d", method="interpolate",
+        )
+        .toPandas().sort_values("time").reset_index(drop=True)
+    )
+    assert list(out["ip/a"]) == [0.0, 2.0, 4.0, 6.0, 8.0]
+    assert list(out["ip/b"]) == [10.0, 10.0, 10.0, 7.0, 4.0]
+
+    ff = (
+        fs.load_features(
+            ["ip/a"], from_date="2021-01-01", to_date="2021-01-05", freq="1d",
+        )
+        .toPandas().sort_values("time").reset_index(drop=True)
+    )
+    assert list(ff["ip/a"]) == [0.0, 0.0, 4.0, 4.0, 8.0]
+
+    with pytest.raises(FeatureStoreException):
+        fs.load_features(["ip/a"], freq="1d", method="nearest")
