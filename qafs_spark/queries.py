@@ -3491,3 +3491,76 @@ def q_seasonal_profile(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(cents(F.col("value"))).alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-COLUMN as-of resample (semantic sibling of the row-based golden)
+# ---------------------------------------------------------------------------
+_SQL_TYPED_SERIES = """
+    SELECT date_trunc('hour', ts) AS time,
+           ts + (event_id % 7) * INTERVAL 1 MINUTE AS created_time,
+           value, event_id
+    FROM events WHERE event_type = '{etype}'
+"""
+
+
+@register(
+    "resample_percolumn",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT time, value FROM (
+            SELECT time, value,
+                   row_number() OVER (PARTITION BY time
+                       ORDER BY created_time DESC, event_id DESC) AS rn
+            FROM ({_SQL_TYPED_SERIES.format(etype='click')})
+        ) WHERE rn = 1
+    ),
+    buys AS (
+        SELECT time, value FROM (
+            SELECT time, value,
+                   row_number() OVER (PARTITION BY time
+                       ORDER BY created_time DESC, event_id DESC) AS rn
+            FROM ({_SQL_TYPED_SERIES.format(etype='purchase')})
+        ) WHERE rn = 1
+    ),
+    grid AS (SELECT unnest(generate_series(TIMESTAMP '{_RESAMPLE_FROM}',
+                    TIMESTAMP '{_RESAMPLE_TO}', INTERVAL 6 HOUR)) AS time)
+    SELECT g.time, c.value AS click_value, b.value AS buy_value
+    FROM grid g
+    ASOF LEFT JOIN clicks c ON g.time >= c.time
+    ASOF LEFT JOIN buys b ON g.time >= b.time
+    """,
+)
+def q_resample_percolumn(spark, sf_dir):
+    """Per-COLUMN as-of carry: each series independently takes its own last
+    value at-or-before each grid point — vs the golden ROW-based semantics
+    (resample_asof) where the latest aligned row wins all columns, nulls
+    included. One bin-compressed resample per series, grids joined on time;
+    the DuckDB oracle is two independent native ASOF joins."""
+    from qafs_spark.operators.resample import resample_asof
+
+    ev = _t(spark, sf_dir, "events")
+
+    def typed_series(etype, cname):
+        s = ev.filter(F.col("event_type") == etype).select(
+            F.date_trunc("hour", F.col("ts")).alias("time"),
+            (
+                F.col("ts")
+                + F.make_interval(mins=(F.col("event_id") % 7).cast("int"))
+            ).alias("created_time"),
+            F.col("value"),
+            F.col("event_id"),
+        )
+        return last_write_wins(
+            s, value_cols=["value"], tiebreak_cols=["event_id"]
+        ).select("time", F.col("value").alias(cname))
+
+    grid_a = resample_asof(
+        typed_series("click", "click_value"), ["click_value"],
+        pd.Timestamp(_RESAMPLE_FROM), pd.Timestamp(_RESAMPLE_TO), "6h",
+    )
+    grid_b = resample_asof(
+        typed_series("purchase", "buy_value"), ["buy_value"],
+        pd.Timestamp(_RESAMPLE_FROM), pd.Timestamp(_RESAMPLE_TO), "6h",
+    )
+    return grid_a.join(grid_b, on="time", how="inner")
