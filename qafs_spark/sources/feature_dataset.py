@@ -200,3 +200,35 @@ def compact_feature(
     _, jdst = fs_storage._fs_and_path(spark, path)
     fs.rename(jsrc, jdst)
     return n_rows
+
+
+def expire_feature(
+    spark: SparkSession,
+    path: str,
+    scheme: str,
+    before,
+) -> int:
+    """Retention enforcement: drop whole partitions strictly OLDER than
+    ``before`` — a directory-listing operation, never a data scan.
+
+    The partition key is monotone in time ('yyyy-MM-dd' / 'yyyy' sort
+    lexicographically), so retention = compare directory names against the
+    cutoff's key and recursively delete the losers. A partition that
+    CONTAINS the cutoff instant is conservatively kept (its tail rows are
+    within retention; per-row deletion would require a rewrite — use
+    :func:`compact_feature` semantics for that). At 100 TB this is how
+    retention must work: O(#partitions) metadata calls, zero record I/O.
+
+    Returns the number of partitions deleted.
+    """
+    if not fs_storage.path_exists(spark, path):
+        return 0
+    cutoff_key = _partition_key(scheme, pd.Timestamp(before))
+    n = 0
+    for d in fs_storage.list_dirs(spark, path):
+        if not d.startswith("partition="):
+            continue
+        if d.split("=", 1)[1] < cutoff_key:
+            fs_storage.delete_path(spark, posixpath.join(path, d))
+            n += 1
+    return n

@@ -590,3 +590,26 @@ def test_load_features_interpolate(fs):
 
     with pytest.raises(FeatureStoreException):
         fs.load_features(["ip/a"], freq="1d", method="nearest")
+
+
+def test_expire_feature_drops_old_partitions(spark, fs):
+    """Retention expiry removes whole partitions older than the cutoff via
+    directory listing only; the partition containing the cutoff stays."""
+    import pandas as pd
+    from qafs_spark.sources.feature_dataset import expire_feature
+
+    fs.create_namespace("r")
+    fs.create_feature("r/f")
+    days = ["2021-01-01", "2021-01-02", "2021-01-03", "2021-01-04"]
+    for i, day in enumerate(days):
+        fs.save_df(pd.DataFrame({"time": [pd.Timestamp(day)], "r/f": [float(i)]}))
+    path = fs._path("r", "f")
+
+    n = expire_feature(spark, path, "date", before="2021-01-03 06:00:00")
+    assert n == 2  # 01-01, 01-02 dropped; 01-03 contains the cutoff -> kept
+
+    out = fs.load_features("r/f").collect()
+    times = sorted(r["time"] for r in out)
+    assert times == [pd.Timestamp("2021-01-03"), pd.Timestamp("2021-01-04")]
+    # idempotent
+    assert expire_feature(spark, path, "date", before="2021-01-03 06:00:00") == 0
