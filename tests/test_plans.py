@@ -283,3 +283,40 @@ def test_bm25_global_topk_is_take_ordered(spark):
     # no Sort node other than inside TakeOrderedAndProject / the tiny
     # post-limit window (which must sit ABOVE the limit)
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_zorder_concentrates_both_dimensions(spark, tmp_path):
+    """Z-order layout must concentrate a selective filter on EITHER column
+    into a minority of files; a single-column sort only manages that for
+    its own column."""
+    import pandas as pd
+
+    from qafs_spark.sources.zorder import write_zordered
+
+    n = 100_000
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+         .cast("long") % 1000).alias("x"),
+        (F.conv(F.substring(F.md5(F.concat(F.col("id").cast("string"), F.lit("y"))), 1, 8), 16, 10)
+         .cast("long") % 1000).alias("y"),
+    )
+    sorted_path = str(tmp_path / "sorted_x")
+    z_path = str(tmp_path / "zorder_xy")
+    (df.repartitionByRange(16, "x").sortWithinPartitions("x")
+       .write.mode("overwrite").parquet(sorted_path))
+    write_zordered(df, z_path, ["x", "y"], bits=8, num_files=16)
+
+    def files_hit(path, col):
+        return (
+            spark.read.parquet(path)
+            .filter((F.col(col) >= 100) & (F.col(col) < 150))  # 5% slice
+            .select(F.input_file_name().alias("f")).distinct().count()
+        )
+
+    # x-sorted: x-filter hits few files, y-filter smears over all of them
+    assert files_hit(sorted_path, "x") <= 3
+    assert files_hit(sorted_path, "y") >= 14
+    # z-order: BOTH filters hit a minority of the 16 files
+    zx, zy = files_hit(z_path, "x"), files_hit(z_path, "y")
+    assert zx <= 8 and zy <= 8, (zx, zy)
