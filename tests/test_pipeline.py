@@ -1148,3 +1148,55 @@ def test_rolling_anomalies_flags_spike(spark):
     assert not late
     # and nothing before the spike flags
     assert not {r for r in flagged if r < 30}
+
+
+def test_temperature_sample_property_random(spark):
+    """Property: over random group-size distributions, temperature_sample's
+    selected set must match a pure-python replay of the integer threshold
+    math exactly (same md5 buckets, same BIGINT arithmetic), and the
+    expected output size must track the target."""
+    import hashlib
+    import math
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qafs_spark.pipeline import sampling as sp
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_groups=st.integers(1, 6),
+        target=st.integers(10, 400),
+    )
+    def run(seed, n_groups, target):
+        rng = np.random.default_rng(seed)
+        sizes = rng.integers(5, 400, n_groups)
+        rows = []
+        k = 0
+        for g, n in enumerate(sizes):
+            for _ in range(int(n)):
+                rows.append((k, f"g{g}"))
+                k += 1
+        df = spark.createDataFrame(rows, ["k", "g"])
+        got = {r.k for r in sp.temperature_sample(df, "g", "k", target).collect()}
+
+        # pure-python replay of the documented integer math
+        w = {f"g{g}": round(math.sqrt(int(n)) * 1_000_000) for g, n in enumerate(sizes)}
+        sum_w = sum(w.values())
+        thr = {
+            g: min(10_000, (10_000 * target * wg) // (sum_w * int(sizes[int(g[1:])])))
+            for g, wg in w.items()
+        }
+
+        def bucket(key):
+            h = int(hashlib.md5(f"{key}:42".encode()).hexdigest()[:8], 16)
+            return h % 10_000
+
+        want = {k for k, g in rows if bucket(k) < thr[g]}
+        assert got == want
+    run()
