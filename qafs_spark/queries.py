@@ -3564,3 +3564,82 @@ def q_resample_percolumn(spark, sf_dir):
         pd.Timestamp(_RESAMPLE_FROM), pd.Timestamp(_RESAMPLE_TO), "6h",
     )
     return grid_a.join(grid_b, on="time", how="inner")
+
+
+# ---------------------------------------------------------------------------
+# Sketches II: approximate top-k heavy hitters + mergeable HLL rollup
+# ---------------------------------------------------------------------------
+@register(
+    "approx_top_terms",
+    # certification pattern (= approx_distinct_users): exact values
+    # hash-match; the sketch result is asserted within bounds as a boolean.
+    oracle=r"""
+    SELECT term, n, rank, true AS approx_ok FROM (
+        SELECT term, count(*) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, term ASC) AS rank
+        FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY term
+    ) WHERE rank <= 10
+    """,
+)
+def q_approx_top_terms(spark, sf_dir):
+    """Sketches: corpus-wide heavy hitters. Exact top-10 terms (bounded
+    TakeOrderedAndProject + rank over <=10 rows, same shape as bm25) are
+    hash-matched; Spark 4's approx_top_k sketch — the fixed-state path a
+    100 TB corpus would use — is certified to report each of them within
+    5% in the same scan."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = docs.select(F.explode(tx.tokens(F.col("text"))).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("term").asc()).limit(10)
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    top = top.withColumn("rank", F.row_number().over(w))
+    sketch = tok.agg(
+        F.expr("approx_top_k(term, 20, 10000)").alias("hitters")
+    )
+    joined = top.crossJoin(F.broadcast(sketch))
+    hit = F.filter(F.col("hitters"), lambda h: h["item"] == F.col("term"))
+    approx_n = F.try_element_at(hit, F.lit(1))["count"]
+    ok = approx_n.isNotNull() & (
+        F.abs(approx_n - F.col("n")) <= F.col("n") * F.lit(0.05)
+    )
+    return joined.select("term", "n", "rank", ok.alias("approx_ok"))
+
+
+@register(
+    "hll_union_rollup",
+    oracle="""
+    SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS exact_distinct,
+           true AS union_within_5pct
+    FROM documents
+    """,
+)
+def q_hll_union_rollup(spark, sf_dir):
+    """Sketches: MERGEABILITY — per-source Datasketches HLL sketches union
+    into the corpus-wide distinct count without rescanning (the pattern
+    that lets 100 TB pipelines pre-aggregate sketches per partition/day and
+    roll up arbitrarily later). Certified against the exact distinct in the
+    same query."""
+    docs = _t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.expr("hll_sketch_agg(doc_id)").alias("sk")
+    )
+    merged = per_source.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    exact = docs.agg(F.countDistinct("doc_id").alias("exact_distinct"))
+    out = merged.crossJoin(F.broadcast(exact))
+    ok = (
+        F.abs(F.col("est") - F.col("exact_distinct"))
+        <= F.col("exact_distinct") * F.lit(0.05)
+    )
+    return out.select(
+        F.col("n_sources").cast("long").alias("n_sources"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+        ok.alias("union_within_5pct"),
+    )
