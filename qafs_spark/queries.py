@@ -3643,3 +3643,65 @@ def q_hll_union_rollup(spark, sf_dir):
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
         ok.alias("union_within_5pct"),
     )
+
+
+@register(
+    "theta_intersection_users",
+    oracle="""
+    SELECT CAST((SELECT count(DISTINCT user_id) FROM events
+                 WHERE event_type = 'click') AS BIGINT) AS clickers,
+           CAST((SELECT count(DISTINCT user_id) FROM events
+                 WHERE event_type = 'purchase') AS BIGINT) AS buyers,
+           CAST((SELECT count(DISTINCT e1.user_id) FROM events e1
+                 WHERE e1.event_type = 'click'
+                   AND EXISTS (SELECT 1 FROM events e2
+                               WHERE e2.user_id = e1.user_id
+                                 AND e2.event_type = 'purchase'))
+                AS BIGINT) AS both_exact,
+           true AS intersection_within_5pct
+    """,
+)
+def q_theta_intersection_users(spark, sf_dir):
+    """Sketches: SET OPERATIONS on sketches — theta sketches support
+    intersection (HLL cannot), so 'users who clicked AND purchased' comes
+    from two mergeable per-segment sketches with NO join or distinct
+    shuffle of the raw stream. Certified against the exact semi-join count
+    in the same query."""
+    ev = _t(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)"
+        ).alias("sk_click"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' THEN user_id END)"
+        ).alias("sk_buy"),
+    ).select(
+        F.expr("theta_sketch_estimate(sk_click)").alias("est_click"),
+        F.expr("theta_sketch_estimate(sk_buy)").alias("est_buy"),
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(sk_click, sk_buy))"
+        ).alias("est_both"),
+    )
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        clickers.join(buyers, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("both_exact"))
+        .crossJoin(clickers.agg(F.count(F.lit(1)).alias("clickers")))
+        .crossJoin(buyers.agg(F.count(F.lit(1)).alias("buyers")))
+    )
+    out = exact.crossJoin(F.broadcast(sk))
+    ok = (
+        (F.abs(F.col("est_both") - F.col("both_exact"))
+         <= F.col("both_exact") * F.lit(0.05))
+        & (F.abs(F.col("est_click") - F.col("clickers"))
+           <= F.col("clickers") * F.lit(0.05))
+        & (F.abs(F.col("est_buy") - F.col("buyers"))
+           <= F.col("buyers") * F.lit(0.05))
+    )
+    return out.select(
+        F.col("clickers").cast("long").alias("clickers"),
+        F.col("buyers").cast("long").alias("buyers"),
+        F.col("both_exact").cast("long").alias("both_exact"),
+        ok.alias("intersection_within_5pct"),
+    )
