@@ -1200,3 +1200,54 @@ def test_temperature_sample_property_random(spark):
         want = {k for k, g in rows if bucket(k) < thr[g]}
         assert got == want
     run()
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """foreachBatch rollup maintenance: two micro-batches whose events
+    overlap on a day must merge into exactly the batch groupBy result,
+    rewriting only affected partitions."""
+    import os
+
+    import pandas as pd
+
+    from qafs_spark.streaming import read_event_stream
+    from qafs_spark.streaming.rollup import incremental_daily_rollup
+
+    src = tmp_path / "roll_in"
+    src.mkdir()
+
+    def mk(rows, name, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": [pd.Timestamp(t) for t, _ in rows],
+                "user_id": [0] * len(rows),
+                "event_type": ["click"] * len(rows),
+                "value": [v for _, v in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+        p = str(src / name)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = next(f for f in os.listdir(p + ".dir") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".dir", part), p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: day1 + day2; batch 2: day2 (merge!) + day3
+    mk([("2024-01-01 01:00:00", 1.5), ("2024-01-02 01:00:00", 2.0)], "f1.parquet", 1000)
+    mk([("2024-01-02 23:00:00", 3.25), ("2024-01-03 05:00:00", 4.0)], "f2.parquet", 2000)
+
+    out = str(tmp_path / "rollup_out")
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = incremental_daily_rollup(stream, out, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {
+        r.day: (r.n_events, r.sum_cents)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        "2024-01-01": (1, 150),
+        "2024-01-02": (2, 525),   # merged across the two micro-batches
+        "2024-01-03": (1, 400),
+    }
