@@ -1251,3 +1251,60 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
         "2024-01-02": (2, 525),   # merged across the two micro-batches
         "2024-01-03": (1, 400),
     }
+
+
+def test_bm25_property_random(spark):
+    """Property: bm25_topk's micro-unit scores replay EXACTLY in pure
+    python over random corpora (same IEEE ops in the same order), ranks
+    included."""
+    import math
+
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qafs_spark.pipeline import text as tx
+
+    VOCAB = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seed=st.integers(0, 2**31 - 1), n_docs=st.integers(2, 25))
+    def run(seed, n_docs):
+        rng = np.random.default_rng(seed)
+        docs = [
+            (f"d{i}", " ".join(rng.choice(VOCAB, rng.integers(1, 30))))
+            for i in range(n_docs)
+        ]
+        q_terms = ["alpha", "gamma"]
+        got = {
+            r.doc_id: (r.score_micro, r.rank)
+            for r in tx.bm25_topk(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                "text", "doc_id", q_terms, k=100,
+            ).collect()
+        }
+        # pure-python replay (identical expression shape)
+        toks = {d: t.split() for d, t in docs}
+        dl = {d: len(t) for d, t in toks.items()}
+        n, total = len(docs), sum(dl.values())
+        tf = {}
+        for d, t in toks.items():
+            for term in t:
+                if term in q_terms:
+                    tf[(d, term)] = tf.get((d, term), 0) + 1
+        dfreq = {}
+        for (d, term) in tf:
+            dfreq[term] = dfreq.get(term, 0) + 1
+        scores = {}
+        for (d, term), f in tf.items():
+            avgdl = total / n
+            idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+            part = idf * (f * (1.2 + 1.0)) / (f + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl)))
+            scores[d] = scores.get(d, 0) + round(part * 1_000_000)
+        order = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        want = {d: (s, i + 1) for i, (d, s) in enumerate(order)}
+        assert got == want
+    run()
