@@ -3705,3 +3705,77 @@ def q_theta_intersection_users(spark, sf_dir):
         F.col("both_exact").cast("long").alias("both_exact"),
         ok.alias("intersection_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (conditional-probability quality filter)
+# ---------------------------------------------------------------------------
+@register(
+    "bigram_logprob",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    big AS (
+        SELECT doc, t[i] AS w1, t[i + 1] AS w2
+        FROM tok, unnest(range(1, len(t))) AS u(i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+    lp AS (SELECT w1, w2,
+                  CAST(round(ln(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                             * 1000000) AS BIGINT) AS lp
+           FROM c2 JOIN c1 USING (w1))
+    SELECT doc AS doc_id, count(*) AS n_bigrams,
+           CAST(-sum(lp.lp) AS BIGINT) AS nll_micro
+    FROM big JOIN lp USING (w1, w2)
+    GROUP BY doc
+    """,
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Pipeline: bigram conditional-LM NLL per doc — the CCNet-style
+    perplexity filter shape, with the corpus itself as the LM:
+    p(w2|w1) = c(w1,w2)/c(w1). Per-bigram log-probs freeze to micro-nats
+    once per DISTINCT bigram (the context count c(w1) derives from the
+    bigram counts, so no second corpus pass), then per-doc sums are exact
+    BIGINT. Positional bigrams come straight off the token array
+    (element_at i, i+1 over a sequence — no self-join)."""
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tk = tx.tokens(F.col("text"))
+    big = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.struct(
+                    F.element_at(tk, i).alias("w1"),
+                    F.element_at(tk, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c2 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    lp = c2.join(c1, "w1").select(
+        "w1", "w2",
+        F.round(
+            F.log(F.col("n12").cast("double") / F.col("n1").cast("double"))
+            * F.lit(1_000_000)
+        ).cast("long").alias("lp"),
+    )
+    return (
+        big.join(lp, ["w1", "w2"])
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("lp")).cast("long").alias("nll_micro"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_bigrams", "nll_micro")
+    )
