@@ -3779,3 +3779,105 @@ def q_bigram_logprob(spark, sf_dir):
         )
         .select(F.col("doc").alias("doc_id"), "n_bigrams", "nll_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token entropy + Gopher-style rule filter
+# ---------------------------------------------------------------------------
+@register(
+    "doc_entropy",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tf AS (SELECT doc, term, count(*) AS c FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY 1)
+    SELECT tf.doc AS doc_id, max(dl.n) AS n_tokens,
+           CAST(-sum(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1000000000) AS BIGINT)) AS BIGINT) AS entropy_nano
+    FROM tf JOIN dl USING (doc)
+    GROUP BY tf.doc
+    """,
+)
+def q_doc_entropy(spark, sf_dir):
+    """Pipeline: per-doc token Shannon entropy (low entropy = repetitive/
+    boilerplate, the complement of doc_repetition's dup ratios). Each
+    (doc, term) contribution -(p ln p) freezes to integer nano-nats before
+    the per-doc sum, so no float accumulation order leaks in."""
+    from pyspark import StorageLevel
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dl = tf.groupBy("doc").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    contrib = F.round(p * F.log(p) * F.lit(1_000_000_000)).cast("long")
+    return (
+        tf.join(dl, "doc")
+        .groupBy("doc")
+        .agg(
+            F.max("n").alias("n_tokens"),
+            (-F.sum(contrib)).cast("long").alias("entropy_nano"),
+        )
+        .select(F.col("doc").alias("doc_id"), "n_tokens", "entropy_nano")
+    )
+
+
+@register(
+    "gopher_rules",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tok,
+               length(text) AS n_chars,
+               length(replace(text, ' ', '')) AS n_nonspace
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT doc_id,
+           (n_tok >= 50 AND n_tok <= 100000) AS ok_length,
+           (n_chars >= 200) AS ok_chars,
+           ((10 * n_nonspace >= 3 * n_chars)
+            AND (n_tok = 0 OR n_nonspace <= 12 * n_tok)) AS ok_words,
+           ((n_tok >= 50 AND n_tok <= 100000) AND (n_chars >= 200)
+            AND (10 * n_nonspace >= 3 * n_chars)
+            AND (n_tok = 0 OR n_nonspace <= 12 * n_tok)) AS passes
+    FROM base
+    """,
+)
+def q_gopher_rules(spark, sf_dir):
+    """Pipeline: Gopher-style hard rule filter (token-count bounds, char
+    floor, non-space density, mean-word-length cap) — every predicate is
+    integer cross-multiplied (10*nonspace >= 3*chars instead of a float
+    ratio), so the pass/fail set is engine-exact. Pure narrow map work."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    n_tok = F.size(tx.tokens(F.col("text"))).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_chars.alias("n_chars"),
+        n_nonspace.alias("n_nonspace"),
+    )
+    ok_length = (F.col("n_tok") >= 50) & (F.col("n_tok") <= 100_000)
+    ok_chars = F.col("n_chars") >= 200
+    ok_words = (F.lit(10) * F.col("n_nonspace") >= F.lit(3) * F.col("n_chars")) & (
+        (F.col("n_tok") == 0)
+        | (F.col("n_nonspace") <= F.lit(12) * F.col("n_tok"))
+    )
+    return base.select(
+        "doc_id",
+        ok_length.alias("ok_length"),
+        ok_chars.alias("ok_chars"),
+        ok_words.alias("ok_words"),
+        (ok_length & ok_chars & ok_words).alias("passes"),
+    )
