@@ -1308,3 +1308,32 @@ def test_bm25_property_random(spark):
         want = {d: (s, i + 1) for i, (d, s) in enumerate(order)}
         assert got == want
     run()
+
+
+def test_new_ops_edge_cases(spark):
+    """Edge paths: inverted resample range raises; zero-target temperature
+    sample selects nothing; bm25 with absent query terms returns empty;
+    interpolation of an empty series is all-null."""
+    import pandas as pd
+    import pytest
+
+    from qafs_spark.exceptions import FeatureStoreException
+    from qafs_spark.operators.resample import resample_interpolate
+    from qafs_spark.pipeline import sampling as sp
+    from qafs_spark.pipeline import text as tx
+
+    series = spark.createDataFrame(
+        [(pd.Timestamp("2024-01-02"), 1.0)], ["time", "value"]
+    )
+    with pytest.raises(FeatureStoreException):
+        resample_interpolate(series, "2024-01-05", "2024-01-01", "1d")
+
+    df = spark.createDataFrame([(i, "g") for i in range(50)], ["k", "g"])
+    assert sp.temperature_sample(df, "g", "k", target_rows=0).count() == 0
+
+    docs = spark.createDataFrame([("d1", "alpha beta")], ["doc_id", "text"])
+    assert tx.bm25_topk(docs, "text", "doc_id", ["zzz"], k=5).count() == 0
+
+    empty = spark.createDataFrame([], "time timestamp, value double")
+    out = resample_interpolate(empty, "2024-01-01", "2024-01-03", "1d").collect()
+    assert len(out) == 3 and all(r.value is None for r in out)

@@ -320,3 +320,39 @@ def test_zorder_concentrates_both_dimensions(spark, tmp_path):
     # z-order: BOTH filters hit a minority of the 16 files
     zx, zy = files_hit(z_path, "x"), files_hit(z_path, "y")
     assert zx <= 8 and zy <= 8, (zx, zy)
+
+
+def test_temperature_sample_corpus_side_narrow(spark):
+    """temperature_sample must not shuffle the corpus side: the only
+    Exchanges allowed are for the tiny per-group count/threshold frames
+    (and their broadcast); the corpus participates via a broadcast hash
+    join + filter."""
+    from qafs_spark.pipeline import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(1000)], ["k", "g"]
+    )
+    plan = _physical(sp.temperature_sample(df, "g", "k", 100))
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must not be exchanged: every Exchange in the plan
+    # sits under the threshold-side aggregates (child of the broadcast)
+    corpus_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_side
+
+
+def test_rolling_anomalies_single_shuffle(spark, tmp_path):
+    """The anomaly window is one hash shuffle by user; no self-joins."""
+    import pandas as pd
+
+    from qafs_spark.queries import QUERIES
+
+    rows = [(i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), i % 3,
+             "click", float(i % 7), "{}") for i in range(300)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"])
+    import os
+    d = str(tmp_path / "ev")
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    plan = _physical(QUERIES["rolling_anomalies"](spark, d))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
