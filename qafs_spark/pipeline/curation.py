@@ -47,6 +47,8 @@ def curate(
     decontam_n: int = 4,
     min_hits: int = 1,
     sample_fraction: Optional[float] = None,
+    balance_by: Optional[str] = None,
+    balance_target: Optional[int] = None,
     seed: int = 42,
     cache_intermediate: bool = True,
 ) -> DataFrame:
@@ -87,4 +89,15 @@ def curate(
         )
     if sample_fraction is not None:
         neat = hash_sample(neat, id_col, sample_fraction, seed=seed)
+    if balance_by is not None:
+        # final mixture rebalancing (alpha=0.5 temperature over the given
+        # group column): thresholds derive from the post-filter counts so
+        # the balance applies to what actually survived
+        from .sampling import temperature_sample
+
+        if balance_target is None:
+            raise ValueError("balance_by requires balance_target")
+        neat = temperature_sample(
+            neat, balance_by, id_col, balance_target, seed=seed
+        )
     return neat

@@ -1337,3 +1337,28 @@ def test_new_ops_edge_cases(spark):
     empty = spark.createDataFrame([], "time timestamp, value double")
     out = resample_interpolate(empty, "2024-01-01", "2024-01-03", "1d").collect()
     assert len(out) == 3 and all(r.value is None for r in out)
+
+
+def test_curate_balance_stage(spark):
+    """curate(balance_by=...) appends temperature rebalancing over the
+    survivor set; omitting balance_target raises."""
+    import pytest
+
+    from qafs_spark.pipeline import curation
+
+    rows = [(i, f"unique text nr {i} " + "filler " * 30,
+             "big" if i % 4 else "rare") for i in range(400)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = curation.curate(
+        docs, quality_threshold=0.0, balance_by="lang", balance_target=100,
+    )
+    by = {r.lang: 1 for r in out.collect()}
+    counts = out.groupBy("lang").count().collect()
+    got = {r.lang: r["count"] for r in counts}
+    # rare upweighted relative to input share (100 rare of 400 = 25% input;
+    # sqrt weights -> rare share ~ sqrt(100)/(sqrt(300)+sqrt(100)) = 36%)
+    assert got.get("rare", 0) > 0
+    n_out = sum(got.values())
+    assert got["rare"] / n_out > 0.25
+    with pytest.raises(ValueError):
+        curation.curate(docs, balance_by="lang")
