@@ -73,3 +73,41 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(F.broadcast(dirty), id_col, "left_anti")
+
+
+def fingerprint_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Winnowing-fingerprint contamination: corpus docs sharing >=
+    ``min_shared`` winnowing fingerprints with the benchmark.
+
+    N-gram decontam (:func:`ngram_hits`) breaks if the leaked copy was
+    lightly edited; winnowing fingerprints (Schleimer et al., SIGMOD'03 —
+    the MOSS plagiarism detector) guarantee any shared substring of length
+    >= k + w - 1 leaves at least one shared fingerprint, so edits must
+    disturb EVERY window to evade it. Same scale shape as ngram_hits: the
+    benchmark's fingerprint set broadcasts, the corpus is never shuffled
+    whole — only per-doc hit counts aggregate.
+    """
+    from .text import winnowing_table
+
+    cfp = winnowing_table(corpus, text_col, id_col, k=k, w=w).select(
+        F.col("id").alias(id_col), F.explode("fp").alias("h")
+    )
+    bfp = (
+        winnowing_table(benchmark, text_col, id_col, k=k, w=w)
+        .select(F.explode("fp").alias("h"))
+        .distinct()
+    )
+    return (
+        cfp.join(F.broadcast(bfp), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= min_shared)
+    )

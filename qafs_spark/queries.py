@@ -3881,3 +3881,41 @@ def q_gopher_rules(spark, sf_dir):
         ok_words.alias("ok_words"),
         (ok_length & ok_chars & ok_words).alias("passes"),
     )
+
+
+@register(
+    "fingerprint_decontam",
+    oracle="""
+    WITH rolling AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) - 6),
+                   i -> ('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8))::BIGINT
+               ) AS hashes
+        FROM documents WHERE length(text) >= 8
+    ),
+    mins AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(hashes) - 2),
+                   i -> list_min(list_slice(hashes, CAST(i AS INTEGER), CAST(i AS INTEGER) + 3))
+               )) AS fp
+        FROM rolling WHERE len(hashes) >= 4
+    ),
+    flat AS (SELECT doc_id, CAST(unnest(fp) AS BIGINT) AS h FROM mins),
+    bf AS (SELECT DISTINCT h FROM flat WHERE doc_id % 97 = 0)
+    SELECT doc_id, hits FROM (
+        SELECT doc_id, count(*) AS hits
+        FROM flat WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM bf)
+        GROUP BY doc_id
+    ) WHERE hits >= 3
+    """,
+)
+def q_fingerprint_decontam(spark, sf_dir):
+    """Pipeline: edit-robust decontamination via winnowing fingerprints —
+    any shared substring of length >= k+w-1 = 11 chars leaves a shared
+    fingerprint (MOSS guarantee), so light edits can't hide a leaked eval
+    doc the way they evade exact n-gram matching. Benchmark fingerprint set
+    broadcasts; corpus never shuffled whole."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dc.fingerprint_hits(corpus, bench, "text", "doc_id", min_shared=3)
