@@ -19,6 +19,7 @@ only for unanchored freqs, which is all the reference test-suite uses.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 import pandas as pd
@@ -70,7 +71,23 @@ def parse_offset(freq: str) -> Freq:
     except ValueError:
         pass
     try:
-        off = pd.tseries.frequencies.to_offset(freq)
+        import warnings
+
+        with warnings.catch_warnings():
+            # pandas 2.2 deprecates 'M'/'Y' in favour of 'ME'/'YE'; the
+            # reference API accepts the short aliases, so keep accepting
+            # them quietly and normalize for future pandas.
+            warnings.simplefilter("ignore", FutureWarning)
+            try:
+                off = pd.tseries.frequencies.to_offset(freq)
+            except ValueError:
+                alias = {"M": "ME", "Y": "YE", "Q": "QE"}
+                m = re.fullmatch(r"(\d*)([MQY])", freq.strip())
+                if not m:
+                    raise
+                off = pd.tseries.frequencies.to_offset(
+                    (m.group(1) or "") + alias[m.group(2)]
+                )
     except ValueError as exc:
         raise FeatureStoreException(f"Cannot parse offset {freq!r}") from exc
     n = off.n
