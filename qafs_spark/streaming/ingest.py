@@ -163,6 +163,7 @@ def interval_join_stream(
     watermark: str = "1 hour",
     key: str = "user_id",
     time_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each RIGHT row (e.g. purchase) matches
     LEFT rows (e.g. clicks) with the same ``key`` whose event time falls in
@@ -179,6 +180,12 @@ def interval_join_stream(
     Equi-key + time-range is exactly the shape Structured Streaming's
     symmetric hash join handles; anything without the equality key would
     degenerate to broadcast-nested-loop state and should be re-keyed first.
+
+    ``how``: "inner" (default) emits matches as both sides arrive;
+    "left_outer"/"right_outer" additionally emit null-padded rows for
+    unmatched state — but only once the WATERMARK passes the row's join
+    window (the engine must prove no future match can arrive), so outer
+    results trail the inner ones by up to watermark + gap of event time.
     """
     l = left.withWatermark(time_col, watermark).alias("l")
     r = right.withWatermark(time_col, watermark).alias("r")
@@ -190,4 +197,5 @@ def interval_join_stream(
             F.col(f"l.{time_col}")
             < F.col(f"r.{time_col}") + F.expr(f"INTERVAL {gap}")
         ),
+        how,
     )

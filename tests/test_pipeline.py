@@ -1362,3 +1362,77 @@ def test_curate_balance_stage(spark):
     assert got["rare"] / n_out > 0.25
     with pytest.raises(ValueError):
         curation.curate(docs, balance_by="lang")
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left row is emitted with
+    nulls once the watermark passes its join window (needs a later
+    micro-batch to advance the watermark)."""
+    import os
+
+    import pandas as pd
+
+    from qafs_spark.streaming import read_event_stream
+    from qafs_spark.streaming.ingest import interval_join_stream
+
+    src = tmp_path / "ssj_outer_in"
+    src.mkdir()
+
+    def mk(rows, name, mtime):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [i for i, *_ in rows],
+                "ts": [pd.Timestamp(t) for _, t, *_ in rows],
+                "user_id": [u for *_, u, _t in rows],
+                "event_type": [t for *_, t in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+        p = str(src / name)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = next(f for f in os.listdir(p + ".dir") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".dir", part), p)
+        os.utime(p, (mtime, mtime))
+
+    # batch 1: one click with a matching purchase, one click without
+    mk(
+        [
+            (0, "2024-01-01 00:10:00", 1, "purchase"),
+            (1, "2024-01-01 00:20:00", 1, "click"),     # matches purchase 0
+            (2, "2024-01-01 00:20:00", 2, "click"),     # no purchase -> unmatched
+        ],
+        "f1.parquet", 1000,
+    )
+    # batch 2: far-future events push both watermarks past batch 1's window
+    mk(
+        [
+            (3, "2024-01-02 12:00:00", 9, "click"),
+            (4, "2024-01-02 12:00:00", 9, "purchase"),
+        ],
+        "f2.parquet", 2000,
+    )
+
+    ev = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    l = clicks.withWatermark("ts", "10 minutes").alias("l")
+    r = buys.withWatermark("p_ts", "10 minutes").alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.p_user"))
+        & (F.col("l.ts") >= F.col("r.p_ts"))
+        & (F.col("l.ts") < F.col("r.p_ts") + F.expr("INTERVAL 30 minutes")),
+        "left_outer",
+    ).select(F.col("l.event_id").alias("c_id"), "p_id")
+    q = (
+        joined.writeStream.format("memory").queryName("ssj_outer")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {(r.c_id, r.p_id) for r in spark.sql("SELECT * FROM ssj_outer").collect()}
+    assert (1, 0) in got          # matched pair
+    assert (2, None) in got       # unmatched left emitted with null
