@@ -495,14 +495,16 @@ class FeatureStore:
 
         ``method`` (only meaningful with ``freq``): ``"ffill"`` is the
         reference's golden as-of carry; ``"interpolate"`` evaluates
-        time-weighted linear interpolation at each grid point instead
-        (extension; see ``operators.resample.resample_interpolate``) —
-        each series interpolates independently against its own
-        observations, then the grids join on ``time``.
+        time-weighted linear interpolation at each grid point, and
+        ``"nearest"`` takes the closest observation on either side
+        (extensions; see ``operators.resample``) — each series resamples
+        independently against its own observations, then the grids join
+        on ``time``.
         """
-        if method not in ("ffill", "interpolate"):
+        if method not in ("ffill", "interpolate", "nearest"):
             raise FeatureStoreException(
-                f"Unknown resample method '{method}' (use 'ffill' or 'interpolate')"
+                f"Unknown resample method '{method}' "
+                "(use 'ffill', 'interpolate' or 'nearest')"
             )
         specs = self._unpack_list(features, namespace=namespace)
         if not specs:
@@ -548,14 +550,16 @@ class FeatureStore:
 
         cols = [n for n, _ in named]
         if freq is not None:
-            if method == "interpolate":
-                from .operators.resample import resample_interpolate
+            if method in ("interpolate", "nearest"):
+                from .operators.resample import (
+                    resample_interpolate,
+                    resample_nearest,
+                )
 
+                op = resample_interpolate if method == "interpolate" else resample_nearest
                 out = None
                 for name, series in named:
-                    g = resample_interpolate(
-                        series, from_ts, to_ts, freq, value_col=name
-                    )
+                    g = op(series, from_ts, to_ts, freq, value_col=name)
                     out = g if out is None else out.join(g, on="time", how="inner")
                 return out
             aligned = align_features(named, fill=False)

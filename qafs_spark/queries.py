@@ -3919,3 +3919,45 @@ def q_fingerprint_decontam(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return dc.fingerprint_hits(corpus, bench, "text", "doc_id", min_shared=3)
+
+
+@register(
+    "resample_nearest",
+    oracle=f"""
+    WITH series AS ({_SQL_LWW}),
+    obs AS (SELECT time AS t, value AS v FROM series WHERE value IS NOT NULL),
+    grid AS (SELECT unnest(generate_series(TIMESTAMP '{_RESAMPLE_FROM}',
+                    TIMESTAMP '{_RESAMPLE_TO}', INTERVAL 6 HOUR)) AS time),
+    prev AS (SELECT g.time, o.t AS pt, o.v AS pv
+             FROM grid g ASOF LEFT JOIN obs o ON g.time >= o.t),
+    nxt AS (SELECT g.time, o.t AS nt, o.v AS nv
+            FROM grid g ASOF LEFT JOIN obs o ON g.time < o.t)
+    SELECT p.time,
+           CASE WHEN p.pt IS NULL AND n.nt IS NULL THEN NULL
+                WHEN n.nt IS NULL THEN p.pv
+                WHEN p.pt IS NULL THEN n.nv
+                WHEN epoch_us(p.time) - epoch_us(p.pt)
+                     <= epoch_us(n.nt) - epoch_us(p.time) THEN p.pv
+                ELSE n.nv
+           END AS value
+    FROM prev p JOIN nxt n USING (time)
+    """,
+)
+def q_resample_nearest(spark, sf_dir):
+    """Extension: nearest-observation resample (pandas reindex
+    method='nearest' convention, ties -> earlier) — completes the resample
+    family alongside the as-of carry and linear interpolation; integer
+    microsecond-distance comparison, no floats at all."""
+    from qafs_spark.operators.resample import resample_nearest
+
+    series = last_write_wins(
+        _event_series_df(spark, sf_dir),
+        value_cols=["value"],
+        tiebreak_cols=["event_id"],
+    )
+    return resample_nearest(
+        series.select("time", "value"),
+        pd.Timestamp(_RESAMPLE_FROM),
+        pd.Timestamp(_RESAMPLE_TO),
+        "6h",
+    )

@@ -588,8 +588,18 @@ def test_load_features_interpolate(fs):
     )
     assert list(ff["ip/a"]) == [0.0, 0.0, 4.0, 4.0, 8.0]
 
+    nr = (
+        fs.load_features(
+            ["ip/a"], from_date="2021-01-01", to_date="2021-01-05", freq="1d",
+            method="nearest",
+        )
+        .toPandas().sort_values("time").reset_index(drop=True)
+    )
+    # obs at day 1/3/5: day2 ties between day1 and day3 -> earlier (0.0)
+    assert list(nr["ip/a"]) == [0.0, 0.0, 4.0, 4.0, 8.0]
+
     with pytest.raises(FeatureStoreException):
-        fs.load_features(["ip/a"], freq="1d", method="nearest")
+        fs.load_features(["ip/a"], freq="1d", method="spline")
 
 
 def test_expire_feature_drops_old_partitions(spark, fs):
