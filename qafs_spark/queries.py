@@ -56,12 +56,19 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
         # events.ts is physical TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp type; read as long and truncate to microseconds exactly
-        # (integer `div`, never double division: ns epochs exceed 2^53).
+        # timestamp type. Depending on the Spark version the scan surfaces it
+        # as BIGINT nanos (legacy nanosAsLong conf honored) or as
+        # TIMESTAMP_NTZ truncated to micros (Spark >= 4.1 ignores the legacy
+        # conf). Normalize both to session-TZ TIMESTAMP (UTC) so every
+        # downstream query sees one stable type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer `div`, never double division: ns epochs exceed 2^53
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
