@@ -55,21 +55,12 @@ def register(name: str, oracle: str = None):
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if table == "events":
-        # events.ts is physical TIMESTAMP(NANOS) — Spark has no nanosecond
-        # timestamp type. Depending on the Spark version the scan surfaces it
-        # as BIGINT nanos (legacy nanosAsLong conf honored) or as
-        # TIMESTAMP_NTZ truncated to micros (Spark >= 4.1 ignores the legacy
-        # conf). Normalize both to session-TZ TIMESTAMP (UTC) so every
-        # downstream query sees one stable type.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # integer `div`, never double division: ns epochs exceed 2^53
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        # events.ts is physical TIMESTAMP(NANOS); the scan surfaces it
+        # differently per Spark version. sources/events.py is the single
+        # place that normalizes it — batch and streaming alike.
+        from .sources.events import read_events
+
+        return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -909,26 +900,13 @@ def q_stream_tumbling(spark, sf_dir):
     the equivalent batch SQL, proving stream/batch parity."""
     import uuid
 
-    from pyspark.sql import types as T
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # stream schema mirrors the physical file: ts is INT64 nanos → convert
-    nanos_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    from .streaming import read_event_stream
+    # stream schema must match how THIS Spark surfaces TIMESTAMP(NANOS) —
+    # probed + normalized by the shared helper (the r3 regression was a
+    # hardcoded LongType schema silently reinterpreting micros as nanos).
+    from .sources.events import read_events_stream
 
-    stream = read_event_stream(
-        spark, sf_dir, schema=nanos_schema, glob="events.parquet"
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
         .agg(
@@ -1396,25 +1374,12 @@ def q_stream_sliding(spark, sf_dir):
     with a range join in SQL."""
     import uuid
 
-    from pyspark.sql import types as T
-
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    nanos_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    from .streaming import read_event_stream
+    # same probed-schema normalization as stream_tumbling (see
+    # sources/events.py for the Spark 4.1 TIMESTAMP(NANOS) story)
+    from .sources.events import read_events_stream
 
-    stream = read_event_stream(
-        spark, sf_dir, schema=nanos_schema, glob="events.parquet"
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(
             F.window(F.col("ts"), "1 hour", "30 minutes"), F.col("event_type")

@@ -1436,3 +1436,43 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     got = {(r.c_id, r.p_id) for r in spark.sql("SELECT * FROM ssj_outer").collect()}
     assert (1, 0) in got          # matched pair
     assert (2, None) in got       # unmatched left emitted with null
+
+
+def test_event_stream_matches_batch_on_real_fixture(spark):
+    """Regression guard for the r3 Spark-4.1 TIMESTAMP(NANOS) bug: stream the
+    REAL driver-generated events.parquet (physical nanos ts) and require the
+    stream-side aggregate to equal the batch-side one. The pre-fix code forced
+    a LongType stream schema + `div 1000`, silently reinterpreting micros as
+    nanos — the per-test synthetic data (written as micros) never caught it."""
+    import os
+    import uuid
+
+    from qafs_spark.sources.events import read_events, read_events_stream
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("driver testdata not present")
+
+    def hourly(df):
+        return df.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    batch = {(r.h, r.event_type): r.n for r in hourly(read_events(spark, sf_dir)).collect()}
+    # sanity: the fixture spans a real time range, not a collapsed epoch
+    hours = {h for h, _ in batch}
+    assert len(hours) > 10, f"batch read collapsed: {sorted(hours)[:3]}"
+    assert min(hours).year >= 2020, "ts decoded into the 1970 epoch"
+
+    name = f"ev_fixture_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {(r.h, r.event_type): r.n for r in spark.table(name).collect()}
+    assert streamed == batch
