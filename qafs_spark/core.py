@@ -136,6 +136,12 @@ class FeatureStore:
             os.makedirs(local_root, exist_ok=True)
             db_connection = posixpath.join(local_root, "fs.db")
         self.registry = Registry(db_connection)
+        # inferred output dtypes of UNTYPED transforms, keyed by
+        # (ns, name, registry version): sample-inference runs a small Spark
+        # job, which must happen at most once per feature version — never
+        # once per load_features plan construction (a DAG walk at 100 TB
+        # would otherwise serialize on N blocking driver jobs).
+        self._transform_type_cache: Dict[Tuple[str, str, int], T.DataType] = {}
         if verbose:
             logging.basicConfig(level=logging.INFO)
 
@@ -448,12 +454,26 @@ class FeatureStore:
             sdf = sdf.withColumn(
                 "created_time", F.col("created_time").cast("timestamp")
             )
+
+        def canonicalize(df: DataFrame) -> DataFrame:
+            # Normalize the stored value to the check family's canonical
+            # Spark type (float→double, int→long, …). Appends from sources
+            # with different-but-same-family types (float32 vs float64)
+            # otherwise fracture the dataset's physical schema across files,
+            # and it lets the read path use an explicit schema (no parquet
+            # footer-inference job at plan build; no footer reads at 100 TB).
+            canon = _FAMILY_SPARK_TYPES.get(check.dtype) if check else None
+            if canon is not None and check.dtype != "object":
+                df = df.withColumn("value", F.col("value").cast(canon))
+            return df
+
         if not validated:
             if _raise_error_enabled():
                 # blocking mode: one dedicated aggregate job BEFORE the write
                 # so invalid data is never persisted
                 check.validate(sdf, "value")
-                write_feature(sdf, self._path(ns, nm), scheme=rec.partition,
+                write_feature(canonicalize(sdf), self._path(ns, nm),
+                              scheme=rec.partition,
                               distribute=self.write_partitions)
             else:
                 # log mode: dtype gate is a driver-side schema comparison and
@@ -467,7 +487,8 @@ class FeatureStore:
                     )
                     return
                 sdf, obs, names = check.attach_observation(sdf, "value")
-                write_feature(sdf, self._path(ns, nm), scheme=rec.partition,
+                write_feature(canonicalize(sdf), self._path(ns, nm),
+                              scheme=rec.partition,
                               distribute=self.write_partitions)
                 check.report_observed(obs, names, "value")
             return
@@ -551,17 +572,13 @@ class FeatureStore:
         cols = [n for n, _ in named]
         if freq is not None:
             if method in ("interpolate", "nearest"):
-                from .operators.resample import (
-                    resample_interpolate,
-                    resample_nearest,
-                )
+                # one tall-union aggregation for all N series (same shuffle
+                # shape as align_features), not N-1 iterated grid joins
+                from .operators.resample import resample_points_multi
 
-                op = resample_interpolate if method == "interpolate" else resample_nearest
-                out = None
-                for name, series in named:
-                    g = op(series, from_ts, to_ts, freq, value_col=name)
-                    out = g if out is None else out.join(g, on="time", how="inner")
-                return out
+                return resample_points_multi(
+                    named, from_ts, to_ts, freq, method=method
+                )
             aligned = align_features(named, fill=False)
             return resample_asof(aligned, cols, from_ts, to_ts, freq)
         return align_features(named)
@@ -734,9 +751,21 @@ class FeatureStore:
         return _FAMILY_SPARK_TYPES.get(check.dtype, T.StringType())
 
     def _read_raw(self, ns, nm, rec, from_ts, to_ts, time_travel) -> Optional[DataFrame]:
+        # explicit schema (no footer-inference job) whenever the registry
+        # pins the value type: serialized features are physically strings,
+        # typed checks are canonicalized at write by _finish_save. Untyped
+        # features fall back to inference — their physical type is whatever
+        # the writer provided.
+        vt: Optional[T.DataType] = None
+        if rec.serialized:
+            vt = T.StringType()
+        else:
+            check = Column.from_yaml(rec.check_yaml) if rec.check_yaml else Column()
+            if check.dtype != "object":
+                vt = _FAMILY_SPARK_TYPES.get(check.dtype)
         df = read_feature(
             self.spark, self._path(ns, nm), scheme=rec.partition,
-            from_date=from_ts, to_date=to_ts,
+            from_date=from_ts, to_date=to_ts, value_type=vt,
         )
         if df is None:
             return None
@@ -795,7 +824,15 @@ class FeatureStore:
         if declared is None:
             check = Column.from_yaml(rec.check_yaml) if rec.check_yaml else Column()
             declared = check.dtype
-        vt = tfm.output_type_for(declared, aligned, func, parent_names)
+        vt = tfm.concrete_type_for(declared)
+        if vt is None:
+            # sample-inference fallback (runs one small Spark job) — cached
+            # per feature version so repeated plan builds stay job-free
+            cache_key = (ns, nm, rec.get("version", 0))
+            vt = self._transform_type_cache.get(cache_key)
+            if vt is None:
+                vt = tfm.infer_output_type(aligned, func, parent_names)
+                self._transform_type_cache[cache_key] = vt
         return tfm.apply_transform(aligned, func, parent_names, vt)
 
     def _data_bounds(self, recs, time_travel) -> Optional[Tuple[pd.Timestamp, pd.Timestamp]]:

@@ -25,7 +25,7 @@ No per-grid-point join, no global sort, no full-history shuffle.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Iterable, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -236,6 +236,147 @@ def resample_interpolate(
     return (
         full.filter((F.col(_K) >= 0) & (F.col(_K) <= k_max))
         .select(g.alias(time_col), v.alias(value_col))
+    )
+
+
+def resample_points_multi(
+    named: Iterable[Tuple[str, DataFrame]],
+    from_ts,
+    to_ts,
+    freq,
+    method: str = "interpolate",
+    time_col: str = "time",
+) -> DataFrame:
+    """N-series interpolate/nearest resample in ONE data aggregation.
+
+    Semantically identical to running :func:`resample_interpolate` /
+    :func:`resample_nearest` per series and joining the grids on ``time``
+    (each column anchors against its OWN observations), but the plan is the
+    one you want at scale: the series tall-union into a single frame (one
+    union column per series; same-type series share an Exchange exactly like
+    ``align_features``), ONE ``groupBy(bin)`` with per-column null-ignoring
+    ``max_by``/``min_by`` anchors (the ordering key is ``time`` only where
+    that column is non-null, so each column still sees only its own
+    observations), then the shared grid-sized ffill/bfill carry passes run
+    once over ALL columns — instead of N-1 iterated time-keyed joins of
+    independently aggregated grids.
+
+    Each input df must have exactly ``(time_col, name)`` columns with unique
+    timestamps (run last-write-wins dedup first).
+    """
+    if method not in ("interpolate", "nearest"):
+        raise FeatureStoreException(f"Unknown resample method {method!r}")
+    f = parse_offset(freq)
+    from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
+    named = list(named)
+    if not named:
+        raise FeatureStoreException("resample_points_multi needs >= 1 series")
+    spark = named[0][1].sparkSession
+    k_max = n_steps(from_ts, to_ts, f)
+    if k_max < 0:
+        raise FeatureStoreException("to_date must be >= from_date for resample")
+
+    names = [n for n, _ in named]
+    # internal aliases: series names are user strings ("ns/feature")
+    ids = {n: i for i, n in enumerate(names)}
+
+    # tall-union per value type (union columns must share a type; mirrors
+    # align_features' grouping) → per-group one binned aggregation
+    groups: dict = {}
+    for name, df in named:
+        key = df.schema[name].dataType.simpleString()
+        groups.setdefault(key, []).append((name, df))
+
+    anchors: Optional[DataFrame] = None
+    for items in groups.values():
+        gnames = [n for n, _ in items]
+        tall = None
+        for name, df in items:
+            row = df.select(
+                F.col(time_col).alias("__t"),
+                *[
+                    (F.col(n) if n == name else F.lit(None).cast(
+                        df.schema[name].dataType
+                    )).alias(f"__c{ids[n]}")
+                    for n in gnames
+                ],
+            )
+            tall = row if tall is None else tall.unionByName(row)
+        aggs = []
+        for n in gnames:
+            i = ids[n]
+            c, t = F.col(f"__c{i}"), F.col("__t")
+            key_when_set = F.when(c.isNotNull(), t)  # null ordering keys are
+            # ignored by max_by/min_by → anchors see only this column's rows
+            aggs.append(
+                F.max_by(F.struct(t.alias("t"), c.alias("v")), key_when_set)
+                .alias(f"__last{i}")
+            )
+            aggs.append(
+                F.min_by(F.struct(t.alias("t"), c.alias("v")), key_when_set)
+                .alias(f"__first{i}")
+            )
+        binned = (
+            tall.withColumn(_K, _bin_index(F.col("__t"), from_ts, f))
+            .groupBy(_K)
+            .agg(*aggs)
+        )
+        left = binned.select(
+            _K,
+            *[F.col(f"__last{ids[n]}.t").alias(f"__pt{ids[n]}") for n in gnames],
+            *[F.col(f"__last{ids[n]}.v").alias(f"__pv{ids[n]}") for n in gnames],
+        )
+        # the first observation of bin j is the right anchor for grid k <= j-1
+        right = binned.select(
+            (F.col(_K) - 1).alias(_K),
+            *[F.col(f"__first{ids[n]}.t").alias(f"__nt{ids[n]}") for n in gnames],
+            *[F.col(f"__first{ids[n]}.v").alias(f"__nv{ids[n]}") for n in gnames],
+        )
+        part = left.join(right, on=_K, how="full")
+        anchors = part if anchors is None else anchors.join(part, on=_K, how="full")
+
+    grid = spark.range(k_max + 1).select(F.col("id").alias(_K))
+    full = grid.join(anchors, on=_K, how="full")
+    pt_cols = [f"__pt{ids[n]}" for n in names] + [f"__pv{ids[n]}" for n in names]
+    nt_cols = [f"__nt{ids[n]}" for n in names] + [f"__nv{ids[n]}" for n in names]
+    full = ffill(
+        full, pt_cols, time_col=_K,
+        bucket=F.floor(F.col(_K) / F.lit(_FFILL_BUCKET_BINS)),
+    )
+    full = full.withColumn("__nk", -F.col(_K))
+    full = ffill(
+        full, nt_cols, time_col="__nk",
+        bucket=F.floor(F.col("__nk") / F.lit(_FFILL_BUCKET_BINS)),
+    ).drop("__nk")
+
+    g = _grid_time(F.col(_K), from_ts, f)
+    outs = []
+    for n in names:
+        i = ids[n]
+        pt, pv = F.col(f"__pt{i}"), F.col(f"__pv{i}")
+        nt, nv = F.col(f"__nt{i}"), F.col(f"__nv{i}")
+        if method == "interpolate":
+            dg = (F.unix_micros(g) - F.unix_micros(pt)).cast("double")
+            dt = (F.unix_micros(nt) - F.unix_micros(pt)).cast("double")
+            v = (
+                F.when(pt.isNull(), F.lit(None).cast("double"))
+                .when(nt.isNull(), pv)
+                .otherwise(pv + (nv - pv) * (dg / dt))
+            )
+        else:
+            d_prev = F.unix_micros(g) - F.unix_micros(pt)
+            d_next = F.unix_micros(nt) - F.unix_micros(g)
+            v = (
+                F.when(pt.isNull() & nt.isNull(), F.lit(None).cast("double"))
+                .when(nt.isNull(), pv)
+                .when(pt.isNull(), nv)
+                .when(d_prev <= d_next, pv)
+                .otherwise(nv)
+            )
+        outs.append(v.alias(n))
+    return (
+        full.filter((F.col(_K) >= 0) & (F.col(_K) <= k_max))
+        .select(g.alias(time_col), *outs)
     )
 
 

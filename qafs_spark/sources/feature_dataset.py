@@ -125,10 +125,28 @@ def read_feature(
 
     Returns None when the dataset does not exist yet (feature created but
     never written — reference tests:430-448 expect empty loads to work).
+
+    ``value_type``: when given (the registry knows every feature's dtype),
+    the scan uses an explicit schema instead of parquet footer inference —
+    that removes the schema-inference Spark job from PLAN BUILD entirely
+    (load_features stays job-free until an action) and, at 100 TB, skips
+    reading any footers up front.
     """
     if not fs_storage.path_exists(spark, path):
         return None
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if value_type is not None:
+        reader = reader.schema(
+            T.StructType(
+                [
+                    T.StructField("time", T.TimestampType()),
+                    T.StructField("created_time", T.TimestampType()),
+                    T.StructField("value", value_type),
+                    T.StructField("partition", T.StringType()),
+                ]
+            )
+        )
+    df = reader.parquet(path)
     if from_date is not None:
         df = df.filter(F.col("time") >= F.lit(pd.Timestamp(from_date)))
     if to_date is not None:

@@ -58,13 +58,18 @@ _FAMILY_TYPES = {
 }
 
 
-def output_type_for(dtype_family: str, aligned: DataFrame, func: Callable,
-                    parent_cols: List[str], time_col: str = "time") -> T.DataType:
-    """Pick the mapInPandas output type: the declared check dtype when it is
-    concrete, else infer by running the function on a small driver sample."""
-    t = _FAMILY_TYPES.get(dtype_family)
-    if t is not None:
-        return t
+def concrete_type_for(dtype_family: Optional[str]) -> Optional[T.DataType]:
+    """Declared check dtype → Spark type, or None when not concrete (then
+    the caller falls back to cached sample inference)."""
+    return _FAMILY_TYPES.get(dtype_family)
+
+
+def infer_output_type(aligned: DataFrame, func: Callable,
+                      parent_cols: List[str], time_col: str = "time") -> T.DataType:
+    """Infer the mapInPandas output type by running the function on a small
+    driver sample. This RUNS A SPARK JOB — callers must cache the result per
+    feature version (FeatureStore._transform_type_cache) so plan
+    construction stays job-free on repeated loads."""
     sample = aligned.limit(100).toPandas()
     if sample.empty:
         return T.StringType()

@@ -356,3 +356,88 @@ def test_rolling_anomalies_single_shuffle(spark, tmp_path):
     plan = _physical(QUERIES["rolling_anomalies"](spark, d))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_typed_transform_plan_build_runs_no_job(spark, fs):
+    """Plan construction for load_features over a TYPED transform must not
+    run any Spark job (the r3 verdict flagged a limit(100).toPandas() probe
+    inside plan build — one blocking driver job per untyped transform, which
+    serializes the DAG walk at scale). Untyped transforms may infer once,
+    but the result is cached per feature version: the second plan build must
+    also be job-free."""
+    import pandas as pd
+
+    fs.create_namespace("ns")
+    fs.create_feature("ns/base", check=Column(float))
+    dts = pd.date_range("2021-01-01", periods=48, freq="1h")
+    fs.save_df(pd.DataFrame({"time": dts, "ns/base": [float(i) for i in range(48)]}))
+
+    @fs.transform("ns/doubled", from_features=["ns/base"], returns="float")
+    def doubled(df):
+        return df["ns/base"] * 2
+
+    @fs.transform("ns/untyped", from_features=["ns/base"])
+    def untyped(df):
+        return df["ns/base"] + 0.5
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None))
+
+    before = n_jobs()
+    plan = fs.load_features("ns/doubled")  # lazy — no action triggered
+    assert n_jobs() == before, "typed transform plan build ran a Spark job"
+    assert plan.count() == 48  # the plan itself is still correct
+
+    # untyped: inference job allowed once, then cached per feature version
+    before = n_jobs()
+    fs.load_features("ns/untyped")
+    first_build = n_jobs() - before
+    before = n_jobs()
+    fs.load_features("ns/untyped")
+    assert n_jobs() == before, (
+        f"untyped transform re-ran inference (first build: {first_build} jobs)"
+    )
+
+
+def test_resample_multi_single_data_aggregation(spark):
+    """interpolate/nearest multi-feature loads go through ONE tall-union
+    aggregation (resample_points_multi), not N-1 iterated per-series grid
+    joins: the plan must carry far fewer Exchanges than the iterated shape,
+    and values must match the per-series operators exactly."""
+    import pandas as pd
+
+    from qafs_spark.operators.resample import (
+        resample_interpolate,
+        resample_nearest,
+        resample_points_multi,
+    )
+
+    dts = pd.date_range("2021-01-01", periods=300, freq="45min")
+    named = []
+    for i in range(3):
+        pdf = pd.DataFrame(
+            {"time": dts[i::3], f"f{i}": [float(j * (i + 1)) for j in range(len(dts[i::3]))]}
+        )
+        named.append((f"f{i}", spark.createDataFrame(pdf)))
+
+    for method, op in (("interpolate", resample_interpolate), ("nearest", resample_nearest)):
+        multi = resample_points_multi(
+            named, "2021-01-02", "2021-01-08", "6h", method=method
+        )
+        iterated = None
+        for n, df in named:
+            g = op(df, "2021-01-02", "2021-01-08", "6h", value_col=n)
+            iterated = g if iterated is None else iterated.join(g, on="time", how="inner")
+        assert shuffle_count(multi) < shuffle_count(iterated)
+        left = multi.orderBy("time").collect()
+        right = iterated.orderBy("time").collect()
+        assert len(left) == len(right) == 25
+        for a, b in zip(left, right):
+            assert a.time == b.time
+            for n, _ in named:
+                av, bv = a[n], b[n]
+                assert (av is None) == (bv is None)
+                if av is not None:
+                    assert abs(av - bv) < 1e-12, (method, a.time, n, av, bv)
