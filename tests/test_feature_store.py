@@ -623,3 +623,49 @@ def test_expire_feature_drops_old_partitions(spark, fs):
     assert times == [pd.Timestamp("2021-01-03"), pd.Timestamp("2021-01-04")]
     # idempotent
     assert expire_feature(spark, path, "date", before="2021-01-03 06:00:00") == 0
+
+
+@pytest.mark.parametrize("scheme_prefix", ["", "file://"])
+def test_maintenance_ops_scheme_matrix(spark, tmp_store, scheme_prefix):
+    """compact/expire/zorder across plain and scheme-qualified (file://)
+    paths — the Hadoop-FS path handling the cloud connectors (s3a://,
+    gs://, abfs://) ride on. The cloud matrix itself can't run in this
+    container; the URI plumbing is what we CAN pin (VERDICT r3 §Next 7)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qafs_spark.sources.feature_dataset import (
+        compact_feature,
+        expire_feature,
+        write_feature,
+    )
+    from qafs_spark.sources.zorder import write_zordered
+
+    root = f"{scheme_prefix}{tmp_store}/maint"
+
+    # --- compact: two appends → 1 file per partition, rows preserved
+    dts = pd.date_range("2021-03-01", periods=8, freq="12h")
+    for v in (1.0, 2.0):
+        pdf = pd.DataFrame({"time": dts, "created_time": dts, "value": v})
+        write_feature(spark.createDataFrame(pdf), f"{root}/f1", scheme="date")
+    n = compact_feature(spark, f"{root}/f1", scheme="date")
+    assert n == 16
+    after = spark.read.parquet(f"{root}/f1")
+    assert after.count() == 16
+    assert after.select(F.input_file_name()).distinct().count() == 4  # 4 days
+
+    # --- expire: partitions strictly before the cutoff are dropped
+    dropped = expire_feature(spark, f"{root}/f1", scheme="date", before="2021-03-03")
+    assert dropped == 2
+    remaining = spark.read.parquet(f"{root}/f1")
+    assert remaining.select(F.min("time")).first()[0] >= pd.Timestamp("2021-03-03")
+
+    # --- zorder: round-trips through the same scheme-qualified path
+    src = spark.range(1000).select(
+        F.col("id").alias("x"), (F.col("id") * 7 % 1000).alias("y")
+    )
+    write_zordered(src, f"{root}/z1", cols=["x", "y"], num_files=4)
+    z = spark.read.parquet(f"{root}/z1")
+    assert z.count() == 1000
+    assert z.filter((F.col("x") < 100) & (F.col("y") < 100)).count() == \
+        src.filter((F.col("x") < 100) & (F.col("y") < 100)).count()
