@@ -30,6 +30,7 @@ from typing import Iterable, List, Optional, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..exceptions import FeatureStoreException
 from ..offsets import Freq, parse_offset
@@ -189,6 +190,13 @@ def resample_interpolate(
     k_max = n_steps(from_ts, to_ts, f)
     if k_max < 0:
         raise FeatureStoreException("to_date must be >= from_date for resample")
+    vt = series.schema[value_col].dataType
+    if not isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                           T.FloatType, T.DoubleType, T.DecimalType)):
+        raise FeatureStoreException(
+            f"interpolate needs a numeric series; '{value_col}' is "
+            f"{vt.simpleString()} (use nearest or ffill)"
+        )
 
     obs = series.filter(F.col(value_col).isNotNull()).select(
         F.col(time_col).alias("__t"), F.col(value_col).alias("__v")
@@ -349,6 +357,9 @@ def resample_points_multi(
         bucket=F.floor(F.col("__nk") / F.lit(_FFILL_BUCKET_BINS)),
     ).drop("__nk")
 
+    types = {n: df.schema[n].dataType for n, df in named}
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+               T.FloatType, T.DoubleType, T.DecimalType)
     g = _grid_time(F.col(_K), from_ts, f)
     outs = []
     for n in names:
@@ -356,6 +367,14 @@ def resample_points_multi(
         pt, pv = F.col(f"__pt{i}"), F.col(f"__pv{i}")
         nt, nv = F.col(f"__nt{i}"), F.col(f"__nv{i}")
         if method == "interpolate":
+            if not isinstance(types[n], numeric):
+                # fail at plan build with the offending series named, not as
+                # a Catalyst BINARY_OP_WRONG_TYPE on an internal alias
+                raise FeatureStoreException(
+                    f"method='interpolate' needs a numeric series; "
+                    f"'{n}' is {types[n].simpleString()} "
+                    "(use method='nearest' or 'ffill')"
+                )
             dg = (F.unix_micros(g) - F.unix_micros(pt)).cast("double")
             dt = (F.unix_micros(nt) - F.unix_micros(pt)).cast("double")
             v = (
@@ -364,10 +383,12 @@ def resample_points_multi(
                 .otherwise(pv + (nv - pv) * (dg / dt))
             )
         else:
+            # nearest is pure selection — preserve the series' own type
+            # (pandas reindex(method="nearest") convention)
             d_prev = F.unix_micros(g) - F.unix_micros(pt)
             d_next = F.unix_micros(nt) - F.unix_micros(g)
             v = (
-                F.when(pt.isNull() & nt.isNull(), F.lit(None).cast("double"))
+                F.when(pt.isNull() & nt.isNull(), F.lit(None).cast(types[n]))
                 .when(nt.isNull(), pv)
                 .when(pt.isNull(), nv)
                 .when(d_prev <= d_next, pv)
@@ -434,9 +455,11 @@ def resample_nearest(
     g = _grid_time(F.col(_K), from_ts, f)
     d_prev = F.unix_micros(g) - F.unix_micros(F.col("__pt"))
     d_next = F.unix_micros(F.col("__nt")) - F.unix_micros(g)
+    # selection only — the all-null literal takes the series' own type so
+    # non-numeric (string/bool/timestamp) series resample unmangled
     v = (
         F.when(F.col("__pt").isNull() & F.col("__nt").isNull(),
-               F.lit(None).cast("double"))
+               F.lit(None).cast(series.schema[value_col].dataType))
         .when(F.col("__nt").isNull(), F.col("__pv"))
         .when(F.col("__pt").isNull(), F.col("__nv"))
         .when(d_prev <= d_next, F.col("__pv"))

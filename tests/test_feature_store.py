@@ -669,3 +669,45 @@ def test_maintenance_ops_scheme_matrix(spark, tmp_store, scheme_prefix):
     assert z.count() == 1000
     assert z.filter((F.col("x") < 100) & (F.col("y") < 100)).count() == \
         src.filter((F.col("x") < 100) & (F.col("y") < 100)).count()
+
+
+def test_resample_method_nonnumeric_and_empty_series(spark, fs):
+    """interpolate on a non-numeric series fails at plan build with the
+    offending series NAMED (not a Catalyst BINARY_OP error on an internal
+    alias); nearest preserves the series' own type; a never-written feature
+    rides along as all-null without breaking either method."""
+    import pandas as pd
+
+    from qafs_spark.exceptions import FeatureStoreException
+
+    fs.create_namespace("rm")
+    fs.create_feature("rm/num", check=Column(float))
+    fs.create_feature("rm/label", check=Column(str))
+    fs.create_feature("rm/never", check=Column(float))  # never written
+    dts = pd.date_range("2021-01-01", periods=6, freq="1D")
+    fs.save_df(pd.DataFrame({"time": dts, "rm/num": [float(i) for i in range(6)]}))
+    fs.save_df(pd.DataFrame({"time": dts, "rm/label": list("abcdef")}))
+
+    with pytest.raises(FeatureStoreException, match="rm/label"):
+        fs.load_features(
+            ["rm/num", "rm/label"], from_date="2021-01-02",
+            to_date="2021-01-04", freq="12h", method="interpolate",
+        )
+
+    out = fs.load_features(
+        ["rm/num", "rm/label", "rm/never"], from_date="2021-01-02",
+        to_date="2021-01-04", freq="12h", method="nearest",
+    )
+    assert dict(out.dtypes)["rm/label"] == "string"
+    rows = {r["time"]: r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[pd.Timestamp("2021-01-02 12:00")]["rm/label"] in ("b", "c")
+    assert all(r["rm/never"] is None for r in rows.values())
+
+    ip = fs.load_features(
+        ["rm/num", "rm/never"], from_date="2021-01-02",
+        to_date="2021-01-04", freq="12h", method="interpolate",
+    )
+    ip_rows = {r["time"]: r for r in ip.collect()}
+    assert ip_rows[pd.Timestamp("2021-01-02 12:00")]["rm/num"] == 1.5
+    assert all(r["rm/never"] is None for r in ip_rows.values())
