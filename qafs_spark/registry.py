@@ -106,9 +106,42 @@ class FeatureRecord(dict):
     def check_yaml(self): return self["check_yaml"]
 
 
+def _resolve_db_url(db_path: str) -> str:
+    """Accept reference-style SQLAlchemy URLs (reference
+    src/qafs/connection.py:8-10 passes the string straight to
+    ``create_engine``) as well as plain file paths.
+
+    ``sqlite:///relative`` / ``sqlite:////absolute`` resolve to the file
+    path and run on the stdlib driver. Other dialects (postgresql://,
+    mysql://, ...) need their client libraries, which this build cannot
+    vendor (stdlib-sqlite-only dependency constraint) — fail loudly at
+    construction with the constraint named instead of surfacing a cryptic
+    sqlite "unable to open database file" on a URL-shaped path. The SQL in
+    this module is deliberately ANSI-portable (TEXT/INTEGER columns, ?
+    placeholders via DB-API) so a future dialect needs only a connection
+    factory, not a schema rewrite.
+    """
+    if "://" not in db_path:
+        return db_path
+    scheme, rest = db_path.split("://", 1)
+    if scheme == "sqlite":
+        # sqlite:///foo.db → foo.db (relative); sqlite:////a/b.db → /a/b.db
+        if not rest.startswith("/"):
+            raise FeatureStoreException(
+                f"Malformed sqlite URL {db_path!r} (use sqlite:///path)"
+            )
+        return rest[1:]
+    raise FeatureStoreException(
+        f"Unsupported registry dialect {scheme!r}: this build runs the "
+        "metadata registry on stdlib sqlite3 only (sqlite:/// URLs or "
+        "plain paths). The registry is driver-side metadata — the data "
+        "plane is unaffected by this constraint."
+    )
+
+
 class Registry:
     def __init__(self, db_path: str):
-        self.db_path = db_path
+        self.db_path = _resolve_db_url(str(db_path))
         self._local = threading.local()
         con = self._con()
         with con:

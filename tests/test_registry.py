@@ -69,3 +69,28 @@ def test_partition_scheme_validation(reg):
         reg.create_feature("test", "f1", partition="weekly")
     reg.create_feature("test", "f2", partition="year")
     assert reg.get_feature("test", "f2")["partition"] == "year"
+
+
+def test_registry_url_styles(tmp_path):
+    """Reference-style SQLAlchemy URLs work for the sqlite dialect; other
+    dialects fail loudly at construction naming the constraint (reference
+    connection.py passes any URL to create_engine — we support the subset
+    the stdlib can honor, explicitly)."""
+    import pytest
+
+    from qafs_spark.exceptions import FeatureStoreException
+    from qafs_spark.registry import Registry
+
+    r = Registry(f"sqlite:///{tmp_path}/meta.db")  # 4 slashes total → abs
+    r.create_namespace("u1")
+    assert r.get_namespace("u1") is not None
+    r.close()
+    # plain path reopens the same file
+    r2 = Registry(f"{tmp_path}/meta.db")
+    assert r2.get_namespace("u1") is not None
+    r2.close()
+
+    with pytest.raises(FeatureStoreException, match="dialect"):
+        Registry("postgresql://host/db")
+    with pytest.raises(FeatureStoreException, match="sqlite:///"):
+        Registry("sqlite://nope")
