@@ -522,10 +522,13 @@ class FeatureStore:
         independently against its own observations, then the grids join
         on ``time``.
         """
-        if method not in ("ffill", "interpolate", "nearest"):
+        from .operators.resample import _AGG_HOWS
+
+        if method not in ("ffill", "interpolate", "nearest") + _AGG_HOWS:
             raise FeatureStoreException(
-                f"Unknown resample method '{method}' "
-                "(use 'ffill', 'interpolate' or 'nearest')"
+                f"Unknown resample method '{method}' (use 'ffill', "
+                f"'interpolate', 'nearest' or a downsample aggregate "
+                f"{_AGG_HOWS})"
             )
         specs = self._unpack_list(features, namespace=namespace)
         if not specs:
@@ -559,18 +562,37 @@ class FeatureStore:
 
         # With freq, history before from_date carries in through the grid
         # chain (golden semantics) — scan with the upper bound only and let
-        # resample_asof's bin aggregation compress the history.
-        scan_from = None if freq is not None else from_ts
+        # resample_asof's bin aggregation compress the history. Downsample
+        # aggregates have no carry-in: keep the lower bound on the scan so
+        # the time predicate prunes partitions.
+        downsample = method in _AGG_HOWS
+        scan_from = from_ts if (freq is None or downsample) else None
+        scan_to = to_ts
+        if freq is not None and downsample:
+            # the last bin [to_ts, to_ts + freq) extends past to_date —
+            # widen the scan's upper bound to cover it (driver-side arithmetic,
+            # still a pushed-down time predicate)
+            from .offsets import parse_offset as _po
+            from .operators.resample import grid_upper_bound, n_steps
+
+            _f = _po(freq)
+            scan_to = grid_upper_bound(
+                from_ts, n_steps(from_ts, to_ts, _f), _f
+            ) - pd.Timedelta(1, unit="us")
         memo: Dict[Tuple[str, str], DataFrame] = {}
         named = []
         for ns, nm, rec in recs:
             series = self._load_single(
-                ns, nm, rec, scan_from, to_ts, freq, time_travel, callers=[], memo=memo
+                ns, nm, rec, scan_from, scan_to, freq, time_travel, callers=[], memo=memo
             )
             named.append((f"{ns}/{nm}", series.withColumnRenamed("value", f"{ns}/{nm}")))
 
         cols = [n for n, _ in named]
         if freq is not None:
+            if downsample:
+                from .operators.resample import resample_agg_multi
+
+                return resample_agg_multi(named, from_ts, to_ts, freq, how=method)
             if method in ("interpolate", "nearest"):
                 # one tall-union aggregation for all N series (same shuffle
                 # shape as align_features), not N-1 iterated grid joins

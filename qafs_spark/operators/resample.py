@@ -401,6 +401,163 @@ def resample_points_multi(
     )
 
 
+_AGG_HOWS = ("mean", "sum", "min", "max", "count", "first", "last")
+
+
+def _agg_expr(how: str, c, t):
+    """Aggregate over one column's non-null observations within a bin.
+    mean/sum/min/max ignore nulls natively; count counts non-null; first/
+    last pick by time with a null-ignoring ordering key."""
+    if how == "mean":
+        return F.avg(c)
+    if how == "sum":
+        return F.sum(c)
+    if how == "min":
+        return F.min(c)
+    if how == "max":
+        return F.max(c)
+    if how == "count":
+        return F.count(c)
+    key = F.when(c.isNotNull(), t)
+    if how == "first":
+        return F.min_by(c, key)
+    if how == "last":
+        return F.max_by(c, key)
+    raise FeatureStoreException(
+        f"Unknown downsample how={how!r} (use one of {_AGG_HOWS})"
+    )
+
+
+def grid_upper_bound(from_ts: pd.Timestamp, k_max: int, f: Freq) -> pd.Timestamp:
+    """First instant AFTER the last bin: grid_time(k_max + 1), computed
+    driver-side (so it can participate in scan pushdown)."""
+    if f.is_calendar:
+        return from_ts + pd.DateOffset(months=f.months * (k_max + 1))
+    return from_ts + pd.Timedelta(microseconds=f.microseconds * (k_max + 1))
+
+
+def _floor_bin_index(time_col, anchor: pd.Timestamp, f: Freq):
+    """k = floor((time - anchor)/freq): row belongs to bin [g_k, g_{k+1})
+    labeled g_k — the pandas ``resample(freq)`` default (closed/label left
+    for fixed frequencies), unlike the as-of family's right-closed bins."""
+    if f.is_calendar:
+        months = F.months_between(time_col, F.lit(anchor).cast("timestamp"))
+        return F.floor(months / F.lit(float(f.months))).cast("long")
+    anchor_us = anchor.value // 1000
+    d = F.unix_micros(time_col) - F.lit(anchor_us)
+    return F.floor(d / F.lit(f.microseconds)).cast("long")
+
+
+def resample_agg_multi(
+    named: Iterable[Tuple[str, DataFrame]],
+    from_ts,
+    to_ts,
+    freq,
+    how="mean",
+    time_col: str = "time",
+) -> DataFrame:
+    """Downsample N series onto the [from_ts, to_ts] grid with a per-bin
+    aggregate — ``pd.concat(series, axis=1).resample(freq).agg(how)``
+    semantics (left-closed, left-labeled bins; empty bins null, count 0).
+
+    ``how``: one aggregate name for all series, or ``{name: how}`` per
+    series, from mean/sum/min/max/count/first/last.
+
+    Scale shape: the tall-union + ONE ``groupBy(bin)`` plan of
+    :func:`resample_points_multi` — map-side partial aggregation compresses
+    each (bin × map task) to one row before the single data shuffle; rows
+    outside [from_ts, to_ts] are filtered AT THE SCAN (pushdown-friendly
+    time predicate), since no carry-in chain needs history. Grid assembly
+    joins only grid-sized frames.
+    """
+    f = parse_offset(freq)
+    from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
+    named = list(named)
+    if not named:
+        raise FeatureStoreException("resample_agg_multi needs >= 1 series")
+    names = [n for n, _ in named]
+    hows = {n: how for n in names} if isinstance(how, str) else dict(how)
+    for n in names:
+        if hows.get(n) not in _AGG_HOWS:
+            raise FeatureStoreException(
+                f"Unknown downsample how={hows.get(n)!r} for '{n}' "
+                f"(use one of {_AGG_HOWS})"
+            )
+    spark = named[0][1].sparkSession
+    k_max = n_steps(from_ts, to_ts, f)
+    if k_max < 0:
+        raise FeatureStoreException("to_date must be >= from_date for resample")
+    ids = {n: i for i, n in enumerate(names)}
+    # the last bin is labeled to_ts and covers [to_ts, to_ts + freq) —
+    # pandas left-closed convention; the exclusive upper bound is driver-
+    # side computable so it still pushes down to the scan
+    upper = grid_upper_bound(from_ts, k_max, f)
+
+    groups: dict = {}
+    for name, df in named:
+        key = df.schema[name].dataType.simpleString()
+        groups.setdefault(key, []).append((name, df))
+
+    binned_parts: List[DataFrame] = []
+    for items in groups.values():
+        gnames = [n for n, _ in items]
+        tall = None
+        for name, df in items:
+            row = df.filter(
+                (F.col(time_col) >= F.lit(from_ts)) & (F.col(time_col) < F.lit(upper))
+            ).select(
+                F.col(time_col).alias("__t"),
+                *[
+                    (F.col(n) if n == name else F.lit(None).cast(
+                        df.schema[name].dataType
+                    )).alias(f"__c{ids[n]}")
+                    for n in gnames
+                ],
+            )
+            tall = row if tall is None else tall.unionByName(row)
+        aggs = [
+            _agg_expr(hows[n], F.col(f"__c{ids[n]}"), F.col("__t")).alias(
+                f"__v{ids[n]}"
+            )
+            for n in gnames
+        ]
+        binned_parts.append(
+            tall.withColumn(_K, _floor_bin_index(F.col("__t"), from_ts, f))
+            .groupBy(_K)
+            .agg(*aggs)
+        )
+
+    grid = spark.range(k_max + 1).select(F.col("id").alias(_K))
+    full = grid
+    for part in binned_parts:
+        full = full.join(part, on=_K, how="left")
+    outs = []
+    for n in names:
+        v = F.col(f"__v{ids[n]}")
+        if hows[n] == "count":
+            v = F.coalesce(v, F.lit(0))  # pandas: empty bins count 0
+        outs.append(v.alias(n))
+    return full.select(
+        _grid_time(F.col(_K), from_ts, f).alias(time_col), *outs
+    )
+
+
+def resample_agg(
+    series: DataFrame,
+    from_ts,
+    to_ts,
+    freq,
+    how: str = "mean",
+    time_col: str = "time",
+    value_col: str = "value",
+) -> DataFrame:
+    """Single-series downsample — see :func:`resample_agg_multi`."""
+    return resample_agg_multi(
+        [(value_col, series.select(F.col(time_col), F.col(value_col)))],
+        from_ts, to_ts, freq, how=how, time_col=time_col,
+    )
+
+
 def resample_nearest(
     series: DataFrame,
     from_ts,

@@ -3439,6 +3439,75 @@ def q_value_histogram(spark, sf_dir):
 
 
 @register(
+    "resample_downsample",
+    oracle=f"""
+    WITH grid AS (
+        SELECT unnest(generate_series(TIMESTAMP '{_RESAMPLE_FROM}',
+                      TIMESTAMP '{_RESAMPLE_TO}', INTERVAL 1 DAY)) AS time
+    ),
+    clicks AS (
+        SELECT TIMESTAMP '{_RESAMPLE_FROM}' + CAST(floor(
+                 epoch(ts - TIMESTAMP '{_RESAMPLE_FROM}') / 86400) AS BIGINT)
+                 * INTERVAL 1 DAY AS time,
+               {_SQL_CENTS.format(x='value')} AS c
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '{_RESAMPLE_FROM}'
+          AND ts < TIMESTAMP '{_RESAMPLE_TO}' + INTERVAL 1 DAY
+    ),
+    buys AS (
+        SELECT TIMESTAMP '{_RESAMPLE_FROM}' + CAST(floor(
+                 epoch(ts - TIMESTAMP '{_RESAMPLE_FROM}') / 86400) AS BIGINT)
+                 * INTERVAL 1 DAY AS time,
+               {_SQL_CENTS.format(x='value')} AS c
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '{_RESAMPLE_FROM}'
+          AND ts < TIMESTAMP '{_RESAMPLE_TO}' + INTERVAL 1 DAY
+    ),
+    ca AS (SELECT time, CAST(sum(c) AS BIGINT) AS click_sum_cents,
+                  CAST(max(c) AS BIGINT) AS click_max_cents
+           FROM clicks GROUP BY 1),
+    ba AS (SELECT time, count(c) AS buy_n FROM buys GROUP BY 1)
+    SELECT g.time,
+           ca.click_sum_cents,
+           ca.click_max_cents,
+           COALESCE(ba.buy_n, 0) AS buy_n
+    FROM grid g LEFT JOIN ca USING (time) LEFT JOIN ba USING (time)
+    """,
+)
+def q_resample_downsample(spark, sf_dir):
+    """Downsample family (extension beyond the reference's as-of-only
+    resample): per-bin aggregates onto the [from, to] daily grid —
+    pandas ``resample('1d').agg({...})`` semantics (left-closed left-labeled
+    bins, empty bins null / count 0). ONE tall-union groupBy(bin) for all
+    series with map-side combine; integer cents keep sums/max/count
+    hash-exact across engines. The time-range filter stays on the scan
+    (no carry-in history needed, unlike the as-of family)."""
+    from qafs_spark.operators.resample import resample_agg_multi
+
+    ev = _t(spark, sf_dir, "events")
+
+    def typed(etype, cname):
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("ts").alias("time"), cents(F.col("value")).alias(cname)
+        )
+
+    named = [
+        ("click_sum_cents", typed("click", "click_sum_cents")),
+        ("click_max_cents", typed("click", "click_max_cents")),
+        ("buy_n", typed("purchase", "buy_n")),
+    ]
+    return resample_agg_multi(
+        named,
+        pd.Timestamp(_RESAMPLE_FROM),
+        pd.Timestamp(_RESAMPLE_TO),
+        "1d",
+        how={"click_sum_cents": "sum", "click_max_cents": "max", "buy_n": "count"},
+    )
+
+
+@register(
     "seasonal_profile",
     oracle=f"""
     SELECT event_type,

@@ -711,3 +711,54 @@ def test_resample_method_nonnumeric_and_empty_series(spark, fs):
     ip_rows = {r["time"]: r for r in ip.collect()}
     assert ip_rows[pd.Timestamp("2021-01-02 12:00")]["rm/num"] == 1.5
     assert all(r["rm/never"] is None for r in ip_rows.values())
+
+
+def test_load_features_downsample_aggregates(spark, fs):
+    """load_features(freq, method=<agg>) downsamples with pandas
+    resample().agg() semantics: left-closed left-labeled bins, nulls for
+    empty bins (0 for count), per-column aggregation over each feature's
+    own observations."""
+    import numpy as np
+    import pandas as pd
+
+    fs.create_namespace("ds")
+    fs.create_feature("ds/v", check=Column(float))
+    # two observations on day 1, one on day 3, none on day 2
+    times = pd.to_datetime(
+        ["2021-01-01 06:00", "2021-01-01 18:00", "2021-01-03 12:00"]
+    )
+    fs.save_df(pd.DataFrame({"time": times, "ds/v": [1.0, 3.0, 10.0]}))
+
+    expected = (
+        pd.DataFrame({"v": [1.0, 3.0, 10.0]}, index=times)
+        .resample("1d")["v"]
+    )
+    for method, exp in (
+        ("mean", expected.mean()),
+        ("sum", expected.sum()),
+        ("max", expected.max()),
+        ("count", expected.count()),
+        ("last", expected.last()),
+    ):
+        out = fs.load_features(
+            "ds/v", from_date="2021-01-01", to_date="2021-01-03",
+            freq="1d", method=method,
+        ).toPandas().sort_values("time").set_index("time")["ds/v"]
+        for day in ("2021-01-01", "2021-01-02", "2021-01-03"):
+            e = exp.get(pd.Timestamp(day), np.nan)
+            g = out.get(pd.Timestamp(day), np.nan)
+            if method == "count":
+                # pandas sum()/count() give 0 for empty bins too; ours: count 0
+                e = 0 if pd.isna(e) else e
+            if pd.isna(e):
+                # pandas .sum() yields 0.0 for empty bins; we keep null —
+                # document the divergence by accepting either here for sum
+                assert pd.isna(g) or (method == "sum" and g == 0.0), (method, day, g)
+            else:
+                if method == "sum" and pd.isna(g):
+                    assert e == 0.0, (method, day, e)
+                else:
+                    assert g == e, (method, day, g, e)
+
+    with pytest.raises(Exception, match="Unknown resample method"):
+        fs.load_features("ds/v", freq="1d", method="median")
