@@ -520,11 +520,20 @@ class FeatureStore:
         ``"nearest"`` takes the closest observation on either side
         (extensions; see ``operators.resample``) — each series resamples
         independently against its own observations, then the grids join
-        on ``time``.
+        on ``time``. Downsample aggregates (``"mean"``, ``"sum"``,
+        ``"min"``, ``"max"``, ``"count"``, ``"first"``, ``"last"``) bin
+        observations pandas-``resample().agg()``-style; a ``{feature:
+        how}`` dict applies a different aggregate per feature.
         """
         from .operators.resample import _AGG_HOWS
 
-        if method not in ("ffill", "interpolate", "nearest") + _AGG_HOWS:
+        if isinstance(method, dict):
+            bad = {k: v for k, v in method.items() if v not in _AGG_HOWS}
+            if bad:
+                raise FeatureStoreException(
+                    f"Unknown downsample how for {bad} (use one of {_AGG_HOWS})"
+                )
+        elif method not in ("ffill", "interpolate", "nearest") + _AGG_HOWS:
             raise FeatureStoreException(
                 f"Unknown resample method '{method}' (use 'ffill', "
                 f"'interpolate', 'nearest' or a downsample aggregate "
@@ -565,7 +574,7 @@ class FeatureStore:
         # resample_asof's bin aggregation compress the history. Downsample
         # aggregates have no carry-in: keep the lower bound on the scan so
         # the time predicate prunes partitions.
-        downsample = method in _AGG_HOWS
+        downsample = isinstance(method, dict) or method in _AGG_HOWS
         scan_from = from_ts if (freq is None or downsample) else None
         scan_to = to_ts
         if freq is not None and downsample:

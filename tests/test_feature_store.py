@@ -762,3 +762,35 @@ def test_load_features_downsample_aggregates(spark, fs):
 
     with pytest.raises(Exception, match="Unknown resample method"):
         fs.load_features("ds/v", freq="1d", method="median")
+
+
+def test_load_features_downsample_dict_and_calendar(spark, fs):
+    """Per-feature aggregate dict + calendar (monthly) frequency bins."""
+    import pandas as pd
+
+    fs.create_namespace("dc")
+    fs.create_feature("dc/a", check=Column(float))
+    fs.create_feature("dc/b", check=Column(float))
+    dts = pd.date_range("2021-01-05", "2021-04-20", freq="3D")
+    vals = [float(i) for i in range(len(dts))]
+    fs.save_df(pd.DataFrame({"time": dts, "dc/a": vals}))
+    fs.save_df(pd.DataFrame({"time": dts, "dc/b": vals}))
+
+    out = (
+        fs.load_features(
+            ["dc/a", "dc/b"], from_date="2021-01-01", to_date="2021-04-01",
+            freq="M", method={"dc/a": "mean", "dc/b": "count"},
+        )
+        .toPandas().sort_values("time").set_index("time")
+    )
+    pdf = pd.DataFrame({"v": vals}, index=dts)
+    # bins [Jan 1, Feb 1), [Feb 1, Mar 1), ... labeled at the left edge
+    exp = pdf.resample("MS")["v"]
+    assert len(out) == 4
+    for ts, m in exp.mean().items():
+        assert abs(out.loc[ts, "dc/a"] - m) < 1e-12
+    for ts, c in exp.count().items():
+        assert out.loc[ts, "dc/b"] == c
+
+    with pytest.raises(Exception, match="Unknown downsample"):
+        fs.load_features(["dc/a"], freq="M", method={"dc/a": "median"})
