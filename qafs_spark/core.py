@@ -506,7 +506,7 @@ class FeatureStore:
         freq: Optional[str] = None,
         time_travel: Optional[str] = None,
         namespace: Optional[str] = None,
-        method: str = "ffill",
+        method: Union[str, Dict[str, str]] = "ffill",
     ) -> DataFrame:
         """One lazy Spark plan over all requested features (SURVEY §3.2).
 
@@ -622,12 +622,15 @@ class FeatureStore:
         freq: Optional[str] = None,
         time_travel: Optional[str] = None,
         namespace: Optional[str] = None,
+        method: Union[str, Dict[str, str]] = "ffill",
     ) -> pd.DataFrame:
-        """Old-style API: pandas result indexed by time (reference tests)."""
+        """Old-style API: pandas result indexed by time (reference tests).
+        ``method`` mirrors :meth:`load_features` (ffill / interpolate /
+        nearest / downsample aggregates)."""
         specs = self._unpack_list(features, namespace=namespace)
         sdf = self.load_features(
             features, from_date=from_date, to_date=to_date, freq=freq,
-            time_travel=time_travel, namespace=namespace,
+            time_travel=time_travel, namespace=namespace, method=method,
         )
         pdf = sdf.toPandas()
         pdf = pdf.sort_values("time").set_index("time")
