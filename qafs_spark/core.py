@@ -228,6 +228,29 @@ class FeatureStore:
         serialized: Optional[bool] = None,
     ):
         namespace, name = self._split_name(name, namespace)
+        if check is not None:
+            # dtype family is part of the dataset's physical contract: the
+            # value column is canonicalized to it at write and the scan uses
+            # it as an explicit schema (no footer inference). Changing it
+            # under existing data would make reads fail on old files —
+            # reject like the serialized flag (registry.py:304) instead.
+            rec = self.registry.get_feature(namespace, name)
+            if rec is not None and rec.check_yaml:
+                old = Column.from_yaml(rec.check_yaml).dtype
+                # loosening to the untyped 'object' family is safe (reads
+                # fall back to schema inference); any other change is not
+                if (
+                    old != check.dtype
+                    and check.dtype != "object"
+                    and fs_storage.path_exists(
+                        self.spark, self._path(namespace, name)
+                    )
+                ):
+                    raise FeatureStoreException(
+                        f"Cannot change dtype family of '{namespace}/{name}' "
+                        f"from {old!r} to {check.dtype!r} with existing data "
+                        "(delete the data or create a new feature)"
+                    )
         self.registry.update_feature(
             namespace,
             name,

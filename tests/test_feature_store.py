@@ -794,3 +794,30 @@ def test_load_features_downsample_dict_and_calendar(spark, fs):
 
     with pytest.raises(Exception, match="Unknown downsample"):
         fs.load_features(["dc/a"], freq="M", method={"dc/a": "median"})
+
+
+def test_update_feature_dtype_family_guard(spark, fs):
+    """The check dtype family is part of the physical contract (values are
+    canonicalized to it at write; scans pin it as an explicit schema).
+    Changing it under existing data is rejected like the serialized flag;
+    loosening to the untyped 'object' family, or changing before any data
+    exists, stays allowed."""
+    import pandas as pd
+
+    from qafs_spark.exceptions import FeatureStoreException
+
+    fs.create_namespace("g")
+    fs.create_feature("g/f", check=Column(float))
+    # no data yet → family change allowed
+    fs.update_feature("g/f", check=Column(int))
+    fs.update_feature("g/f", check=Column(float))
+
+    dts = pd.date_range("2021-01-01", periods=3)
+    fs.save_df(pd.DataFrame({"time": dts, "g/f": [1.0, 2.0, 3.0]}))
+    with pytest.raises(FeatureStoreException, match="dtype family"):
+        fs.update_feature("g/f", check=Column(int))
+    # same family with new predicates is fine
+    fs.update_feature("g/f", check=Column(float, Check.greater_than(0.0)))
+    # loosening to object is fine (reads fall back to inference)
+    fs.update_feature("g/f", check=Column(object))
+    assert fs.load_dataframe("g/f").shape == (3, 1)
