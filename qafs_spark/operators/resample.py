@@ -401,7 +401,7 @@ def resample_points_multi(
     )
 
 
-_AGG_HOWS = ("mean", "sum", "min", "max", "count", "first", "last")
+_AGG_HOWS = ("mean", "sum", "min", "max", "count", "first", "last", "median")
 
 
 def _agg_expr(how: str, c, t):
@@ -418,6 +418,8 @@ def _agg_expr(how: str, c, t):
         return F.max(c)
     if how == "count":
         return F.count(c)
+    if how == "median":
+        return F.median(c)  # exact (not approx) since Spark 3.4
     key = F.when(c.isNotNull(), t)
     if how == "first":
         return F.min_by(c, key)

@@ -739,6 +739,7 @@ def test_load_features_downsample_aggregates(spark, fs):
         ("max", expected.max()),
         ("count", expected.count()),
         ("last", expected.last()),
+        ("median", expected.median()),
     ):
         out = fs.load_features(
             "ds/v", from_date="2021-01-01", to_date="2021-01-03",
@@ -761,7 +762,7 @@ def test_load_features_downsample_aggregates(spark, fs):
                     assert g == e, (method, day, g, e)
 
     with pytest.raises(Exception, match="Unknown resample method"):
-        fs.load_features("ds/v", freq="1d", method="median")
+        fs.load_features("ds/v", freq="1d", method="mode")
 
 
 def test_load_features_downsample_dict_and_calendar(spark, fs):
@@ -793,7 +794,7 @@ def test_load_features_downsample_dict_and_calendar(spark, fs):
         assert out.loc[ts, "dc/b"] == c
 
     with pytest.raises(Exception, match="Unknown downsample"):
-        fs.load_features(["dc/a"], freq="M", method={"dc/a": "median"})
+        fs.load_features(["dc/a"], freq="M", method={"dc/a": "mode"})
 
 
 def test_update_feature_dtype_family_guard(spark, fs):
