@@ -441,3 +441,49 @@ def test_resample_multi_single_data_aggregation(spark):
                 assert (av is None) == (bv is None)
                 if av is not None:
                     assert abs(av - bv) < 1e-12, (method, a.time, n, av, bv)
+
+
+def test_resample_agg_multi_property_random(spark):
+    """Randomized parity of resample_agg_multi against pandas
+    resample().agg() over irregular series, several freqs and aggregates.
+    Empty-bin convention: ours yields null where pandas yields 0.0 for
+    sum (and NaN-vs-null for mean/min/max — equivalent); count matches 0."""
+    import numpy as np
+    import pandas as pd
+
+    from qafs_spark.operators.resample import resample_agg_multi
+
+    rng = np.random.RandomState(7)
+    for trial in range(4):
+        n = int(rng.randint(30, 200))
+        # irregular timestamps on whole seconds (Spark micros-safe)
+        offs = np.sort(rng.choice(np.arange(0, 3600 * 24 * 20, 60), n, replace=False))
+        dts = pd.Timestamp("2022-03-01") + pd.to_timedelta(offs, unit="s")
+        vals = np.round(rng.randn(n) * 100, 2)
+        freq = ["6h", "1d", "90min"][trial % 3]
+        how = ["mean", "sum", "max", "count", "median"][trial % 5]
+        from_ts, to_ts = pd.Timestamp("2022-03-03"), pd.Timestamp("2022-03-15")
+
+        pdf = pd.Series(vals, index=dts)
+        # pandas grid anchored at from_ts: bin observations ourselves
+        k = ((pdf.index - from_ts) // pd.Timedelta(freq)).astype(int)
+        in_range = (pdf.index >= from_ts) & (
+            k <= int((to_ts - from_ts) / pd.Timedelta(freq))
+        )
+        grouped = pdf[in_range].groupby(k[in_range])
+        exp = getattr(grouped, how)()
+
+        sdf = spark.createDataFrame(pd.DataFrame({"time": dts, "v": vals}))
+        out = resample_agg_multi(
+            [("v", sdf)], from_ts, to_ts, freq, how=how
+        ).toPandas().sort_values("time").set_index("time")["v"]
+
+        k_max = int((to_ts - from_ts) / pd.Timedelta(freq))
+        assert len(out) == k_max + 1, (trial, freq, how)
+        for kk in range(k_max + 1):
+            t = from_ts + kk * pd.Timedelta(freq)
+            got = out.loc[t]
+            if kk in exp.index:
+                assert abs(got - exp.loc[kk]) < 1e-9, (trial, freq, how, t, got, exp.loc[kk])
+            else:
+                assert (got == 0) if how == "count" else pd.isna(got), (trial, freq, how, t, got)
