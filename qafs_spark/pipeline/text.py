@@ -558,3 +558,117 @@ def pack_sequences(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double") / budget
         ).cast("long").alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus line dedup (C4/CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+def dedup_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Remove lines that appear (trimmed-identical) in >= ``min_docs``
+    DISTINCT documents — the C4-style boilerplate filter (nav bars, cookie
+    banners, license footers repeat across pages; prose doesn't).
+
+    Returns (id, text, n_lines, n_removed) with surviving lines rejoined in
+    their original order; documents whose every line is boilerplate survive
+    with empty text (so downstream length filters decide their fate
+    explicitly).
+
+    Scale shape: ``posexplode`` on newline splits, one ``groupBy(line)``
+    with map-side-combined ``count_distinct(doc)`` to find the hot set, and
+    a LEFT ANTI equi-join back on the line key — the hot set is corpus-wide
+    and therefore NOT assumed broadcastable; the anti join shuffles by line
+    key like any content join (AQE handles the skewed empty/short-line keys,
+    and ``min_line_chars`` drops sub-threshold lines from the hot-set
+    consideration entirely — a one-char line carries no boilerplate signal
+    but would be the hottest join key in the corpus). Reassembly is
+    ``sort_array(collect_list(struct(pos, line)))`` per doc — grouping key
+    is the doc id, so no global sort and no window.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    key = F.trim(F.col("line"))
+    hot = (
+        lines.filter(F.length(key) >= min_line_chars)
+        .groupBy(key.alias("k"))
+        .agg(F.count_distinct(F.col("id")).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k")
+    )
+    kept = lines.join(hot, on=key == F.col("k"), how="left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.size(F.split(F.col(text_col), "\n"))).alias("n_lines"),
+    )
+    return (
+        base.join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("text"),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (map-only scrub pass)
+# ---------------------------------------------------------------------------
+#: deliberately RE2-safe patterns (no backreferences/lookaround) so the same
+#: strings run identically under Java regex (Spark) and RE2 (DuckDB, Go
+#: scrubbers) — dialect-portable by construction.
+#: dict order IS scrub order: specific patterns (ssn, ipv4) before the
+#: greedy phone class, which would otherwise half-eat them
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    patterns: Optional[Dict[str, str]] = None,
+    token: str = "<PII:{kind}>",
+) -> DataFrame:
+    """Replace PII spans with typed placeholder tokens and count hits per
+    kind — the standard pretraining scrub pass.
+
+    Returns (id, text, n_<kind>...). Pure chained ``regexp_replace`` +
+    ``regexp_count`` column expressions: map-only, whole-stage codegen, no
+    shuffle, no Python. Patterns apply in dict order (email before phone
+    matters: an email's digits must not be half-eaten as a phone number);
+    counts are measured BEFORE any replacement, on the original text.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    out_cols = [F.col(id_col)]
+    scrubbed = F.col(text_col)
+    for kind, pat in pats.items():
+        out_cols.append(
+            F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0))
+            .cast("long").alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token.format(kind=kind))
+    return df.select(out_cols[0], scrubbed.alias("text"), *out_cols[1:])

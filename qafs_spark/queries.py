@@ -4002,3 +4002,139 @@ def q_resample_nearest(spark, sf_dir):
         pd.Timestamp(_RESAMPLE_TO),
         "6h",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus line dedup + PII redaction (pipeline extensions, round 4)
+# ---------------------------------------------------------------------------
+_DEDUP_LINES_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id,
+               text || chr(10) || 'source: ' || source || chr(10) ||
+               'boilerplate footer (c) example corpus' AS mt
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, arr[CAST(i AS INTEGER) + 1] AS line, CAST(i AS BIGINT) AS pos
+        FROM (SELECT doc_id, string_split(mt, chr(10)) AS arr FROM docs),
+             UNNEST(range(len(arr))) AS t(i)
+    ),
+    hot AS (
+        SELECT trim(line) AS k
+        FROM lines WHERE length(trim(line)) >= 1
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ),
+    kept AS (
+        SELECT l.* FROM lines l LEFT JOIN hot h ON trim(l.line) = h.k
+        WHERE h.k IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean, '') AS text,
+           CAST(len(string_split(d.mt, chr(10))) AS INTEGER) AS n_lines,
+           CAST(len(string_split(d.mt, chr(10))) - COALESCE(r.n_kept, 0)
+                AS INTEGER) AS n_removed
+    FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("dedup_lines", oracle=_DEDUP_LINES_ORACLE)
+def q_dedup_lines(spark, sf_dir):
+    """Pipeline: C4/CCNet-style boilerplate removal — drop lines appearing
+    (trimmed-identical) in >= 2 distinct documents, rejoin survivors in
+    order. The fixture has single-line docs, so the query plants two known
+    boilerplate lines (a per-source tag, ~25 docs each, and a global
+    footer) identically in Spark and the oracle; genuinely duplicated
+    fixture docs additionally lose their content line. Anti-join on the
+    line key (NOT broadcast: the hot set is corpus-sized at scale);
+    order-restoring reassembly is sort_array(collect_list) per doc — no
+    global sort, no window."""
+    from qafs_spark.pipeline.text import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("source: "), F.col("source")),
+            F.lit("boilerplate footer (c) example corpus"),
+        ).alias("mt"),
+    )
+    return dedup_lines(docs, "mt", "doc_id", min_docs=2)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+_PII_IPV4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PII_PHONE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+# scrub order matters: specific patterns (ssn, ipv4) before the greedy
+# phone pattern so it cannot half-eat them; counts are on the original text
+_PII_ORDER = [
+    ("email", _PII_EMAIL), ("ssn", _PII_SSN),
+    ("ipv4", _PII_IPV4), ("phone", _PII_PHONE),
+]
+
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' phone (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ip 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-' ||"
+    " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+)
+
+_REDACT_PII_ORACLE = (
+    "SELECT doc_id,\n"
+    + "".join(
+        "       CAST(len(regexp_extract_all(pt, '" + pat + "')) AS BIGINT)"
+        " AS n_" + kind + ",\n"
+        for kind, pat in _PII_ORDER
+    )
+    + "       "
+    + "regexp_replace(" * len(_PII_ORDER)
+    + "pt"
+    + "".join(
+        ", '" + pat + "', '<PII:" + kind + ">', 'g')"
+        for kind, pat in _PII_ORDER
+    )
+    + " AS text\n"
+    "FROM (SELECT doc_id, " + _PII_TEXT_SQL + " AS pt FROM documents)"
+)
+
+
+@register("redact_pii", oracle=_REDACT_PII_ORACLE)
+def q_redact_pii(spark, sf_dir):
+    """Pipeline: PII scrub pass — typed placeholder replacement + per-kind
+    hit counts, pure chained regexp_replace/regexp_count (map-only,
+    whole-stage codegen, RE2-safe patterns so Java and RE2 dialects agree
+    character-for-character). The fixture has no PII, so the query plants
+    deterministic emails/phones/ips/ssns from doc_id identically in Spark
+    and the oracle."""
+    from qafs_spark.pipeline.text import redact_pii
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.lit(" phone (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."), (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" ssn 123-45-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("pt"),
+    )
+    out = redact_pii(docs, "pt", "doc_id", patterns=dict(_PII_ORDER))
+    return out.select(
+        "doc_id", *[f"n_{k}" for k, _ in _PII_ORDER], "text"
+    )

@@ -1476,3 +1476,53 @@ def test_event_stream_matches_batch_on_real_fixture(spark):
     q.awaitTermination(180)
     streamed = {(r.h, r.event_type): r.n for r in spark.table(name).collect()}
     assert streamed == batch
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    from qafs_spark.pipeline.text import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "unique alpha\nshared footer\n  shared footer  \nmore alpha"),
+            (1, "unique beta\nshared footer"),
+            (2, "solo gamma\n\nonly here"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_lines(docs, "text", "doc_id").collect()}
+    # trimmed-identical lines in >=2 docs vanish; order of survivors kept
+    assert out[0].text == "unique alpha\nmore alpha"
+    assert out[0].n_lines == 4 and out[0].n_removed == 2
+    assert out[1].text == "unique beta" and out[1].n_removed == 1
+    # empty lines are never hot (min_line_chars) — doc 2 untouched
+    assert out[2].text == "solo gamma\n\nonly here" and out[2].n_removed == 0
+    assert out[3].text == "" and out[3].n_lines == 1
+    # a doc that is ALL boilerplate survives as empty text, not a lost row
+    docs2 = spark.createDataFrame(
+        [(0, "x\ny"), (1, "x\ny"), (2, "x")], ["doc_id", "text"]
+    )
+    out2 = {r.doc_id: r for r in dedup_lines(docs2, "text", "doc_id").collect()}
+    assert out2[0].text == "" and out2[0].n_removed == 2
+    assert out2[2].text == "" and out2[2].n_removed == 1
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    from qafs_spark.pipeline.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-ample.co.uk and b@x.io today"),
+            (1, "call +1 (555) 010-9999 now"),
+            (2, "host 192.168.0.1 clean 10.1.2.3"),
+            (3, "nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(docs, "text", "doc_id").collect()}
+    assert out[0].n_email == 2 and out[0].text.count("<PII:email>") == 2
+    assert "a.b+c@ex-ample.co.uk" not in out[0].text
+    assert out[1].n_phone == 1 and "<PII:phone>" in out[1].text
+    assert out[2].n_ipv4 == 2 and out[2].text.count("<PII:ipv4>") == 2
+    assert out[3].text == "nothing here"
+    assert all(out[3][f"n_{k}"] == 0 for k in ("email", "phone", "ipv4", "ssn"))
