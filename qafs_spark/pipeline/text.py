@@ -672,3 +672,92 @@ def redact_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token.format(kind=kind))
     return df.select(out_cols[0], scrubbed.alias("text"), *out_cols[1:])
+
+
+#: sentence = shortest run ending in .!? — no lookaround, so the same
+#: pattern runs identically under Java regex and RE2 (DuckDB/Go)
+SENTENCE_REGEX = r"[^.!?]+[.!?]"
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style span dedup: any ``span``-sentence window whose (trimmed)
+    text occurs in >= ``min_docs`` DISTINCT documents marks all its
+    sentences for removal, in every document containing it; survivors
+    rejoin in order. (The C4 paper removes all-but-one occurrence of each
+    duplicated three-sentence span; the symmetric drop-everywhere variant
+    here is deterministic under any execution order, which an
+    occurrence-keeping variant is not without a global tiebreak pass.)
+
+    Returns (id, text, n_sentences, n_removed_sentences).
+
+    Scale shape: sentence extraction and span construction are DOC-LOCAL
+    array expressions (``regexp_extract_all`` + ``transform``/``slice`` —
+    no join builds the windows); corpus-wide work is ONE ``groupBy(span)``
+    with ``count_distinct(doc)`` and one LEFT ANTI equi-join of sentence
+    positions against the expanded hot-span positions. Docs with fewer than
+    ``span`` sentences pass through untouched.
+    """
+    sents_arr = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(SENTENCE_REGEX), 0),
+        lambda s: F.trim(s),
+    )
+    base = df.select(F.col(id_col).alias("id"), sents_arr.alias("s"))
+    sents = base.select(
+        "id", F.posexplode(F.col("s")).alias("pos", "sent")
+    )
+    # span starts: 0 .. size-span (doc-local array, no self-join)
+    spans = base.filter(F.size("s") >= span).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("s") - (span - 1)),
+                lambda i: F.array_join(F.slice(F.col("s"), i, span), " "),
+            )
+        ).alias("spos", "stext"),
+    )
+    hot = (
+        spans.groupBy("stext")
+        .agg(F.count_distinct(F.col("id")).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("stext")
+    )
+    # expand each hot span occurrence to its sentence positions
+    removed = (
+        spans.join(hot, "stext")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("spos"), F.col("spos") + (span - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = sents.join(removed, on=["id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "sent"))),
+                lambda x: x["sent"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    meta = base.select("id", F.size("s").alias("n_sentences"))
+    return (
+        meta.join(rebuilt, on="id", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("text"),
+            F.col("n_sentences"),
+            (
+                F.col("n_sentences") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).alias("n_removed_sentences"),
+        )
+    )

@@ -4138,3 +4138,86 @@ def q_redact_pii(spark, sf_dir):
     return out.select(
         "doc_id", *[f"n_{k}" for k, _ in _PII_ORDER], "text"
     )
+
+
+_DEDUP_SPANS_ORACLE = """
+    WITH docs AS (
+        SELECT doc_id,
+               'alpha ' || source || '. beta ' || source || '. gamma ' ||
+               source || '. ' || text || ' tail ' || CAST(doc_id AS VARCHAR)
+               || '.' AS mt
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_transform(regexp_extract_all(mt, '[^.!?]+[.!?]'),
+                              x -> trim(x)) AS arr
+        FROM docs
+    ),
+    sents AS (
+        SELECT doc_id, arr[CAST(i AS INTEGER) + 1] AS sent,
+               CAST(i AS BIGINT) AS pos
+        FROM s, UNNEST(range(len(arr))) t(i)
+    ),
+    spans AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS spos,
+               array_to_string(arr[CAST(i AS INTEGER) + 1 :
+                                   CAST(i AS INTEGER) + 3], ' ') AS stext
+        FROM s, UNNEST(range(len(arr) - 2)) t(i)
+        WHERE len(arr) >= 3
+    ),
+    hot AS (
+        SELECT stext FROM spans GROUP BY 1
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    removed AS (
+        SELECT DISTINCT sp.doc_id, sp.spos + CAST(j AS BIGINT) AS pos
+        FROM spans sp JOIN hot USING (stext), UNNEST(range(3)) u(j)
+    ),
+    kept AS (
+        SELECT se.* FROM sents se
+        LEFT JOIN removed r ON se.doc_id = r.doc_id AND se.pos = r.pos
+        WHERE r.doc_id IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean, '') AS text,
+           CAST(len(s.arr) AS INTEGER) AS n_sentences,
+           CAST(len(s.arr) - COALESCE(r.n_kept, 0) AS INTEGER)
+               AS n_removed_sentences
+    FROM docs d JOIN s USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+@register("dedup_spans", oracle=_DEDUP_SPANS_ORACLE)
+def q_dedup_spans(spark, sf_dir):
+    """Pipeline: C4-style three-sentence-span dedup (drop-everywhere
+    variant) — spans duplicated across >= 2 distinct docs mark their
+    sentences for removal; survivors rejoin in order. The fixture docs
+    carry no sentence structure, so the query builds one deterministically:
+    three per-source boilerplate sentences (~25 docs share each source →
+    their leading span is hot and gets stripped) followed by the doc's own
+    text as a unique tail sentence. Span construction is doc-local array
+    work; corpus-wide cost is one groupBy(span) + one anti equi-join."""
+    from qafs_spark.pipeline.text import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha "), F.col("source"),
+            F.lit(". beta "), F.col("source"),
+            F.lit(". gamma "), F.col("source"),
+            F.lit(". "), F.col("text"),
+            F.lit(" tail "), F.col("doc_id").cast("string"), F.lit("."),
+        ).alias("mt"),
+    )
+    out = dedup_spans(docs, "mt", "doc_id", span=3, min_docs=2)
+    return out.select(
+        "doc_id", "text",
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        F.col("n_removed_sentences").cast("int").alias("n_removed_sentences"),
+    )

@@ -1526,3 +1526,27 @@ def test_redact_pii_patterns_and_counts(spark):
     assert out[2].n_ipv4 == 2 and out[2].text.count("<PII:ipv4>") == 2
     assert out[3].text == "nothing here"
     assert all(out[3][f"n_{k}"] == 0 for k in ("email", "phone", "ipv4", "ssn"))
+
+
+def test_dedup_spans_c4_semantics(spark):
+    from qafs_spark.pipeline.text import dedup_spans
+
+    shared = "One two. Three four. Five six."
+    docs = spark.createDataFrame(
+        [
+            (0, shared + " Unique zero tail."),
+            (1, shared + " Unique one tail!"),
+            (2, "Totally different. Sentences here. No overlap at all."),
+            (3, "Too short. Only two."),   # < span sentences: untouched
+            (4, "no terminator at all"),   # zero sentences
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup_spans(docs, "text", "doc_id").collect()}
+    # the shared leading 3-sentence span is stripped from BOTH docs
+    assert out[0].text == "Unique zero tail." and out[0].n_removed_sentences == 3
+    assert out[1].text == "Unique one tail!" and out[1].n_sentences == 4
+    assert out[2].n_removed_sentences == 0
+    assert out[2].text == "Totally different. Sentences here. No overlap at all."
+    assert out[3].text == "Too short. Only two." and out[3].n_removed_sentences == 0
+    assert out[4].n_sentences == 0 and out[4].text == ""
