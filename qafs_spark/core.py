@@ -379,6 +379,52 @@ class FeatureStore:
     # old-style name (reference tests:240 etc.)
     save_dataframe = save_df
 
+    def materialize(
+        self,
+        features: Any,
+        target_namespace: str,
+        from_date=None,
+        to_date=None,
+        freq: Optional[str] = None,
+        method: Union[str, Dict[str, str]] = "ffill",
+        time_travel: Optional[str] = None,
+        namespace: Optional[str] = None,
+        suffix: str = "",
+    ) -> List[str]:
+        """Persist a :meth:`load_features` result as stored features —
+        rollup/downsample materialization (e.g. a daily-mean view of a
+        high-frequency feature, precomputed once and served like any other
+        feature instead of re-aggregated per read).
+
+        Each source ``ns/name`` lands as ``target_namespace/name{suffix}``;
+        missing target namespace/features are created, with the check dtype
+        family derived from the result schema. Returns the target full
+        names. One Spark job per target feature (the write); the load plan
+        is built once and shared."""
+        specs = self._unpack_list(features, namespace=namespace)
+        out = self.load_features(
+            features, from_date=from_date, to_date=to_date, freq=freq,
+            method=method, time_travel=time_travel, namespace=namespace,
+        )
+        if self.registry.get_namespace(target_namespace) is None:
+            self.create_namespace(target_namespace)
+        families = {
+            T.DoubleType: "float", T.FloatType: "float",
+            T.LongType: "int", T.IntegerType: "int",
+            T.StringType: "str", T.BooleanType: "bool",
+            T.TimestampType: "datetime",
+        }
+        targets: List[str] = []
+        for ns, nm in specs:
+            src, tgt = f"{ns}/{nm}", f"{target_namespace}/{nm}{suffix}"
+            out = out.withColumnRenamed(src, tgt)
+            if self.registry.get_feature(target_namespace, f"{nm}{suffix}") is None:
+                fam = families.get(type(out.schema[tgt].dataType), "object")
+                self.create_feature(tgt, check=Column(fam))
+            targets.append(tgt)
+        self.save_df(out)
+        return targets
+
     def _normalize_pandas_time(self, df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(df.index, pd.DatetimeIndex):
             if "time" in df.columns:

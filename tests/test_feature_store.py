@@ -822,3 +822,42 @@ def test_update_feature_dtype_family_guard(spark, fs):
     # loosening to object is fine (reads fall back to inference)
     fs.update_feature("g/f", check=Column(object))
     assert fs.load_dataframe("g/f").shape == (3, 1)
+
+
+def test_materialize_downsampled_rollup(spark, fs):
+    """fs.materialize persists a load_features view as stored features:
+    daily-mean rollups land in the target namespace, are registered with
+    the derived dtype family, and reload byte-identical to the direct
+    load_features result."""
+    import pandas as pd
+
+    fs.create_namespace("hf")
+    fs.create_feature("hf/sensor", check=Column(float))
+    dts = pd.date_range("2021-01-01", periods=72, freq="1h")
+    fs.save_df(pd.DataFrame({"time": dts, "hf/sensor": [float(i) for i in range(72)]}))
+
+    targets = fs.materialize(
+        "hf/sensor", "rollups", from_date="2021-01-01",
+        to_date="2021-01-03", freq="1d", method="mean", suffix="_daily_mean",
+    )
+    assert targets == ["rollups/sensor_daily_mean"]
+
+    direct = (
+        fs.load_features("hf/sensor", from_date="2021-01-01",
+                         to_date="2021-01-03", freq="1d", method="mean")
+        .toPandas().sort_values("time").reset_index(drop=True)
+    )
+    stored = (
+        fs.load_features("rollups/sensor_daily_mean")
+        .toPandas().sort_values("time").reset_index(drop=True)
+    )
+    assert list(stored["rollups/sensor_daily_mean"]) == list(direct["hf/sensor"])
+    # registered with the derived float family
+    rec = fs.registry.get_feature("rollups", "sensor_daily_mean")
+    assert rec is not None and "float" in (rec.check_yaml or "")
+    # idempotent re-materialize (LWW overwrite, no duplicate-feature error)
+    fs.materialize(
+        "hf/sensor", "rollups", from_date="2021-01-01",
+        to_date="2021-01-03", freq="1d", method="mean", suffix="_daily_mean",
+    )
+    assert fs.load_features("rollups/sensor_daily_mean").count() == 3
