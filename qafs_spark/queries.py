@@ -4221,3 +4221,65 @@ def q_dedup_spans(spark, sf_dir):
         F.col("n_sentences").cast("int").alias("n_sentences"),
         F.col("n_removed_sentences").cast("int").alias("n_removed_sentences"),
     )
+
+
+@register(
+    "rollup_roundtrip",
+    oracle=f"""
+    WITH series AS ({_SQL_LWW}),
+    cents AS (
+        SELECT time, CAST({_SQL_CENTS.format(x='value')} AS DOUBLE) AS c
+        FROM series
+        WHERE time >= TIMESTAMP '2024-01-10 00:00:00'
+          AND time < TIMESTAMP '2024-01-24 00:00:00' + INTERVAL 1 DAY
+    ),
+    binned AS (
+        SELECT TIMESTAMP '2024-01-10 00:00:00' + CAST(floor(
+                 epoch(time - TIMESTAMP '2024-01-10 00:00:00') / 86400)
+                 AS BIGINT) * INTERVAL 1 DAY AS time,
+               sum(c) / count(c) AS value
+        FROM cents GROUP BY 1
+    ),
+    grid AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                      TIMESTAMP '2024-01-24 00:00:00', INTERVAL 1 DAY)) AS time
+    )
+    SELECT g.time, b.value FROM grid g LEFT JOIN binned b USING (time)
+    """,
+)
+def q_rollup_roundtrip(spark, sf_dir):
+    """Store API end-to-end #2: ingest the LWW events series (values in
+    CENTS so bin sums stay integer-valued doubles — exact in any summation
+    order), fs.materialize a daily-MEAN rollup into a second namespace,
+    then read the MATERIALIZED feature back. Certifies materialize +
+    downsample + re-registration against SQL computed straight off the raw
+    events. Mean = exact-integer sum / count, so the doubles replay
+    bit-for-bit cross-engine."""
+    import shutil
+    import tempfile
+
+    from .checks import Column
+    from .core import FeatureStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="qafs_rollup_rt_")
+    try:
+        fs = FeatureStore(storage=root, spark=spark)
+        fs.create_namespace("bench")
+        fs.create_feature("bench/event_cents", check=Column(float))
+        src = _event_series_df(spark, sf_dir).select(
+            "time", "created_time",
+            cents(F.col("value")).cast("double").alias("bench/event_cents"),
+        )
+        fs.save_df(src, "bench/event_cents")
+        targets = fs.materialize(
+            "bench/event_cents", "rollups",
+            from_date="2024-01-10", to_date="2024-01-24",
+            freq="1d", method="mean", suffix="_daily_mean",
+        )
+        out = fs.load_features(targets[0]).select(
+            F.col("time"), F.col(targets[0]).alias("value")
+        )
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
