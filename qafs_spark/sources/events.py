@@ -38,12 +38,23 @@ _EVENT_FIELDS = [
 ]
 
 
+#: per-path probe cache — the surfaced dtype is a property of (Spark
+#: version, file), both fixed for a process; ~40 catalog queries call
+#: read_events at plan build and need not re-read the footer each time
+_TS_DTYPE_CACHE: dict = {}
+
+
 def probe_event_ts_dtype(spark: SparkSession, path: str) -> str:
     """Driver-side, metadata-only probe: how does THIS Spark surface the
     nanos ts column? Returns the simpleString dtype (``bigint``,
     ``timestamp_ntz``, ...). Reads footer schema only — no job."""
+    cached = _TS_DTYPE_CACHE.get(path)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return dict(spark.read.parquet(path).dtypes)["ts"]
+    dtype = dict(spark.read.parquet(path).dtypes)["ts"]
+    _TS_DTYPE_CACHE[path] = dtype
+    return dtype
 
 
 def normalize_event_ts(df: DataFrame, ts_dtype: str) -> DataFrame:
