@@ -43,18 +43,66 @@ _EVENT_FIELDS = [
 #: read_events at plan build and need not re-read the footer each time
 _TS_DTYPE_CACHE: dict = {}
 
+_NANOS_AS_LONG = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _with_nanos_as_long(spark: SparkSession):
+    """Context manager: set the legacy nanos conf, restoring the caller's
+    prior session state (including "unset") on exit. The conf is a shared
+    session knob — on Spark <= 4.0 leaving it set would silently change how
+    every OTHER nanos-parquet read in the user's session surfaces."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _cm():
+        try:
+            prior = spark.conf.get(_NANOS_AS_LONG)
+        except Exception:
+            prior = None
+        spark.conf.set(_NANOS_AS_LONG, "true")
+        try:
+            yield
+        finally:
+            if prior is None:
+                try:
+                    spark.conf.unset(_NANOS_AS_LONG)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(_NANOS_AS_LONG, prior)
+
+    return _cm()
+
 
 def probe_event_ts_dtype(spark: SparkSession, path: str) -> str:
     """Driver-side, metadata-only probe: how does THIS Spark surface the
     nanos ts column? Returns the simpleString dtype (``bigint``,
-    ``timestamp_ntz``, ...). Reads footer schema only — no job."""
+    ``timestamp_ntz``, ...). Reads footer schema only — no job.
+
+    The legacy conf is set only for the duration of the probe and the
+    caller's prior session state is restored — the probe itself must not
+    leak config into the user's session. On runtimes that honor the conf
+    (probe result ``bigint``), the *read* paths below re-set it durably,
+    because there the conf is required for the scan to decode at all.
+    """
     cached = _TS_DTYPE_CACHE.get(path)
     if cached is not None:
         return cached
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    dtype = dict(spark.read.parquet(path).dtypes)["ts"]
+    with _with_nanos_as_long(spark):
+        dtype = dict(spark.read.parquet(path).dtypes)["ts"]
     _TS_DTYPE_CACHE[path] = dtype
     return dtype
+
+
+def _ensure_read_conf(spark: SparkSession, ts_dtype: str) -> None:
+    """On a runtime that surfaces nanos as BIGINT (Spark <= 4.0, conf
+    honored), the conf must be in effect when the scan *executes*, not just
+    when the footer was probed — and it must be set on every call, not only
+    on probe-cache misses, so a second SparkSession in the same process
+    (fresh conf, warm cache) still reads consistently with the cached probe.
+    On Spark >= 4.1 the conf is ignored and we leave the session untouched."""
+    if ts_dtype == "bigint":
+        spark.conf.set(_NANOS_AS_LONG, "true")
 
 
 def normalize_event_ts(df: DataFrame, ts_dtype: str) -> DataFrame:
@@ -94,9 +142,9 @@ def event_stream_schema(ts_dtype: str) -> T.StructType:
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch read of ``{sf_dir}/events.parquet`` with ts normalized."""
     path = f"{sf_dir}/events.parquet"
-    return normalize_event_ts(
-        spark.read.parquet(path), probe_event_ts_dtype(spark, path)
-    )
+    ts_dtype = probe_event_ts_dtype(spark, path)
+    _ensure_read_conf(spark, ts_dtype)
+    return normalize_event_ts(spark.read.parquet(path), ts_dtype)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,6 +155,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/events.parquet"
     ts_dtype = probe_event_ts_dtype(spark, path)
+    _ensure_read_conf(spark, ts_dtype)
     stream = read_event_stream(
         spark, sf_dir, schema=event_stream_schema(ts_dtype), glob="events.parquet"
     )

@@ -1478,6 +1478,49 @@ def test_event_stream_matches_batch_on_real_fixture(spark):
     assert streamed == batch
 
 
+def test_read_events_does_not_leak_session_conf(spark):
+    """The nanos-dtype probe must not leave spark.sql.legacy.parquet.nanosAsLong
+    set on the shared session: on Spark <= 4.0 a leaked `true` changes how every
+    other nanos-parquet read in the user's session surfaces, library-wide."""
+    import os
+
+    from qafs_spark.sources import events as ev
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("driver testdata not present")
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+
+    def conf_state():
+        try:
+            return spark.conf.get(key)
+        except Exception:
+            return None  # unset / unknown on this runtime
+
+    # cold probe (fresh cache) — the leak only happened on cache misses
+    ev._TS_DTYPE_CACHE.clear()
+    before = conf_state()
+    dtype = ev.probe_event_ts_dtype(spark, f"{sf_dir}/events.parquet")
+    assert conf_state() == before, "probe leaked nanosAsLong into the session"
+
+    ev.read_events(spark, sf_dir).limit(1).collect()
+    if dtype == "bigint":
+        # runtime honors the conf: read paths must durably set it (required
+        # for the scan itself to decode) — every call, even on warm cache
+        assert conf_state() == "true"
+    else:
+        # Spark >= 4.1 ignores the conf: session must be untouched
+        assert conf_state() == before
+
+    # restore also round-trips an explicitly pre-set value
+    spark.conf.set(key, "false")
+    ev._TS_DTYPE_CACHE.clear()
+    ev.probe_event_ts_dtype(spark, f"{sf_dir}/events.parquet")
+    assert conf_state() == "false"
+    spark.conf.unset(key)
+
+
 def test_dedup_lines_removes_cross_doc_boilerplate(spark):
     from qafs_spark.pipeline.text import dedup_lines
 
