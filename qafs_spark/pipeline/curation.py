@@ -43,7 +43,7 @@ def curate(
     quality_threshold: float = 0.75,
     ngram_n: int = 3,
     jaccard_threshold: float = 0.5,
-    max_doc_frac: Optional[float] = None,
+    max_doc_frac="auto",
     decontam_n: int = 4,
     min_hits: int = 1,
     sample_fraction: Optional[float] = None,

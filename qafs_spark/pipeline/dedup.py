@@ -39,6 +39,20 @@ from .text import tokens
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime modulus for minhash perm hashes
 
+#: default skew guards — ON by default since round 5. A naive caller at
+#: corpus scale must not get the quadratic hot-bucket path; callers who need
+#: bit-exact uncapped semantics pass ``None`` explicitly (the documented
+#: exact mode). Values are chosen to be invisible at validation scales
+#: (sf0.01 max band bucket = 5, max shingle doc-frac = 1.4%; sf0.1: 9 /
+#: 0.5%) while bounding any single key's candidate contribution to
+#: ~cap²/2 pairs at any corpus size.
+DEFAULT_MAX_BAND_SIZE = 1000
+DEFAULT_MAX_DOC_FRAC = 0.05
+#: absolute floor for the "auto" df cap: fraction thresholds only make
+#: sense in large corpora (in a 10-doc corpus every shingle exceeds 5%);
+#: a shingle shared by <= 100 docs contributes <= ~5k join rows — harmless.
+DEFAULT_MIN_HOT_DF = 100
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -175,7 +189,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_frac: Optional[float] = None,
+    max_doc_frac="auto",
 ) -> DataFrame:
     """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
 
@@ -184,27 +198,49 @@ def ngram_jaccard_pairs(
     intersection size falls out of the join group count — no array
     intersection on the data path. The join shuffles by shingle hash.
 
-    **Skew hardening**: hot shingles (boilerplate n-grams present in a large
-    fraction of the corpus) are the skew risk — a shingle shared by f docs
-    contributes O(f²) join rows. ``max_doc_frac=x`` switches to *df-capped
-    Jaccard*: shingles whose document frequency exceeds ``x * n_docs`` are
-    dropped from both candidate generation AND the similarity itself (the
-    standard stop-shingle treatment: ubiquitous grams carry no near-dup
-    signal, so the cap improves precision as well as killing the quadratic
-    blow-up). The hot set is tiny by construction (few shingles can exceed
-    a corpus-fraction bound) → broadcast anti-join; per-doc sizes are then
-    re-counted over the retained shingles so Jaccard stays exact w.r.t. the
-    capped universe. Without the cap, residual skew rides on AQE skew-join.
+    **Skew hardening (ON by default)**: hot shingles (boilerplate n-grams
+    present in a large fraction of the corpus) are the skew risk — a shingle
+    shared by f docs contributes O(f²) join rows. ``max_doc_frac`` switches
+    to *df-capped Jaccard*: shingles whose document frequency exceeds the
+    cap are dropped from both candidate generation AND the similarity
+    itself (the standard stop-shingle treatment: ubiquitous grams carry no
+    near-dup signal, so the cap improves precision as well as killing the
+    quadratic blow-up). The hot set is tiny by construction (few shingles
+    can exceed a corpus-fraction bound) → broadcast anti-join; per-doc
+    sizes are then re-counted over the retained shingles so Jaccard stays
+    exact w.r.t. the capped universe.
+
+    ``max_doc_frac`` modes:
+
+    * ``"auto"`` (default) — drop shingles with
+      ``df > max(DEFAULT_MIN_HOT_DF, n_docs * DEFAULT_MAX_DOC_FRAC)``.
+      The absolute floor makes the guard a provable no-op on small corpora
+      (and at the sf0.01/sf0.1 validation scales — hottest observed shingle
+      is 1.4% of docs, far under 5%) while still bounding any shingle's
+      join contribution at corpus scale.
+    * float ``x`` — pure fraction semantics, ``df > x * n_docs`` (no
+      floor); this is what the ``ngram_jaccard_capped`` DuckDB oracle
+      replays bit-for-bit.
+    * ``None`` — **exact mode**: no cap at all; bit-exact textbook n-gram
+      Jaccard. Only safe when the caller knows the corpus has no
+      boilerplate-scale hot shingles; residual skew rides on AQE skew-join.
     """
     base = with_shingle_hashes(df, text_col, id_col, n)
     if max_doc_frac is not None:
         exploded = base.select("id", F.explode("sh").alias("h"))
         total = base.agg(F.count(F.lit(1)).alias("__n_docs"))
+        if max_doc_frac == "auto":
+            cutoff = F.greatest(
+                F.lit(float(DEFAULT_MIN_HOT_DF)),
+                F.col("__n_docs") * F.lit(DEFAULT_MAX_DOC_FRAC),
+            )
+        else:
+            cutoff = F.col("__n_docs") * F.lit(float(max_doc_frac))
         hot = (
             exploded.groupBy("h")
             .agg(F.count(F.lit(1)).alias("df"))
             .crossJoin(F.broadcast(total))
-            .filter(F.col("df").cast("double") > F.col("__n_docs") * F.lit(max_doc_frac))
+            .filter(F.col("df").cast("double") > cutoff)
             .select("h")
         )
         kept = exploded.join(F.broadcast(hot), "h", "left_anti")
@@ -245,21 +281,24 @@ def minhash_lsh_dedup(
     num_bands: int = 8,
     threshold: float = 0.5,
     seed: int = 42,
-    max_band_size: Optional[int] = None,
+    max_band_size: Optional[int] = DEFAULT_MAX_BAND_SIZE,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
     Output schema matches :func:`ngram_jaccard_pairs`; with enough bands for
     the threshold it converges to the exact result with high probability.
 
-    ``max_band_size`` caps hot band keys: a band bucket holding f docs emits
-    O(f²) candidate pairs, and a pathological key (e.g. the all-identical
-    signature of boilerplate-only docs) turns the candidate join quadratic.
-    Buckets larger than the cap are dropped entirely (the standard LSH
+    ``max_band_size`` (default ``DEFAULT_MAX_BAND_SIZE=1000``, ON) caps hot
+    band keys: a band bucket holding f docs emits O(f²) candidate pairs,
+    and a pathological key (e.g. the all-identical signature of
+    boilerplate-only docs) turns the candidate join quadratic. Buckets
+    larger than the cap are dropped entirely (the standard LSH
     oversized-bucket skip — their members are either exact duplicates, which
     :func:`exact_dedup` already collapses upstream, or hash collisions that
     verification would reject). Recall loss is bounded to pairs whose ONLY
-    agreeing band is oversized.
+    agreeing band is oversized; at validation scales the cap is invisible
+    (largest observed bucket: 5 at sf0.01, 9 at sf0.1). Pass ``None`` for
+    the **exact mode** (no skip) when the corpus is known dup-collapsed.
     """
     rows_per_band = num_hashes // num_bands
     # work on distinct shingle HASHES end-to-end (signature AND verification)

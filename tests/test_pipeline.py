@@ -453,6 +453,61 @@ def test_ngram_df_cap_drops_hot_shingles(spark):
     assert capped.count() == 0       # cap removes the shared-gram signal
 
 
+def test_skew_guards_on_by_default(spark):
+    """Round-5 hardening: the quadratic hot-key paths must be bounded with
+    DEFAULT arguments — a naive caller at corpus scale gets the guarded
+    plan, and the exact mode is an explicit opt-in (None).
+
+    Synthetic hot keys invisible to small fixtures but over the guards'
+    thresholds: (a) a boilerplate sentence shared by every one of 300 docs
+    (df=300 > max(100, 0.05*300)) must not generate ngram candidates; (b)
+    1200 identical docs collapse into one LSH band bucket (1200 > 1000)
+    that the oversized-bucket skip drops."""
+    import pandas as pd
+    from qafs_spark.pipeline import dedup as dd
+
+    boiler = "all rights reserved by the generic corp"
+    rows = [
+        {"doc_id": i, "text": f"w{i}a w{i}b w{i}c w{i}d {boiler}"}
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    # default: the boilerplate grams are hot -> dropped -> no shared signal
+    assert dd.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.3).count() == 0
+    # exact mode finds the (boilerplate-driven) pairs — opt-in, unbounded
+    exact = dd.ngram_jaccard_pairs(
+        docs.limit(30), "text", "doc_id", threshold=0.3, max_doc_frac=None
+    )
+    assert exact.count() == 30 * 29 // 2
+    # genuinely-similar docs still pair under the default guard: their
+    # shared shingles are cold (df=2)
+    near = spark.createDataFrame(
+        pd.DataFrame(
+            [{"doc_id": 1000 + i, "text": "one two three four five six seven"}
+             for i in range(2)]
+        )
+    )
+    got = dd.ngram_jaccard_pairs(docs.union(near), "text", "doc_id", threshold=0.3)
+    assert [(r.id_a, r.id_b) for r in got.collect()] == [(1000, 1001)]
+
+    # (b) minhash oversized-bucket skip with the default cap
+    clones = spark.createDataFrame(
+        pd.DataFrame(
+            [{"doc_id": i, "text": "the exact same boilerplate text body here"}
+             for i in range(1200)]
+        )
+    )
+    assert dd.minhash_lsh_dedup(clones, "text", "doc_id").count() == 0
+    # exact mode (None) would generate the quadratic candidates — prove the
+    # pairs exist so the 0 above is the guard, not a bug
+    assert (
+        dd.minhash_lsh_dedup(
+            clones.limit(20), "text", "doc_id", max_band_size=None
+        ).count()
+        == 20 * 19 // 2
+    )
+
+
 def test_streaming_watermark_drops_late(spark, tmp_path):
     """Append mode + watermark: an event arriving below the watermark is
     dropped deterministically; one above it is admitted into its (not yet
