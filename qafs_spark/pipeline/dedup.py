@@ -571,6 +571,8 @@ def cluster_pairs(
     id_a: str = "id_a",
     id_b: str = "id_b",
     cache_edges: bool = True,
+    converge: bool = False,
+    max_converge_iters: int = 50,
 ) -> DataFrame:
     """Connected-component labels for near-dup pairs: (id, cluster) with
     cluster = min id reachable within ``k_iters`` hops (min-label
@@ -579,12 +581,22 @@ def cluster_pairs(
     duplicates of each other — so 3 hops is usually exact); the fixed
     iteration count keeps the operator deterministic and SQL-replayable.
 
+    **On a long-chain graph the fixed hop count is silently wrong** — a
+    path of length > k_iters splits into several labels. ``converge=True``
+    switches to iterate-to-fixed-point: rounds run until a round changes
+    zero labels (checked with one cheap driver-side count per round,
+    early-exit), up to ``max_converge_iters`` (raises if still moving —
+    a diameter that large means the input is not a near-dup pair list).
+    Min-label propagation converges in O(diameter) rounds; each round's
+    labels are persisted and the previous round unpersisted, so lineage
+    stays one-round deep (no plan blow-up, resilient at any diameter).
+
     Scale shape per iteration: one self-join of the (id, label) frame with
     the undirected edge list on id + one min-aggregate — both hash-shuffle
     on id, the same key every round, so AQE reuses the partitioning. The
-    edge list is never exploded beyond 2|pairs| rows. Iterations are plan
-    unrolling (no driver loop state): the whole propagation is ONE lazy
-    plan.
+    edge list is never exploded beyond 2|pairs| rows. In the default
+    fixed-k mode iterations are plan unrolling (no driver loop state): the
+    whole propagation is ONE lazy plan.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -603,19 +615,49 @@ def cluster_pairs(
     labels = edges.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("cluster")
     )
-    for _ in range(k_iters):
+
+    def one_round(labels: DataFrame) -> DataFrame:
         neigh = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("cluster").alias("n_min"))
         )
-        labels = (
+        return (
             labels.join(neigh, labels.id == neigh.src, "left")
             .select(
                 "id",
+                F.col("cluster").alias("_prev"),
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("n_min"), F.col("cluster"))
                 ).alias("cluster"),
             )
         )
-    return labels
+
+    if not converge:
+        for _ in range(k_iters):
+            labels = one_round(labels).select("id", "cluster")
+        return labels
+
+    # fixed-point loop. Lineage MUST be truncated each round with an eager
+    # localCheckpoint: labels appear twice in every round's plan (neighbor
+    # aggregate + outer join), so without truncation the LOGICAL plan grows
+    # 2^rounds nodes and analysis itself OOMs the driver around round ~8 —
+    # persist alone does not help, cache substitution happens after the
+    # full plan is built. localCheckpoint materializes to executor-local
+    # blocks (not fault-tolerant; on a real cluster prefer a checkpoint
+    # dir + .checkpoint(), or write labels to Parquet between rounds — the
+    # loop shape is identical). Min-labels only ever decrease, so
+    # "changed" is exactly `cluster < _prev` and zero changes is the exact
+    # connected-components fixed point.
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_converge_iters):
+        upd = one_round(labels).localCheckpoint(eager=True)
+        changed = upd.filter(F.col("cluster") < F.col("_prev")).count()
+        labels = upd.select("id", "cluster")
+        if changed == 0:
+            return labels
+    raise ValueError(
+        f"cluster_pairs(converge=True) did not converge in {max_converge_iters} "
+        "rounds — the pair graph has a component diameter that large, which "
+        "is not a near-dup cluster shape; raise max_converge_iters to force it"
+    )

@@ -453,6 +453,35 @@ def test_ngram_df_cap_drops_hot_shingles(spark):
     assert capped.count() == 0       # cap removes the shared-gram signal
 
 
+def test_cluster_pairs_convergent_mode(spark):
+    """Fixed-k label propagation is silently wrong on a long-chain graph
+    (a path of length 12 needs 12 rounds for label 0 to reach the far end);
+    converge=True iterates to the fixed point and gets one component."""
+    import pandas as pd
+    from qafs_spark.pipeline import dedup as dd
+
+    chain = spark.createDataFrame(
+        pd.DataFrame([{"id_a": i, "id_b": i + 1} for i in range(12)])
+    )
+    k3 = dd.cluster_pairs(chain, k_iters=3)
+    assert k3.select("cluster").distinct().count() > 1  # wrong by design
+    conv = dd.cluster_pairs(chain, converge=True)
+    rows = {r.id: r.cluster for r in conv.collect()}
+    assert rows == {i: 0 for i in range(13)}
+    # early-exit guard: a graph whose diameter exceeds the budget raises
+    # loudly instead of returning split clusters
+    with pytest.raises(ValueError, match="did not converge"):
+        dd.cluster_pairs(chain, converge=True, max_converge_iters=3)
+    # converge on the certified tiny-diameter shape agrees with fixed-k
+    tri = spark.createDataFrame(
+        pd.DataFrame([{"id_a": 5, "id_b": 7}, {"id_a": 7, "id_b": 9},
+                      {"id_a": 20, "id_b": 21}])
+    )
+    a = sorted(map(tuple, dd.cluster_pairs(tri, k_iters=3).collect()))
+    b = sorted(map(tuple, dd.cluster_pairs(tri, converge=True).collect()))
+    assert a == b
+
+
 def test_skew_guards_on_by_default(spark):
     """Round-5 hardening: the quadratic hot-key paths must be bounded with
     DEFAULT arguments — a naive caller at corpus scale gets the guarded
