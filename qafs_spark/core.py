@@ -46,6 +46,7 @@ from .operators import (
 )
 from .registry import FeatureRecord, Registry
 from .sources.feature_dataset import (
+    compact_feature,
     empty_feature_df,
     feature_path,
     read_feature,
@@ -424,6 +425,61 @@ class FeatureStore:
             targets.append(tgt)
         self.save_df(out)
         return targets
+
+    def compact(
+        self,
+        name: str,
+        namespace: Optional[str] = None,
+        collapse_lww: bool = False,
+        target_files_per_partition: int = 1,
+    ) -> int:
+        """Maintenance: rewrite a feature's dataset into few, time-sorted
+        files (see :func:`sources.feature_dataset.compact_feature`).
+
+        ``collapse_lww=True`` additionally applies last-write-wins at
+        rewrite — one surviving row per timestamp — the read-amplification
+        fix for append-heavy features (re-saving N times otherwise makes
+        every read scan and dedup N versions forever). Because superseded
+        versions are physically dropped, the compaction horizon (the max
+        ``created_time`` present at collapse) is stamped into the feature's
+        registry meta as ``lww_collapsed_at``; subsequent ``time_travel``
+        loads whose as-of cutoff could fall before that horizon raise
+        ``FeatureStoreException`` instead of silently returning post-collapse
+        state (reference time-travel picks superseded versions,
+        tests/test_feature_store.py:479-489 — unanswerable once collapsed).
+
+        Returns the number of rows in the rewritten dataset.
+        """
+        ns, nm = self._split_name(name, namespace)
+        if ns is None:
+            raise MissingFeatureException(f"Feature named {nm} needs a namespace")
+        rec = self.registry.get_feature(ns, nm)
+        if rec is None:
+            raise MissingFeatureException(
+                f"Feature named {nm} does not exist in {ns}"
+            )
+        if rec.transform:
+            raise FeatureStoreException(
+                f"{ns}/{nm} is a transform feature — it has no stored data"
+            )
+        path = self._path(ns, nm)
+        n = compact_feature(
+            self.spark, path, scheme=rec.partition,
+            target_files_per_partition=target_files_per_partition,
+            collapse_lww=collapse_lww,
+        )
+        if collapse_lww and n:
+            horizon = (
+                self.spark.read.parquet(path)
+                .agg(F.max("created_time").alias("mx"))
+                .collect()[0]["mx"]
+            )
+            if horizon is not None:
+                self.registry.update_feature(
+                    ns, nm,
+                    meta={"lww_collapsed_at": pd.Timestamp(horizon).isoformat()},
+                )
+        return n
 
     def _normalize_pandas_time(self, df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(df.index, pd.DatetimeIndex):
@@ -873,8 +929,48 @@ class FeatureStore:
         if df is None:
             return None
         if time_travel:
+            self._check_time_travel_horizon(ns, nm, rec, from_ts, time_travel)
             df = time_travel_filter(df, time_travel)
         return df
+
+    def _check_time_travel_horizon(self, ns, nm, rec, from_ts, time_travel) -> None:
+        """Degrade loudly, not wrongly, after an LWW-collapsing compaction.
+
+        Collapse drops superseded versions, so a time-travel read whose
+        as-of cutoff (``time + delta``) falls before the stamped horizon
+        cannot be answered — the version that was current at that cutoff no
+        longer exists. Cutoffs at/after the horizon are exact: the surviving
+        row is the max-``created_time`` version and every dropped version
+        was strictly older, so LWW over the collapsed data picks the same
+        answer. The check is conservative over the scan window: the minimum
+        per-row cutoff is ``from_date + delta``; without a ``from_date`` the
+        window is unbounded below and the read is refused outright.
+        """
+        collapsed = (rec.get("meta") or {}).get("lww_collapsed_at")
+        if collapsed is None:
+            return
+        from .offsets import parse_timedelta
+
+        horizon = pd.Timestamp(collapsed)
+        min_cutoff = (
+            pd.Timestamp(from_ts) + parse_timedelta(time_travel)
+            if from_ts is not None
+            else None
+        )
+        if min_cutoff is None or min_cutoff < horizon:
+            raise FeatureStoreException(
+                f"{ns}/{nm} was LWW-compacted at {horizon.isoformat()}: "
+                f"superseded versions before that horizon were collapsed away, "
+                f"so time_travel={time_travel!r} "
+                + (
+                    f"from {pd.Timestamp(from_ts).isoformat()} (as-of cutoff "
+                    f"{min_cutoff.isoformat()}) "
+                    if from_ts is not None
+                    else "with an unbounded from_date "
+                )
+                + "is unanswerable. Use from_date + time_travel at or after "
+                "the horizon, or re-ingest history before collapsing."
+            )
 
     def _load_single(
         self, ns, nm, rec: FeatureRecord, from_ts, to_ts, freq, time_travel,

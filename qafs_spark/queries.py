@@ -997,6 +997,58 @@ def q_feature_roundtrip(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register(
+    "compact_collapse",
+    # what is physically ON DISK after an LWW-collapsing compaction must be
+    # exactly the last-write-wins view of everything ever saved
+    oracle=f"""
+    SELECT time, value FROM (
+        SELECT time, value,
+               row_number() OVER (
+                   PARTITION BY time ORDER BY created_time DESC
+               ) AS rn
+        FROM (
+            SELECT time, created_time, arg_max(value, event_id) AS value
+            FROM ({_SQL_EVENT_SERIES})
+            GROUP BY time, created_time
+        )
+    ) WHERE rn = 1
+    """,
+)
+def q_compact_collapse(spark, sf_dir):
+    """Round-5 maintenance op: ingest the event series through save_df,
+    run FeatureStore.compact(collapse_lww=True), and return the feature's
+    RAW on-disk rows — proving the rewrite physically collapsed the
+    append-only version history to one LWW row per timestamp (the read
+    path no longer pays the dedup over N superseded versions). The input
+    is pre-deduped to one row per (time, created_time) so the collapse's
+    max_by(created_time) is deterministic and the DuckDB oracle can replay
+    it bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from .checks import Column
+    from .core import FeatureStore
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="qafs_compact_")
+    try:
+        fs = FeatureStore(storage=root, spark=spark)
+        fs.create_namespace("bench")
+        fs.create_feature("bench/cc", check=Column(float))
+        src = (
+            _event_series_df(spark, sf_dir)
+            .groupBy("time", "created_time")
+            .agg(F.max_by("value", "event_id").alias("bench/cc"))
+        )
+        fs.save_df(src, "bench/cc")
+        fs.compact("bench/cc", collapse_lww=True)
+        raw = spark.read.parquet(fs._path("bench", "cc")).select("time", "value")
+        return spark.createDataFrame(raw.collect(), schema=raw.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def feature_roundtrip_segments(spark, sf_dir):
     """Bench-attribution variant of :func:`q_feature_roundtrip`: returns
     ``(ingest, load, cleanup)`` thunks so bench.py can time the partitioned

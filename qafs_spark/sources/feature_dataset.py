@@ -177,6 +177,7 @@ def compact_feature(
     path: str,
     scheme: str = "date",
     target_files_per_partition: int = 1,
+    collapse_lww: bool = False,
 ) -> int:
     """Rewrite a feature dataset's partitions into few, time-sorted files.
 
@@ -188,17 +189,42 @@ def compact_feature(
     ``maxRecordsPerFile``-free coalescing to ``target_files_per_partition``
     output files per partition, atomically swap via a staging directory.
 
-    Last-write-wins semantics are PRESERVED, not applied: compaction keeps
-    every (time, created_time) version so time travel still works; use the
-    read path's LWW for current-value reads.
+    ``collapse_lww=False`` (default): last-write-wins semantics are
+    PRESERVED, not applied — compaction keeps every (time, created_time)
+    version so time travel still works; the read path's LWW picks the
+    current value.
+
+    ``collapse_lww=True``: apply the read path's LWW at rewrite — keep, per
+    ``time``, only the row with the greatest ``created_time`` (same
+    ``max_by`` the read-side dedup uses, operators/dedup.py). This is the
+    read-amplification fix at scale: an append-only store re-saving a
+    feature N times makes every current-value read scan and dedup N
+    versions forever; collapsing rewrites the dataset down to one row per
+    timestamp. Superseded versions are GONE afterwards — time travel with
+    an as-of cutoff before the collapse horizon is unanswerable, so the
+    store-level API (:meth:`FeatureStore.compact`) stamps the horizon in
+    the registry and the load path refuses such reads loudly instead of
+    returning silently-wrong results (reference time-travel semantics:
+    tests/test_feature_store.py:479-489 select superseded versions — only
+    answerable while those versions physically exist).
 
     Returns the number of rows rewritten. Driver-side orchestration only —
     the data movement is one Spark job (`repartitionByRange` by partition
-    and time, the same layout the ingest `distribute` knob produces).
+    and time, the same layout the ingest `distribute` knob produces; the
+    LWW collapse adds one partial-aggregated shuffle on ``time``).
     """
     if not fs_storage.path_exists(spark, path):
         return 0
     df = spark.read.parquet(path)
+    if collapse_lww:
+        from ..operators.dedup import last_write_wins
+
+        # keep the survivor's created_time (time travel after the horizon
+        # must still see the true creation instant); partition re-derives
+        # from time exactly as the original writer derived it
+        df = last_write_wins(
+            df, value_cols=["value"], keep_order_col=True
+        ).withColumn("partition", partition_expr(scheme))
     n_parts = max(
         1,
         df.select("partition").distinct().count() * target_files_per_partition,

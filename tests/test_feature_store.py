@@ -553,6 +553,86 @@ def test_compact_feature(spark, fs):
     assert got[pd.Timestamp("2021-01-02")] == 2.0
 
 
+def test_compact_collapse_lww(spark, fs):
+    """LWW-collapsing compaction: physical rows collapse to one per
+    timestamp (the read-amplification fix), current-value loads and
+    post-horizon time travel are bit-identical pre/post, and time travel
+    whose as-of cutoff falls before the stamped horizon raises loudly."""
+    import pandas as pd
+    import pytest
+    from qafs_spark.exceptions import FeatureStoreException
+
+    fs.create_namespace("lc")
+    fs.create_feature("lc/f")
+    times = [pd.Timestamp("2021-06-01"), pd.Timestamp("2021-06-02")]
+    for created, v in ((pd.Timestamp("2021-06-05"), 1.0),
+                      (pd.Timestamp("2021-06-06"), 2.0)):
+        fs.save_df(pd.DataFrame(
+            {"time": times, "created_time": [created] * 2, "lc/f": [v, v]}
+        ))
+
+    def load(**kw):
+        return {r["time"]: r["lc/f"] for r in fs.load_features("lc/f", **kw).collect()}
+
+    pre_plain = load()
+    # cutoff lands between the two versions for 06-01 -> superseded v=1
+    pre_tt = load(from_date="2021-06-01", to_date="2021-06-02", time_travel="108h")
+    assert pre_plain == {times[0]: 2.0, times[1]: 2.0}
+    assert pre_tt[times[0]] == 1.0 and pre_tt[times[1]] == 2.0
+    pre_post_horizon = load(
+        from_date="2021-06-01", to_date="2021-06-02", time_travel="5d"
+    )
+
+    n = fs.compact("lc/f", collapse_lww=True)
+    assert n == 2  # one surviving row per timestamp (was 4)
+    raw = spark.read.parquet(fs._path("lc", "f"))
+    assert raw.count() == 2
+    # survivor keeps its true creation instant, not a rewrite timestamp
+    assert {r["created_time"] for r in raw.collect()} == {pd.Timestamp("2021-06-06")}
+
+    # registry stamped with the horizon = max created_time at collapse
+    rec = fs.registry.get_feature("lc", "f")
+    assert pd.Timestamp(rec["meta"]["lww_collapsed_at"]) == pd.Timestamp("2021-06-06")
+
+    # current-value load and post-horizon time travel: identical pre/post
+    assert load() == pre_plain
+    assert load(
+        from_date="2021-06-01", to_date="2021-06-02", time_travel="5d"
+    ) == pre_post_horizon
+
+    # pre-horizon cutoff: loud refusal, not silently-wrong data
+    with pytest.raises(FeatureStoreException, match="LWW-compacted"):
+        load(from_date="2021-06-01", to_date="2021-06-02", time_travel="108h")
+    # unbounded from_date is unanswerable too
+    with pytest.raises(FeatureStoreException, match="LWW-compacted"):
+        load(time_travel="108h")
+
+    # appends after the collapse keep full version history for new cutoffs
+    fs.save_df(pd.DataFrame(
+        {"time": times, "created_time": [pd.Timestamp("2021-06-07")] * 2,
+         "lc/f": [3.0, 3.0]}
+    ))
+    assert load() == {times[0]: 3.0, times[1]: 3.0}
+    got = load(from_date="2021-06-01", to_date="2021-06-02", time_travel="5d")
+    assert got[times[0]] == 2.0 and got[times[1]] == 3.0
+
+    # plain (non-collapsing) compaction never stamps nor restricts
+    fs.create_feature("lc/g")
+    fs.save_df(pd.DataFrame(
+        {"time": times, "created_time": [pd.Timestamp("2021-06-05")] * 2,
+         "lc/g": [1.0, 1.0]}
+    ))
+    fs.compact("lc/g")
+    assert "lww_collapsed_at" not in (fs.registry.get_feature("lc", "g")["meta"] or {})
+    got_g = {
+        r["time"]: r["lc/g"]
+        for r in fs.load_features(
+            "lc/g", from_date="2021-06-01", time_travel="108h"
+        ).collect()
+    }
+    assert got_g[times[0]] == 1.0
+
+
 def test_load_features_interpolate(fs):
     """load_features(freq=..., method='interpolate') evaluates linear
     time interpolation per feature; 'ffill' stays the golden carry; bad
