@@ -23,10 +23,12 @@ lookups happen once, on the driver, before the Spark plan is built.
 from __future__ import annotations
 
 import json
+import random
 import sqlite3
 import threading
+import time
 from datetime import datetime, timezone
-from typing import Any, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 from .exceptions import FeatureStoreException, MissingFeatureException
 from .names import validate_name
@@ -139,13 +141,43 @@ def _resolve_db_url(db_path: str) -> str:
     )
 
 
+#: sqlite busy handler budget — how long a blocked writer waits for another
+#: session's transaction before surfacing SQLITE_BUSY
+_BUSY_TIMEOUT_S = 30.0
+
+
+def _is_locked(exc: sqlite3.OperationalError) -> bool:
+    msg = str(exc).lower()
+    return "locked" in msg or "busy" in msg
+
+
 class Registry:
+    """Write-concurrency notes (reference intends multi-user via
+    any-RDBMS, src/qafs/connection.py:13-24; sqlite is single-writer):
+
+    * connections open with a 30s busy timeout and WAL journal mode —
+      WAL lets readers proceed under a concurrent writer, and the busy
+      handler queues writers instead of failing instantly;
+    * every mutation runs through :meth:`_write_txn`: ``BEGIN IMMEDIATE``
+      (take the write lock up front — a deferred transaction that reads
+      then upgrades can deadlock with SQLITE_BUSY that no timeout
+      resolves), the method's check-then-write logic executes atomically
+      inside the transaction, and lock errors retry with jittered
+      exponential backoff.
+
+    Two Spark drivers sharing one store file therefore serialize cleanly;
+    genuinely concurrent multi-writer deployments should still point the
+    registry at a server RDBMS (the SQL here is deliberately
+    ANSI-portable).
+    """
+
     def __init__(self, db_path: str):
         self.db_path = _resolve_db_url(str(db_path))
         self._local = threading.local()
         con = self._con()
-        with con:
-            con.executescript(_DDL)
+        con.executescript(_DDL)
+
+        def _stamp(con: sqlite3.Connection) -> None:
             cur = con.execute("SELECT version FROM feature_store_version")
             if cur.fetchone() is None:
                 con.execute(
@@ -153,13 +185,64 @@ class Registry:
                     (SCHEMA_VERSION,),
                 )
 
+        self._write_txn(_stamp)
+
     def _con(self) -> sqlite3.Connection:
         con = getattr(self._local, "con", None)
         if con is None:
-            con = sqlite3.connect(self.db_path)
+            # autocommit (isolation_level=None): transactions are managed
+            # explicitly by _write_txn — the stdlib's implicit BEGIN would
+            # conflict with BEGIN IMMEDIATE
+            con = sqlite3.connect(
+                self.db_path, timeout=_BUSY_TIMEOUT_S, isolation_level=None
+            )
             con.row_factory = sqlite3.Row
+            try:
+                con.execute("PRAGMA journal_mode=WAL")
+                con.execute("PRAGMA synchronous=NORMAL")
+            except sqlite3.OperationalError:
+                pass  # :memory: / read-only media: keep the default journal
             self._local.con = con
         return con
+
+    def _write_txn(self, fn: Callable[[sqlite3.Connection], Any], attempts: int = 6):
+        """Run ``fn(con)`` inside a BEGIN IMMEDIATE transaction, retrying
+        on lock contention. Application errors raised by ``fn`` roll back
+        and propagate unretried."""
+        con = self._con()
+        delay = 0.05
+        last: Optional[sqlite3.OperationalError] = None
+        for i in range(attempts):
+            try:
+                con.execute("BEGIN IMMEDIATE")
+            except sqlite3.OperationalError as exc:
+                if not _is_locked(exc):
+                    raise
+                last = exc
+                time.sleep(delay * (1 + random.random()))
+                delay = min(delay * 2, 2.0)
+                continue
+            try:
+                out = fn(con)
+            except BaseException:
+                con.execute("ROLLBACK")
+                raise
+            try:
+                con.execute("COMMIT")
+            except sqlite3.OperationalError as exc:
+                con.execute("ROLLBACK")
+                if not _is_locked(exc):
+                    raise
+                last = exc
+                time.sleep(delay * (1 + random.random()))
+                delay = min(delay * 2, 2.0)
+                continue
+            return out
+        raise FeatureStoreException(
+            f"registry write failed after {attempts} attempts — another "
+            f"session holds the sqlite write lock on {self.db_path!r} "
+            f"({last}); for heavily concurrent writers use a server RDBMS"
+        )
 
     def close(self) -> None:
         con = getattr(self._local, "con", None)
@@ -179,8 +262,8 @@ class Registry:
         backend: str = "spark",
     ) -> None:
         validate_name(name)
-        con = self._con()
-        with con:
+
+        def _body(con: sqlite3.Connection) -> None:
             if self.get_namespace(name) is not None:
                 # tests/test_feature_store.py:137-139 expect duplicate → raise
                 raise FeatureStoreException(f"Namespace {name!r} already exists")
@@ -191,6 +274,8 @@ class Registry:
                  _now(), _now()),
             )
 
+        self._write_txn(_body)
+
     def get_namespace(self, name: str) -> Optional[NamespaceRecord]:
         cur = self._con().execute("SELECT * FROM namespace WHERE name = ?", (name,))
         row = cur.fetchone()
@@ -199,29 +284,33 @@ class Registry:
     def update_namespace(
         self, name: str, description: Optional[str] = None, meta: Optional[Dict] = None
     ) -> None:
-        con = self._con()
-        ns = self.get_namespace(name)
-        if ns is None:
-            raise MissingFeatureException(f"No existing Namespace named {name}")
-        new_meta = _merge_meta(ns["meta"], meta)
-        new_desc = description if description is not None else ns["description"]
-        with con:
+        def _body(con: sqlite3.Connection) -> None:
+            # read-modify-write (meta merge) is atomic inside the txn —
+            # concurrent meta updates can no longer drop each other's keys
+            ns = self.get_namespace(name)
+            if ns is None:
+                raise MissingFeatureException(f"No existing Namespace named {name}")
+            new_meta = _merge_meta(ns["meta"], meta)
+            new_desc = description if description is not None else ns["description"]
             con.execute(
                 "UPDATE namespace SET description=?, meta=?, version=version+1,"
                 " modified_time=? WHERE name=?",
                 (new_desc, json.dumps(new_meta), _now(), name),
             )
 
+        self._write_txn(_body)
+
     def delete_namespace(self, name: str) -> None:
-        con = self._con()
-        if self.get_namespace(name) is None:
-            raise MissingFeatureException(f"No existing Namespace named {name}")
-        if self.list_features(namespace=name):
-            raise FeatureStoreException(
-                f"{name} still contains features: these must be deleted first"
-            )
-        with con:
+        def _body(con: sqlite3.Connection) -> None:
+            if self.get_namespace(name) is None:
+                raise MissingFeatureException(f"No existing Namespace named {name}")
+            if self.list_features(namespace=name):
+                raise FeatureStoreException(
+                    f"{name} still contains features: these must be deleted first"
+                )
             con.execute("DELETE FROM namespace WHERE name=?", (name,))
+
+        self._write_txn(_body)
 
     def list_namespaces(
         self, name: Optional[str] = None, regex: Optional[str] = None
@@ -261,12 +350,11 @@ class Registry:
             raise FeatureStoreException(
                 f"partition must be one of {_PARTITION_SCHEMES}, got {partition!r}"
             )
-        con = self._con()
-        if self.get_feature(namespace, name) is not None:
-            raise FeatureStoreException(
-                f"Feature {namespace}/{name} already exists"
-            )
-        with con:
+        def _body(con: sqlite3.Connection) -> None:
+            if self.get_feature(namespace, name) is not None:
+                raise FeatureStoreException(
+                    f"Feature {namespace}/{name} already exists"
+                )
             con.execute(
                 "INSERT INTO feature (namespace, name, description, meta, version,"
                 " partition, serialized, transform, check_yaml, created_time,"
@@ -278,6 +366,8 @@ class Registry:
                     check_yaml, _now(), _now(),
                 ),
             )
+
+        self._write_txn(_body)
 
     def get_feature(self, namespace: str, name: str) -> Optional[FeatureRecord]:
         cur = self._con().execute(
@@ -296,19 +386,18 @@ class Registry:
         check_yaml: Optional[str] = None,
         serialized: Optional[bool] = None,
     ) -> None:
-        f = self.get_feature(namespace, name)
-        if f is None:
-            raise MissingFeatureException(
-                f"No existing Feature named {name} in {namespace}"
-            )
-        if serialized is not None and bool(serialized) != bool(f["serialized"]):
-            # reference model.py:138-141 / tests:415-417
-            raise FeatureStoreException(
-                "Cannot change serialized setting on existing feature"
-            )
-        new_meta = _merge_meta(f["meta"], meta)
-        con = self._con()
-        with con:
+        def _body(con: sqlite3.Connection) -> None:
+            f = self.get_feature(namespace, name)
+            if f is None:
+                raise MissingFeatureException(
+                    f"No existing Feature named {name} in {namespace}"
+                )
+            if serialized is not None and bool(serialized) != bool(f["serialized"]):
+                # reference model.py:138-141 / tests:415-417
+                raise FeatureStoreException(
+                    "Cannot change serialized setting on existing feature"
+                )
+            new_meta = _merge_meta(f["meta"], meta)
             con.execute(
                 "UPDATE feature SET description=?, meta=?, transform=?,"
                 " check_yaml=?, version=version+1, modified_time=?"
@@ -322,16 +411,19 @@ class Registry:
                 ),
             )
 
+        self._write_txn(_body)
+
     def delete_feature(self, namespace: str, name: str) -> None:
-        if self.get_feature(namespace, name) is None:
-            raise MissingFeatureException(
-                f"No existing Feature named {name} in {namespace}"
-            )
-        con = self._con()
-        with con:
+        def _body(con: sqlite3.Connection) -> None:
+            if self.get_feature(namespace, name) is None:
+                raise MissingFeatureException(
+                    f"No existing Feature named {name} in {namespace}"
+                )
             con.execute(
                 "DELETE FROM feature WHERE namespace=? AND name=?", (namespace, name)
             )
+
+        self._write_txn(_body)
 
     def list_features(
         self,
