@@ -403,6 +403,23 @@ class FeatureStore:
         names. One Spark job per target feature (the write); the load plan
         is built once and shared."""
         specs = self._unpack_list(features, namespace=namespace)
+        # sources from different namespaces sharing a base name would both
+        # land as target_namespace/<name><suffix> — the iterative rename
+        # below would then produce duplicate columns and save ambiguous
+        # data; refuse up front naming the colliding sources
+        by_target: Dict[str, List[str]] = {}
+        for ns, nm in specs:
+            by_target.setdefault(f"{nm}{suffix}", []).append(f"{ns}/{nm}")
+        collisions = {t: srcs for t, srcs in by_target.items() if len(srcs) > 1}
+        if collisions:
+            detail = "; ".join(
+                f"{' and '.join(srcs)} -> {target_namespace}/{t}"
+                for t, srcs in sorted(collisions.items())
+            )
+            raise FeatureStoreException(
+                f"materialize target-name collision: {detail} — rename the "
+                "sources or materialize them into distinct targets/suffixes"
+            )
         out = self.load_features(
             features, from_date=from_date, to_date=to_date, freq=freq,
             method=method, time_travel=time_travel, namespace=namespace,
@@ -646,9 +663,11 @@ class FeatureStore:
         (extensions; see ``operators.resample``) — each series resamples
         independently against its own observations, then the grids join
         on ``time``. Downsample aggregates (``"mean"``, ``"sum"``,
-        ``"min"``, ``"max"``, ``"count"``, ``"first"``, ``"last"``) bin
-        observations pandas-``resample().agg()``-style; a ``{feature:
-        how}`` dict applies a different aggregate per feature.
+        ``"min"``, ``"max"``, ``"count"``, ``"first"``, ``"last"``,
+        ``"median"`` — exact, not approximate) bin observations
+        pandas-``resample().agg()``-style; a ``{feature: how}`` dict
+        applies a different aggregate per feature. Any method other than
+        the default ``"ffill"`` requires ``freq``.
         """
         from .operators.resample import _AGG_HOWS
 
@@ -663,6 +682,14 @@ class FeatureStore:
                 f"Unknown resample method '{method}' (use 'ffill', "
                 f"'interpolate', 'nearest' or a downsample aggregate "
                 f"{_AGG_HOWS})"
+            )
+        if freq is None and method != "ffill":
+            # without a grid there is nothing to resample/aggregate; falling
+            # through silently would return the plain aligned series, easily
+            # mistaken for aggregated values
+            raise FeatureStoreException(
+                f"method={method!r} requires freq= (a resample grid); "
+                "without freq the load returns raw aligned observations"
             )
         specs = self._unpack_list(features, namespace=namespace)
         if not specs:
@@ -915,6 +942,12 @@ class FeatureStore:
         # typed checks are canonicalized at write by _finish_save. Untyped
         # features fall back to inference — their physical type is whatever
         # the writer provided.
+        # MIGRATION ASSUMPTION: datasets written before write-side
+        # canonicalization may hold narrower physical types (FLOAT/INT32);
+        # Spark 4's parquet type widening reads them under the pinned
+        # wider schema, but Spark 3.x would throw — on such runtimes (or on
+        # a read failure here) rewrite once via FeatureStore.compact(),
+        # which round-trips values through the canonical schema.
         vt: Optional[T.DataType] = None
         if rec.serialized:
             vt = T.StringType()

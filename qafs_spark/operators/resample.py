@@ -463,7 +463,8 @@ def resample_agg_multi(
     semantics (left-closed, left-labeled bins; empty bins null, count 0).
 
     ``how``: one aggregate name for all series, or ``{name: how}`` per
-    series, from mean/sum/min/max/count/first/last.
+    series, from mean/sum/min/max/count/first/last/median (median is
+    Spark's exact ``F.median``, not an approximation).
 
     Scale shape: the tall-union + ONE ``groupBy(bin)`` plan of
     :func:`resample_points_multi` — map-side partial aggregation compresses

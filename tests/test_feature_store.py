@@ -941,3 +941,41 @@ def test_materialize_downsampled_rollup(spark, fs):
         to_date="2021-01-03", freq="1d", method="mean", suffix="_daily_mean",
     )
     assert fs.load_features("rollups/sensor_daily_mean").count() == 3
+
+
+def test_materialize_target_name_collision(fs):
+    """Sources from different namespaces sharing a base name would both
+    land on the same target feature — refused up front, naming them."""
+    import pandas as pd
+    import pytest
+    from qafs_spark.exceptions import FeatureStoreException
+
+    for ns in ("ma", "mb"):
+        fs.create_namespace(ns)
+        fs.create_feature(f"{ns}/x", check=Column(float))
+        fs.save_df(pd.DataFrame(
+            {"time": pd.date_range("2021-01-01", periods=3), f"{ns}/x": [1.0, 2.0, 3.0]}
+        ))
+    with pytest.raises(FeatureStoreException, match="ma/x and mb/x"):
+        fs.materialize(["ma/x", "mb/x"], "tgt", from_date="2021-01-01",
+                       to_date="2021-01-03", freq="1d", method="mean")
+
+
+def test_method_without_freq_raises(fs):
+    """A resample/downsample method without freq has nothing to apply to —
+    raise instead of silently returning raw aligned observations that could
+    be mistaken for aggregated values."""
+    import pandas as pd
+    import pytest
+    from qafs_spark.exceptions import FeatureStoreException
+
+    fs.create_namespace("nf")
+    fs.create_feature("nf/f", check=Column(float))
+    fs.save_df(pd.DataFrame(
+        {"time": pd.date_range("2021-01-01", periods=3), "nf/f": [1.0, 2.0, 3.0]}
+    ))
+    for method in ("mean", "interpolate", "nearest", {"nf/f": "max"}):
+        with pytest.raises(FeatureStoreException, match="requires freq"):
+            fs.load_features("nf/f", method=method)
+    # default ffill without freq stays the plain aligned load
+    assert fs.load_features("nf/f").count() == 3

@@ -417,8 +417,12 @@ def test_resample_multi_single_data_aggregation(spark):
     dts = pd.date_range("2021-01-01", periods=300, freq="45min")
     named = []
     for i in range(3):
+        # f1 stays an INT series: the multi path's type-group promotion
+        # (int -> double for interpolation) must agree with the
+        # single-series operator on integer inputs too (ADVICE r4)
+        cast = int if i == 1 else float
         pdf = pd.DataFrame(
-            {"time": dts[i::3], f"f{i}": [float(j * (i + 1)) for j in range(len(dts[i::3]))]}
+            {"time": dts[i::3], f"f{i}": [cast(j * (i + 1)) for j in range(len(dts[i::3]))]}
         )
         named.append((f"f{i}", spark.createDataFrame(pdf)))
 
