@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Scale the driver's synthetic testdata up by an integer factor.
+
+The driver ships sf0.001/0.01/0.1 only; the scale-regime bench (BENCH_NOTES
+round-5 item) needs a larger datapoint. This builds an sfN directory from
+sf0.1 by unioning K id-offset replicas — with the replica transforms chosen
+so every headline query's WORK grows linearly, i.e. the scaled data behaves
+like a bigger corpus, not like K exact clones:
+
+* fact tables (lineitem/orders/customer/supplier/part/events): keys are
+  offset per replica consistently across tables (joins keep exactly the
+  same fan-out per key); dates/timestamps unchanged (filter selectivity is
+  preserved).
+* region/nation: fixed dimensions, never scaled (TPC-H convention).
+* documents: every whitespace token gets a replica suffix — replicas share
+  ZERO shingles with each other, so near-dup pair structure replicates
+  per-copy instead of exploding quadratically across copies (10 exact
+  clones of every doc would turn minhash/jaccard into a different,
+  artificially quadratic workload).
+* embeddings: vectors are cyclically rotated per replica (norm-preserving,
+  direction-changing) so ANN buckets spread instead of stacking.
+
+Usage: python tools/make_scaled_sf.py <src_sf_dir> <dst_dir> <factor>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def scale(spark, src: str, dst: str, factor: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+
+    def read(t):
+        return spark.read.parquet(f"{src}/{t}.parquet")
+
+    def write(df, t):
+        # single file per table, like the source layout
+        df.coalesce(max(1, factor // 2)).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+
+    for t in ("region", "nation"):
+        write(read(t), t)
+
+    # per-table key offsets (max+1 so replicas never collide)
+    offsets = {}
+    for t, key in (
+        ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+        ("part", "p_partkey"), ("orders", "o_orderkey"),
+        ("events", "event_id"), ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ):
+        offsets[t] = read(t).agg(F.max(key)).collect()[0][0] + 1
+    offsets["user"] = read("events").agg(F.max("user_id")).collect()[0][0] + 1
+
+    def replicate(t, transform):
+        base = read(t)
+        out = None
+        for k in range(factor):
+            rep = transform(base, k)
+            out = rep if out is None else out.unionByName(rep)
+        write(out, t)
+
+    replicate("customer", lambda d, k: d.withColumn(
+        "c_custkey", F.col("c_custkey") + F.lit(k * offsets["customer"])))
+    replicate("supplier", lambda d, k: d.withColumn(
+        "s_suppkey", F.col("s_suppkey") + F.lit(k * offsets["supplier"])))
+    replicate("part", lambda d, k: d.withColumn(
+        "p_partkey", F.col("p_partkey") + F.lit(k * offsets["part"])))
+    replicate("orders", lambda d, k: d
+              .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * offsets["orders"]))
+              .withColumn("o_custkey", F.col("o_custkey") + F.lit(k * offsets["customer"])))
+    replicate("lineitem", lambda d, k: d
+              .withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * offsets["orders"]))
+              .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * offsets["part"]))
+              .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * offsets["supplier"])))
+    replicate("events", lambda d, k: d
+              .withColumn("event_id", F.col("event_id") + F.lit(k * offsets["events"]))
+              .withColumn("user_id", F.col("user_id") + F.lit(k * offsets["user"])))
+
+    def doc_rep(d, k):
+        d = d.withColumn("doc_id", F.col("doc_id") + F.lit(k * offsets["documents"]))
+        if k:
+            d = d.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", rf"$1{chr(96 + k)}")
+            ).withColumn("n_chars", F.length("text"))
+        return d
+
+    replicate("documents", doc_rep)
+
+    def emb_rep(d, k):
+        d = d.withColumn("vec_id", F.col("vec_id") + F.lit(k * offsets["embeddings"]))
+        if k:
+            n = F.size("embedding")
+            d = d.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", k + 1, 4096),
+                    F.slice("embedding", 1, k),
+                ).cast("array<float>"),
+            )
+            _ = n
+        return d
+
+    replicate("embeddings", emb_rep)
+
+
+def main() -> int:
+    src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from qafs_spark.session import get_spark
+
+    spark = get_spark(app_name="make-scaled-sf")
+    scale(spark, src, dst, factor)
+    for t in ("lineitem", "documents", "events", "embeddings"):
+        print(t, spark.read.parquet(f"{dst}/{t}.parquet").count())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
