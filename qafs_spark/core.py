@@ -711,7 +711,7 @@ class FeatureStore:
             recs.append((ns, nm, rec))
 
         if freq is not None and (from_ts is None or to_ts is None):
-            bounds = self._data_bounds(recs, time_travel)
+            bounds = self._data_bounds(recs, time_travel, from_ts)
             if bounds is None:
                 if from_ts is None or to_ts is None:
                     return self._empty_result(recs)
@@ -1033,7 +1033,15 @@ class FeatureStore:
             return empty_feature_df(self.spark, self._value_type(rec)).select(
                 "time", "value"
             )
-        return last_write_wins(df, value_cols=["value"])
+        # tiebreak on value (when orderable): rows tied on (time,
+        # created_time) resolve deterministically AND identically to the
+        # LWW-collapsing compaction's survivor, so reads agree across a
+        # collapse (see sources/feature_dataset.py compact_feature)
+        from .operators.dedup import value_tiebreak
+
+        return last_write_wins(
+            df, value_cols=["value"], tiebreak_cols=value_tiebreak(df)
+        )
 
     def _load_transform(
         self, ns, nm, rec, from_ts, to_ts, freq, time_travel, callers, memo
@@ -1067,9 +1075,19 @@ class FeatureStore:
                 self._transform_type_cache[cache_key] = vt
         return tfm.apply_transform(aligned, func, parent_names, vt)
 
-    def _data_bounds(self, recs, time_travel) -> Optional[Tuple[pd.Timestamp, pd.Timestamp]]:
+    def _data_bounds(
+        self, recs, time_travel, from_ts=None
+    ) -> Optional[Tuple[pd.Timestamp, pd.Timestamp]]:
         """Global (min, max) time across features — one unioned agg job
-        (reference does an eager per-feature min/max, pandas.py:151-155)."""
+        (reference does an eager per-feature min/max, pandas.py:151-155).
+
+        ``from_ts`` is the user's known lower bound, threaded into the probe
+        reads so that (a) the scan is pruned to the window that matters and
+        (b) the LWW-collapse horizon check sees the real minimum as-of
+        cutoff instead of spuriously refusing an answerable query whose
+        only unbounded side is ``to_date`` (the inferred upper bound is the
+        max over [from_ts, ∞), identical to the unpruned max whenever the
+        window is non-empty)."""
         aggs = []
         for ns, nm, rec in recs:
             if rec.transform:
@@ -1077,12 +1095,12 @@ class FeatureStore:
                     pns, pnm = self._split_name(pfull)
                     prec = self.registry.get_feature(pns, pnm)
                     if prec is not None and not prec.transform:
-                        df = self._read_raw(pns, pnm, prec, None, None, time_travel)
+                        df = self._read_raw(pns, pnm, prec, from_ts, None, time_travel)
                         if df is not None:
                             aggs.append(df.agg(F.min("time").alias("mn"),
                                                F.max("time").alias("mx")))
                 continue
-            df = self._read_raw(ns, nm, rec, None, None, time_travel)
+            df = self._read_raw(ns, nm, rec, from_ts, None, time_travel)
             if df is not None:
                 aggs.append(df.agg(F.min("time").alias("mn"), F.max("time").alias("mx")))
         if not aggs:

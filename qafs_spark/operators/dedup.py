@@ -20,6 +20,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def is_orderable(dt) -> bool:
+    """True when Spark can sort/compare the type (everything but maps,
+    including nested occurrences — struct/array ordering is elementwise)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return is_orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(is_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def value_tiebreak(df: DataFrame, col: str = "value") -> Optional[List[str]]:
+    """Deterministic LWW tiebreak on the value itself, when the type allows.
+
+    Rows tied on (time, created_time) with differing values otherwise get a
+    nondeterministic winner. Ordering by the value column breaks the tie
+    deterministically (greatest value wins) — used by both the feature read
+    path and the LWW-collapsing compaction so a pre-collapse read and the
+    physically collapsed survivor agree. Returns None for non-orderable
+    (map-typed) values, where the tie stays arbitrary."""
+    try:
+        dt = df.schema[col].dataType
+    except KeyError:
+        return None
+    return [col] if is_orderable(dt) else None
+
+
 def last_write_wins(
     df: DataFrame,
     time_col: str = "time",

@@ -649,12 +649,23 @@ def cluster_pairs(
     # loop shape is identical). Min-labels only ever decrease, so
     # "changed" is exactly `cluster < _prev` and zero changes is the exact
     # connected-components fixed point.
-    labels = labels.localCheckpoint(eager=True)
+    prev = labels.localCheckpoint(eager=True)
+    labels = prev
     for _ in range(max_converge_iters):
         upd = one_round(labels).localCheckpoint(eager=True)
         changed = upd.filter(F.col("cluster") < F.col("_prev")).count()
         labels = upd.select("id", "cluster")
+        # upd is eagerly materialized in its own checkpoint blocks, so the
+        # previous round's blocks are dead — free them now rather than
+        # waiting for driver GC (executor block storage would otherwise
+        # grow O(rounds · |V|) across the loop)
+        prev.unpersist()
+        prev = upd
         if changed == 0:
+            if cache_edges:
+                # the returned labels are checkpoint-backed and no longer
+                # reference the edge list
+                edges.unpersist()
             return labels
     raise ValueError(
         f"cluster_pairs(converge=True) did not converge in {max_converge_iters} "

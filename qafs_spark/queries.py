@@ -501,7 +501,7 @@ _SQL_EN_STOP = "['the','a','of','and','to','in','is','that','it','for']"
 
 @register(
     "doc_stats",
-    oracle=f"""
+    oracle=rf"""
     SELECT doc_id,
            CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                 ELSE len({_SQL_TOKENS}) END AS BIGINT) AS n_tokens,
@@ -628,9 +628,15 @@ _SQL_SHINGLES = """
     """,
 )
 def q_ngram_jaccard(spark, sf_dir):
-    """Pipeline: exact word-3-gram Jaccard near-dup pairs (threshold 0.5)."""
+    """Pipeline: exact word-3-gram Jaccard near-dup pairs (threshold 0.5).
+
+    max_doc_frac=None explicitly: this query's oracle replays the UNGUARDED
+    exact semantics, so the skew guard (default "auto") must be off here or
+    query and oracle would diverge on fixtures with hot shingles. The
+    guarded variant is certified separately by ngram_jaccard_capped."""
     return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5,
+        max_doc_frac=None,
     )
 
 
@@ -710,6 +716,11 @@ def q_minhash_lsh_dedup(spark, sf_dir):
         num_hashes=32,
         num_bands=16,
         threshold=0.5,
+        # Explicit exact mode: the oracle is the unguarded exact-Jaccard
+        # result, so the bucket-cap guard must be off for this query to be
+        # semantically identical to it on ANY fixture (not just ones whose
+        # hottest bucket stays under the default cap).
+        max_band_size=None,
     )
 
 
@@ -3058,7 +3069,8 @@ def q_dedup_clusters(spark, sf_dir):
     generation and representative selection. The whole propagation unrolls
     into one lazy plan (no driver loop state)."""
     pairs = dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5,
+        max_doc_frac=None,  # exact mode — the oracle replays unguarded pairs
     )
     return dd.cluster_pairs(pairs, k_iters=3).withColumnRenamed("id", "doc_id")
 

@@ -212,24 +212,55 @@ def compact_feature(
     the data movement is one Spark job (`repartitionByRange` by partition
     and time, the same layout the ingest `distribute` knob produces; the
     LWW collapse adds one partial-aggregated shuffle on ``time``).
+
+    **Swap protocol (reader-friendly, crash-recoverable).** The rewritten
+    data is staged at ``<path>.__compact__``, then swapped in with two
+    renames: live → ``<path>.__old__``, staging → live, delete old. A
+    concurrent reader can still observe a missing path, but only inside the
+    rename→rename window (two metadata ops on a real FS/HDFS), not for the
+    full duration of a recursive delete. It is NOT a lock: concurrent
+    WRITERS during a compact can still lose appends (their files land in
+    the directory that gets renamed aside) — run compaction in a
+    single-writer maintenance window. Object stores emulate rename as
+    copy+delete per object, so the window widens there; prefer
+    FS-with-atomic-rename for the feature root, or exclude readers.
+    Crash recovery: a crash between the two renames leaves
+    ``<path>.__old__`` holding the data and no live path — the next
+    compact (or any call of this function) restores it before proceeding;
+    leftover staging/old directories from completed or failed runs are
+    cleaned up front.
     """
+    staging = path.rstrip("/") + ".__compact__"
+    old = path.rstrip("/") + ".__old__"
     if not fs_storage.path_exists(spark, path):
-        return 0
+        if fs_storage.path_exists(spark, old):
+            # a previous compact crashed between its two renames — the
+            # aside directory IS the live data; restore it and recompact
+            fs_storage.rename_path(spark, old, path)
+        else:
+            return 0
     df = spark.read.parquet(path)
     if collapse_lww:
-        from ..operators.dedup import last_write_wins
+        from ..operators.dedup import last_write_wins, value_tiebreak
 
         # keep the survivor's created_time (time travel after the horizon
         # must still see the true creation instant); partition re-derives
-        # from time exactly as the original writer derived it
+        # from time exactly as the original writer derived it.
+        # value_tiebreak: rows tied on (time, created_time) get a
+        # deterministic winner (greatest value) — the collapse physically
+        # deletes the losers, so an arbitrary tie-break here would freeze a
+        # nondeterministic choice forever. The read-path LWW
+        # (core._load_leaf) uses the same tiebreak, so pre- and
+        # post-collapse reads agree. Map-typed values are not orderable;
+        # there the tie stays arbitrary (tiebreak is None).
         df = last_write_wins(
-            df, value_cols=["value"], keep_order_col=True
+            df, value_cols=["value"], tiebreak_cols=value_tiebreak(df),
+            keep_order_col=True,
         ).withColumn("partition", partition_expr(scheme))
     n_parts = max(
         1,
         df.select("partition").distinct().count() * target_files_per_partition,
     )
-    staging = path.rstrip("/") + ".__compact__"
     fs_storage.delete_path(spark, staging)
     (
         df.repartitionByRange(n_parts, "partition", "time")
@@ -239,10 +270,10 @@ def compact_feature(
         .parquet(staging)
     )
     n_rows = spark.read.parquet(staging).count()
-    fs_storage.delete_path(spark, path)
-    fs, jsrc = fs_storage._fs_and_path(spark, staging)
-    _, jdst = fs_storage._fs_and_path(spark, path)
-    fs.rename(jsrc, jdst)
+    fs_storage.delete_path(spark, old)  # stale leftover from a prior run
+    fs_storage.rename_path(spark, path, old)
+    fs_storage.rename_path(spark, staging, path)
+    fs_storage.delete_path(spark, old)
     return n_rows
 
 

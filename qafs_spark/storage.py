@@ -46,6 +46,15 @@ def delete_path(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jpath, True))
 
 
+def rename_path(spark: SparkSession, src: str, dst: str) -> bool:
+    """Single Hadoop-FS rename (a metadata operation on real filesystems
+    and HDFS; object stores emulate it per-object — see compact_feature's
+    docstring for the implications)."""
+    fs, jsrc = _fs_and_path(spark, src)
+    _, jdst = _fs_and_path(spark, dst)
+    return bool(fs.rename(jsrc, jdst))
+
+
 def list_dirs(spark: SparkSession, path: str) -> List[str]:
     """Names of immediate child directories (not full paths)."""
     fs, jpath = _fs_and_path(spark, path)

@@ -979,3 +979,167 @@ def test_method_without_freq_raises(fs):
             fs.load_features("nf/f", method=method)
     # default ffill without freq stays the plain aligned load
     assert fs.load_features("nf/f").count() == 3
+
+
+def test_collapse_bounds_probe_threads_from_date(fs):
+    """Round-6 fix: a downsample load of a collapsed feature with freq,
+    time_travel, a from_date whose cutoff is at/after the horizon, and NO
+    to_date must succeed — the to_ts bounds probe now threads the user's
+    from_ts instead of spuriously raising the 'unbounded from_date'
+    refusal (only the probe was unbounded; the query is answerable)."""
+    import pandas as pd
+    import pytest
+    from qafs_spark.exceptions import FeatureStoreException
+
+    fs.create_namespace("bp")
+    fs.create_feature("bp/f", check=Column(float))
+    times = pd.date_range("2021-06-01", periods=6)
+    fs.save_df(pd.DataFrame(
+        {"time": times, "created_time": [pd.Timestamp("2021-06-07")] * 6,
+         "bp/f": [float(i) for i in range(6)]}
+    ))
+    fs.compact("bp/f", collapse_lww=True)  # horizon = 2021-06-07
+
+    # cutoff = 06-02 + 6d = 06-08 >= horizon: answerable; no to_date ->
+    # the probe infers it (and must not refuse)
+    out = fs.load_features(
+        "bp/f", freq="2d", method="mean", time_travel="6d",
+        from_date="2021-06-02",
+    ).toPandas()
+    assert len(out) == 3 and out["bp/f"].notna().all()
+
+    # same load with a pre-horizon cutoff still refuses loudly
+    with pytest.raises(FeatureStoreException, match="LWW-compacted"):
+        fs.load_features(
+            "bp/f", freq="2d", method="mean", time_travel="1h",
+            from_date="2021-06-02",
+        ).toPandas()
+
+
+def test_collapse_horizon_through_transform_parent(fs):
+    """The horizon refusal must propagate through the transform DAG loader:
+    a transform whose PARENT was LWW-collapsed refuses pre-horizon
+    time-travel loads (the parent data needed for the as-of no longer
+    exists) and still answers post-horizon cutoffs exactly."""
+    import pandas as pd
+    import pytest
+    from qafs_spark.exceptions import FeatureStoreException
+
+    fs.create_namespace("th")
+    fs.create_feature("th/base", check=Column(float))
+    times = [pd.Timestamp("2021-06-01"), pd.Timestamp("2021-06-02")]
+    for created, v in ((pd.Timestamp("2021-06-05"), 1.0),
+                      (pd.Timestamp("2021-06-06"), 2.0)):
+        fs.save_df(pd.DataFrame(
+            {"time": times, "created_time": [created] * 2, "th/base": [v, v]}
+        ))
+
+    @fs.transform("th/doubled", from_features=["th/base"], check=Column(float))
+    def doubled(df):
+        return df * 2.0
+
+    def load_tt(tt):
+        return {
+            r["time"]: r["th/doubled"]
+            for r in fs.load_features(
+                "th/doubled", from_date="2021-06-01", to_date="2021-06-02",
+                time_travel=tt,
+            ).collect()
+        }
+
+    assert load_tt("108h")[times[0]] == 2.0  # superseded parent v=1 doubled
+    pre_post = load_tt("5d")
+
+    fs.compact("th/base", collapse_lww=True)
+
+    # post-horizon: exact and identical through the DAG
+    assert load_tt("5d") == pre_post
+    # pre-horizon: the loud refusal must surface through the transform load
+    with pytest.raises(FeatureStoreException, match="LWW-compacted"):
+        load_tt("108h")
+    # and through the pandas surface too
+    with pytest.raises(FeatureStoreException, match="LWW-compacted"):
+        fs.load_dataframe(
+            "th/doubled", from_date="2021-06-01", to_date="2021-06-02",
+            time_travel="108h",
+        )
+
+
+def test_compact_swap_reader_safe(spark, fs):
+    """Round-6 swap protocol: the live dataset is replaced by two renames
+    (live -> .__old__, staging -> live), so a reader can only see a missing
+    path inside the rename->rename window; and a crash between the renames
+    is recovered by the next compact (the aside directory is restored)."""
+    import pandas as pd
+    from qafs_spark import storage as fs_storage
+    from qafs_spark.sources.feature_dataset import compact_feature
+
+    fs.create_namespace("sw")
+    fs.create_feature("sw/f", check=Column(float))
+    times = pd.date_range("2021-06-01", periods=4)
+    fs.save_df(pd.DataFrame({"time": times, "sw/f": [1.0, 2.0, 3.0, 4.0]}))
+    path = fs._path("sw", "f")
+    old = path.rstrip("/") + ".__old__"
+    staging = path.rstrip("/") + ".__compact__"
+
+    # --- reader simulation: probe visibility around each rename step
+    real_rename = fs_storage.rename_path
+    observed = []
+
+    def spying_rename(sp, src, dst):
+        observed.append(
+            ("before", src.endswith(".__compact__"),
+             fs_storage.path_exists(sp, path)))
+        out = real_rename(sp, src, dst)
+        observed.append(
+            ("after", src.endswith(".__compact__"),
+             fs_storage.path_exists(sp, path)))
+        return out
+
+    fs_storage.rename_path = spying_rename
+    try:
+        n = compact_feature(spark, path, scheme="date")
+    finally:
+        fs_storage.rename_path = real_rename
+    assert n == 4
+    # rename 1 (live -> old): live visible before, gone after;
+    # rename 2 (staging -> live): gone before, visible after.
+    assert observed == [
+        ("before", False, True), ("after", False, False),
+        ("before", True, False), ("after", True, True),
+    ]
+    assert not fs_storage.path_exists(spark, old)
+    assert not fs_storage.path_exists(spark, staging)
+    assert {r["sw/f"] for r in fs.load_features("sw/f").collect()} == {
+        1.0, 2.0, 3.0, 4.0}
+
+    # --- crash between the two renames: live path missing, data parked at
+    # .__old__ — the next compact restores it before recompacting
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_rename(sp, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # crash before staging -> live
+            raise Boom("simulated crash between renames")
+        return real_rename(sp, src, dst)
+
+    fs_storage.rename_path = crashing_rename
+    try:
+        try:
+            compact_feature(spark, path, scheme="date")
+            assert False, "expected simulated crash"
+        except Boom:
+            pass
+    finally:
+        fs_storage.rename_path = real_rename
+    assert not fs_storage.path_exists(spark, path)
+    assert fs_storage.path_exists(spark, old)
+
+    n = compact_feature(spark, path, scheme="date")
+    assert n == 4
+    assert not fs_storage.path_exists(spark, old)
+    assert {r["sw/f"] for r in fs.load_features("sw/f").collect()} == {
+        1.0, 2.0, 3.0, 4.0}

@@ -950,22 +950,25 @@ def test_align_resample_property_random(spark):
             .sort_values("time")
             .reset_index(drop=True)
         )
-        # golden: the REFERENCE formula (concat.resample(freq).ffill()
-        # .ffill() — row-based as-of, reference tests:348-353), extended to
-        # the operator's [from_ts, to_ts] grid contract by a row-level
-        # reindex-ffill (carry past data end; NaN before data start). The
+        # golden: the REFERENCE formula's row-based as-of (concat.resample
+        # (freq).ffill().ffill(), reference tests:348-353) computed as
+        # reindex(full-phase grid, method='ffill') + column ffill — the
+        # same row-selection semantics at every bin, but on a grid that
+        # runs all the way to to_ts. The literal resample() form stops its
+        # bins at floor(last_obs), so an observation in the trailing
+        # partial bin (e.g. 04:56 with a 04:30 last bin) would vanish from
+        # a reindex-ffill extension — a golden-construction artifact, not a
+        # property of the operator (found by hypothesis, seed=18136). The
         # from_ts midnight anchor keeps both grids in phase for these freqs.
-        golden = (
-            pd.concat(
-                [s1.set_index("time"), s2.set_index("time")],
-                join="outer", axis=1,
-            )
-            .resample(freq)
-            .ffill()
-            .ffill()
+        cat = pd.concat(
+            [s1.set_index("time"), s2.set_index("time")],
+            join="outer", axis=1,
         )
         grid = pd.date_range(from_ts, to_ts, freq=freq)
-        golden = golden.reindex(grid, method="ffill")
+        full_grid = pd.date_range(
+            min(cat.index.min().floor(freq), from_ts), to_ts, freq=freq
+        )
+        golden = cat.reindex(full_grid, method="ffill").ffill().reindex(grid)
         assert got["time"].tolist() == grid.tolist()
         for c in ("a", "b"):
             g = got[c].to_numpy()

@@ -46,6 +46,20 @@ def scale(spark, src: str, dst: str, factor: int) -> None:
     for t in ("region", "nation"):
         write(read(t), t)
 
+    # events: the shipped fixture's ts column is TIMESTAMP(NANOS), which a
+    # plain spark.read.parquet cannot even decode on Spark <= 4.0 — set up
+    # sources.events' probe + conf handling BEFORE any events read (the
+    # offsets pass below reads it too). NOTE the dtype change: Spark cannot
+    # WRITE nanos, so the replica's ts comes out as whatever this runtime
+    # surfaced (bigint on <= 4.0, micros timestamp_ntz on >= 4.1) — the
+    # scaled fixture therefore does NOT exercise the nanos-decode probe
+    # path; only the shipped sf dirs do. Queries are unaffected:
+    # read_events normalizes either dtype.
+    from qafs_spark.sources import events as ev
+
+    ts_dtype = ev.probe_event_ts_dtype(spark, f"{src}/events.parquet")
+    ev._ensure_read_conf(spark, ts_dtype)
+
     # per-table key offsets (max+1 so replicas never collide)
     offsets = {}
     for t, key in (
@@ -81,12 +95,18 @@ def scale(spark, src: str, dst: str, factor: int) -> None:
     replicate("events", lambda d, k: d
               .withColumn("event_id", F.col("event_id") + F.lit(k * offsets["events"]))
               .withColumn("user_id", F.col("user_id") + F.lit(k * offsets["user"])))
+    print(f"note: scaled events.ts dtype = {ts_dtype} (nanos annotation "
+          "not preserved by the rewrite)")
 
     def doc_rep(d, k):
         d = d.withColumn("doc_id", F.col("doc_id") + F.lit(k * offsets["documents"]))
         if k:
+            # per-replica token suffix "·<k>" — distinct for EVERY k (the
+            # old chr(96+k) letter scheme degraded past factor 26), and the
+            # middle-dot separator cannot occur in the ASCII source corpus,
+            # so replicas share zero tokens (hence zero shingles)
             d = d.withColumn(
-                "text", F.regexp_replace("text", r"(\S+)", rf"$1{chr(96 + k)}")
+                "text", F.regexp_replace("text", r"(\S+)", rf"$1·{k}")
             ).withColumn("n_chars", F.length("text"))
         return d
 
