@@ -1,10 +1,16 @@
-"""SQLite-backed metadata registry (namespaces, features, store version).
+"""Metadata registry (namespaces, features, store version): sqlite by
+default, PostgreSQL for multi-writer deployments.
 
 The reference keeps metadata in any SQLAlchemy RDBMS with sqlite as the
 default (reference: src/qafs/core.py:30, src/qafs/model.py:79-132,
 src/qafs/connection.py:13-24). SQLAlchemy isn't available here and the
-registry is strictly driver-side metadata (a few thousand rows), so this is a
-dependency-free sqlite3 implementation with the same semantics:
+registry is strictly driver-side metadata (a few thousand rows), so this is
+a dependency-free implementation with the same semantics — stdlib sqlite3
+for file-backed stores, and a ``postgresql://`` backend (psycopg2 or pg8000
+when installed, else the built-in minimal wire client in
+:mod:`qafs_spark.pgwire`) for genuinely concurrent multi-writer
+deployments. One ANSI-portable SQL surface serves both; the drivers differ
+only in connection factory and writer-serialization statement:
 
 * ``version`` auto-increments on every update (reference: src/qafs/
   model.py:51-55, asserted tests/test_feature_store.py:154);
@@ -114,14 +120,14 @@ def _resolve_db_url(db_path: str) -> str:
     ``create_engine``) as well as plain file paths.
 
     ``sqlite:///relative`` / ``sqlite:////absolute`` resolve to the file
-    path and run on the stdlib driver. Other dialects (postgresql://,
-    mysql://, ...) need their client libraries, which this build cannot
-    vendor (stdlib-sqlite-only dependency constraint) — fail loudly at
-    construction with the constraint named instead of surfacing a cryptic
-    sqlite "unable to open database file" on a URL-shaped path. The SQL in
-    this module is deliberately ANSI-portable (TEXT/INTEGER columns, ?
-    placeholders via DB-API) so a future dialect needs only a connection
-    factory, not a schema rewrite.
+    path and run on the stdlib driver; ``postgresql://`` URLs are handled
+    by :class:`_PostgresDriver` before this helper is consulted. Any other
+    dialect (mysql://, ...) needs a client library this build cannot
+    vendor — fail loudly at construction with the constraint named instead
+    of surfacing a cryptic sqlite "unable to open database file" on a
+    URL-shaped path. The SQL in this module is deliberately ANSI-portable
+    (TEXT/INTEGER columns, ? placeholders) so dialects differ only in
+    their connection factory, not the schema or statements.
     """
     if "://" not in db_path:
         return db_path
@@ -134,10 +140,11 @@ def _resolve_db_url(db_path: str) -> str:
             )
         return rest[1:]
     raise FeatureStoreException(
-        f"Unsupported registry dialect {scheme!r}: this build runs the "
-        "metadata registry on stdlib sqlite3 only (sqlite:/// URLs or "
-        "plain paths). The registry is driver-side metadata — the data "
-        "plane is unaffected by this constraint."
+        f"Unsupported registry dialect {scheme!r}: this build supports "
+        "stdlib sqlite3 (sqlite:/// URLs or plain paths) and "
+        "postgresql:// (via psycopg2/pg8000 when installed, else the "
+        "built-in minimal wire client). The registry is driver-side "
+        "metadata — the data plane is unaffected by this constraint."
     )
 
 
@@ -149,6 +156,201 @@ _BUSY_TIMEOUT_S = 30.0
 def _is_locked(exc: sqlite3.OperationalError) -> bool:
     msg = str(exc).lower()
     return "locked" in msg or "busy" in msg
+
+
+class _SqliteDriver:
+    """stdlib sqlite3: WAL + busy timeout, writers serialized with BEGIN
+    IMMEDIATE (see Registry docstring for the concurrency rationale)."""
+
+    name = "sqlite"
+
+    def __init__(self, db_path: str):
+        self.display = db_path
+
+    def connect(self) -> sqlite3.Connection:
+        # autocommit (isolation_level=None): transactions are managed
+        # explicitly by _write_txn — the stdlib's implicit BEGIN would
+        # conflict with BEGIN IMMEDIATE
+        con = sqlite3.connect(
+            self.display, timeout=_BUSY_TIMEOUT_S, isolation_level=None
+        )
+        con.row_factory = sqlite3.Row
+        try:
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute("PRAGMA synchronous=NORMAL")
+        except sqlite3.OperationalError:
+            pass  # :memory: / read-only media: keep the default journal
+        return con
+
+    def init_schema(self, con: sqlite3.Connection) -> None:
+        con.executescript(_DDL)
+
+    def begin(self, con: sqlite3.Connection) -> None:
+        # take the write lock up front — a deferred transaction that reads
+        # then upgrades can deadlock with SQLITE_BUSY that no timeout
+        # resolves
+        con.execute("BEGIN IMMEDIATE")
+
+    error_types = (sqlite3.OperationalError,)
+
+    def is_transient(self, exc: BaseException) -> bool:
+        return isinstance(exc, sqlite3.OperationalError) and _is_locked(exc)
+
+
+class _PgConnAdapter:
+    """Uniform qmark/dict-row surface over a DB-API postgres driver
+    (psycopg2 or pg8000). The built-in pgwire client implements this
+    surface natively and needs no adapter."""
+
+    def __init__(self, raw):
+        raw.autocommit = True  # transactions are driven by explicit BEGIN
+        self._raw = raw
+
+    def execute(self, sql: str, params=()):  # qmark → format paramstyle
+        cur = self._raw.cursor()
+        cur.execute(sql.replace("?", "%s"), tuple(params))
+        if cur.description is None:
+            return _EagerRows([])
+        names = [d[0] for d in cur.description]
+        return _EagerRows([dict(zip(names, row)) for row in cur.fetchall()])
+
+    def close(self) -> None:
+        self._raw.close()
+
+
+class _EagerRows:
+    def __init__(self, rows):
+        self._rows = rows
+        self._i = 0
+
+    def fetchone(self):
+        if self._i >= len(self._rows):
+            return None
+        row = self._rows[self._i]
+        self._i += 1
+        return row
+
+    def fetchall(self):
+        rest = self._rows[self._i:]
+        self._i = len(self._rows)
+        return rest
+
+    def __iter__(self):
+        while True:
+            row = self.fetchone()
+            if row is None:
+                return
+            yield row
+
+
+class _PostgresDriver:
+    """Server-RDBMS registry backend (reference connection.py:13-24 is
+    any-RDBMS via SQLAlchemy; postgres is the multi-writer deployment the
+    sqlite docstring points users at).
+
+    Driver resolution: psycopg2 → pg8000 → the built-in minimal wire
+    client (:mod:`qafs_spark.pgwire`, trust/password/md5 auth only).
+
+    **Writer serialization** mirrors sqlite's BEGIN IMMEDIATE semantics:
+    every write transaction opens with ``LOCK TABLE ... IN SHARE ROW
+    EXCLUSIVE MODE``. That mode conflicts with itself, so writers queue
+    (instead of aborting under SERIALIZABLE and needing a retry storm)
+    while plain readers (ACCESS SHARE) are never blocked. All three tables
+    are locked in one statement, so writer-writer deadlock is impossible.
+    Registry write volume is a handful of rows per store operation —
+    table-level writer serialization is the simple correct choice, not a
+    throughput constraint; the check-then-write bodies in Registry stay
+    race-free unchanged.
+    """
+
+    name = "postgresql"
+
+    def __init__(self, url: str):
+        from urllib.parse import unquote, urlsplit
+
+        parts = urlsplit(url)
+        self.host = parts.hostname or "localhost"
+        self.port = parts.port or 5432
+        self.user = unquote(parts.username or "postgres")
+        self.password = unquote(parts.password) if parts.password else None
+        self.database = unquote(parts.path.lstrip("/")) or self.user
+        self.display = f"postgresql://{self.user}@{self.host}:{self.port}/{self.database}"
+        self._impl, self.error_types = self._pick_impl()
+
+    def _pick_impl(self):
+        try:
+            import psycopg2  # type: ignore
+
+            return ("psycopg2", psycopg2), (psycopg2.Error,)
+        except ImportError:
+            pass
+        try:
+            import pg8000.dbapi  # type: ignore
+
+            return ("pg8000", pg8000.dbapi), (pg8000.dbapi.Error,)
+        except ImportError:
+            pass
+        from . import pgwire
+
+        return ("pgwire", pgwire), (pgwire.PgError, OSError)
+
+    def connect(self):
+        kind, mod = self._impl
+        try:
+            if kind == "pgwire":
+                return mod.connect(
+                    self.host, self.port, user=self.user,
+                    database=self.database, password=self.password,
+                )
+            raw = mod.connect(
+                host=self.host, port=self.port, user=self.user,
+                password=self.password, database=self.database,
+            )
+            return _PgConnAdapter(raw)
+        except Exception as exc:
+            raise FeatureStoreException(
+                f"registry could not connect to {self.display} "
+                f"(driver={kind}): {exc}"
+            ) from exc
+
+    def init_schema(self, con) -> None:
+        for stmt in _DDL.split(";"):
+            if stmt.strip():
+                con.execute(stmt)
+
+    def begin(self, con) -> None:
+        con.execute("BEGIN")
+        con.execute(
+            "LOCK TABLE namespace, feature, feature_store_version"
+            " IN SHARE ROW EXCLUSIVE MODE"
+        )
+
+    def is_transient(self, exc: BaseException) -> bool:
+        state = _pg_sqlstate(exc)
+        # serialization_failure / deadlock_detected / lock_not_available:
+        # safe to re-run the whole check-then-write body. 23505 is NOT here
+        # — under LOCK TABLE serialization a unique violation is a genuine
+        # application-level duplicate and must surface as such.
+        return state in ("40001", "40P01", "55P03")
+
+
+def _pg_sqlstate(exc: BaseException) -> str:
+    for attr in ("sqlstate", "pgcode"):  # pgwire / psycopg2
+        v = getattr(exc, attr, None)
+        if v:
+            return str(v)
+    args = getattr(exc, "args", None)  # pg8000: dict in args[0]
+    if args and isinstance(args[0], dict):
+        return str(args[0].get("C", ""))
+    return ""
+
+
+def _make_driver(db_path: str):
+    if "://" in db_path:
+        scheme = db_path.split("://", 1)[0]
+        if scheme in ("postgresql", "postgres"):
+            return _PostgresDriver(db_path)
+    return _SqliteDriver(_resolve_db_url(db_path))
 
 
 class Registry:
@@ -166,18 +368,22 @@ class Registry:
       exponential backoff.
 
     Two Spark drivers sharing one store file therefore serialize cleanly;
-    genuinely concurrent multi-writer deployments should still point the
-    registry at a server RDBMS (the SQL here is deliberately
-    ANSI-portable).
+    genuinely concurrent multi-writer deployments point the registry at
+    PostgreSQL (``postgresql://user@host/db``), where write transactions
+    serialize via ``LOCK TABLE`` instead (see :class:`_PostgresDriver`) and
+    the same check-then-write bodies stay race-free unchanged.
     """
 
     def __init__(self, db_path: str):
-        self.db_path = _resolve_db_url(str(db_path))
+        self._driver = _make_driver(str(db_path))
+        # kept for messages/back-compat: the sqlite file path, or a
+        # password-free postgres URL
+        self.db_path = self._driver.display
         self._local = threading.local()
         con = self._con()
-        con.executescript(_DDL)
+        self._driver.init_schema(con)
 
-        def _stamp(con: sqlite3.Connection) -> None:
+        def _stamp(con) -> None:
             cur = con.execute("SELECT version FROM feature_store_version")
             if cur.fetchone() is None:
                 con.execute(
@@ -187,36 +393,27 @@ class Registry:
 
         self._write_txn(_stamp)
 
-    def _con(self) -> sqlite3.Connection:
+    def _con(self):
         con = getattr(self._local, "con", None)
         if con is None:
-            # autocommit (isolation_level=None): transactions are managed
-            # explicitly by _write_txn — the stdlib's implicit BEGIN would
-            # conflict with BEGIN IMMEDIATE
-            con = sqlite3.connect(
-                self.db_path, timeout=_BUSY_TIMEOUT_S, isolation_level=None
-            )
-            con.row_factory = sqlite3.Row
-            try:
-                con.execute("PRAGMA journal_mode=WAL")
-                con.execute("PRAGMA synchronous=NORMAL")
-            except sqlite3.OperationalError:
-                pass  # :memory: / read-only media: keep the default journal
+            con = self._driver.connect()
             self._local.con = con
         return con
 
-    def _write_txn(self, fn: Callable[[sqlite3.Connection], Any], attempts: int = 6):
-        """Run ``fn(con)`` inside a BEGIN IMMEDIATE transaction, retrying
-        on lock contention. Application errors raised by ``fn`` roll back
-        and propagate unretried."""
+    def _write_txn(self, fn: Callable[[Any], Any], attempts: int = 6):
+        """Run ``fn(con)`` inside a writer-serialized transaction (sqlite:
+        BEGIN IMMEDIATE; postgres: LOCK TABLE — see the driver classes),
+        retrying on transient lock contention. Application errors raised by
+        ``fn`` roll back and propagate unretried."""
         con = self._con()
+        drv = self._driver
         delay = 0.05
-        last: Optional[sqlite3.OperationalError] = None
+        last: Optional[BaseException] = None
         for i in range(attempts):
             try:
-                con.execute("BEGIN IMMEDIATE")
-            except sqlite3.OperationalError as exc:
-                if not _is_locked(exc):
+                drv.begin(con)
+            except drv.error_types as exc:
+                if not drv.is_transient(exc):
                     raise
                 last = exc
                 time.sleep(delay * (1 + random.random()))
@@ -229,9 +426,9 @@ class Registry:
                 raise
             try:
                 con.execute("COMMIT")
-            except sqlite3.OperationalError as exc:
+            except drv.error_types as exc:
                 con.execute("ROLLBACK")
-                if not _is_locked(exc):
+                if not drv.is_transient(exc):
                     raise
                 last = exc
                 time.sleep(delay * (1 + random.random()))
@@ -240,7 +437,7 @@ class Registry:
             return out
         raise FeatureStoreException(
             f"registry write failed after {attempts} attempts — another "
-            f"session holds the sqlite write lock on {self.db_path!r} "
+            f"session holds the write lock on {self.db_path!r} "
             f"({last}); for heavily concurrent writers use a server RDBMS"
         )
 

@@ -1,12 +1,107 @@
+import os
+import shutil
+import socket
+import subprocess
+import tempfile
+
 import pytest
 
 from qafs_spark.exceptions import FeatureStoreException, MissingFeatureException
 from qafs_spark.registry import Registry
 
 
-@pytest.fixture
-def reg(tmp_path):
-    return Registry(str(tmp_path / "fs.db"))
+@pytest.fixture(scope="session")
+def pg_server():
+    """Scratch PostgreSQL server for the postgresql:// registry backend.
+
+    Skips when the server can't be provided: QAFS_TEST_PG_URL (an external
+    server) wins; otherwise initdb/pg_ctl from PATH run a throwaway
+    trust-auth cluster (via the 'postgres' system user when running as
+    root, since postgres refuses to start as uid 0).
+    """
+    ext = os.environ.get("QAFS_TEST_PG_URL")
+    if ext:
+        yield ext
+        return
+    if not (shutil.which("initdb") and shutil.which("pg_ctl")):
+        pytest.skip("no postgres server binaries on PATH")
+
+    as_root = os.geteuid() == 0
+    runner = []
+    if as_root:
+        if not shutil.which("runuser"):
+            pytest.skip("running as root and no runuser to drop privileges")
+        runner = ["runuser", "-u", "postgres", "--"]
+
+    base = tempfile.mkdtemp(prefix="qafs_pg_test_")
+    data = os.path.join(base, "data")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    try:
+        if as_root:
+            shutil.chown(base, user="postgres", group="postgres")
+        r = subprocess.run(
+            runner + ["initdb", "-D", data, "-U", "qafs", "--auth=trust",
+                      "-E", "UTF8"],
+            capture_output=True, cwd=base,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"initdb failed: {r.stderr.decode()[:200]}")
+        r = subprocess.run(
+            runner + ["pg_ctl", "-D", data, "-w",
+                      "-o", f"-p {port} -k {base} -c listen_addresses=127.0.0.1",
+                      "-l", os.path.join(base, "log"), "start"],
+            capture_output=True, cwd=base,
+        )
+        if r.returncode != 0:
+            pytest.skip(f"pg_ctl start failed: {r.stderr.decode()[:200]}")
+        try:
+            yield f"postgresql://qafs@127.0.0.1:{port}/postgres"
+        finally:
+            subprocess.run(
+                runner + ["pg_ctl", "-D", data, "-m", "immediate", "stop"],
+                capture_output=True, cwd=base,
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_PG_DB_SEQ = {"n": 0}
+
+
+def _fresh_pg_url(pg_server):
+    """A brand-new database on the scratch server (per-test isolation)."""
+    from qafs_spark.pgwire import connect
+
+    _PG_DB_SEQ["n"] += 1
+    dbname = f"qafs_test_{_PG_DB_SEQ['n']}"
+    base, _, _ = pg_server.rpartition("/")
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(pg_server)
+    admin = connect(parts.hostname, parts.port or 5432,
+                    user=parts.username or "postgres",
+                    database=parts.path.lstrip("/") or "postgres")
+    admin.execute(f"CREATE DATABASE {dbname}")
+    admin.close()
+    return f"{base}/{dbname}"
+
+
+@pytest.fixture(params=["sqlite", "postgresql"])
+def reg(request, tmp_path):
+    """The registry surface, parametrized over both supported backends.
+
+    Every CRUD/validation test in this module runs twice; the postgres leg
+    skips automatically where no server can be provided.
+    """
+    if request.param == "sqlite":
+        r = Registry(str(tmp_path / "fs.db"))
+    else:
+        url = _fresh_pg_url(request.getfixturevalue("pg_server"))
+        r = Registry(url)
+    yield r
+    r.close()
 
 
 def test_namespace_crud(reg):
@@ -91,21 +186,32 @@ def test_registry_url_styles(tmp_path):
     r2.close()
 
     with pytest.raises(FeatureStoreException, match="dialect"):
-        Registry("postgresql://host/db")
+        Registry("mysql://host/db")
     with pytest.raises(FeatureStoreException, match="sqlite:///"):
         Registry("sqlite://nope")
+    # postgresql:// is a SUPPORTED dialect now: an unreachable server is a
+    # clean connection error naming the target, not a dialect refusal
+    with pytest.raises(FeatureStoreException, match="could not connect"):
+        Registry("postgresql://qafs@127.0.0.1:1/nope")
 
 
-def test_concurrent_sessions_write_safely(tmp_path):
-    """Two registry sessions (separate sqlite connections, as two Spark
-    drivers sharing a store would have) hammer creates and meta updates
-    concurrently: every write lands, no 'database is locked' escapes, and
-    interleaved meta merges lose no keys (BEGIN IMMEDIATE serializes the
-    read-modify-write)."""
+@pytest.fixture(params=["sqlite", "postgresql"])
+def shared_db_url(request, tmp_path):
+    if request.param == "sqlite":
+        return str(tmp_path / "shared.db")
+    return _fresh_pg_url(request.getfixturevalue("pg_server"))
+
+
+def test_concurrent_sessions_write_safely(shared_db_url):
+    """Two registry sessions (separate connections, as two Spark drivers
+    sharing a store would have) hammer creates and meta updates
+    concurrently: every write lands, no lock error escapes, and interleaved
+    meta merges lose no keys (sqlite: BEGIN IMMEDIATE; postgres: LOCK TABLE
+    — both serialize the read-modify-write). Runs on BOTH backends."""
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
-    db = str(tmp_path / "shared.db")
+    db = shared_db_url
     a, b = Registry(db), Registry(db)
     a.create_namespace("c")
     a.create_feature("c", "shared")
