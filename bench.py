@@ -47,9 +47,19 @@ HEADLINE = [
 
 
 def main() -> int:
+    # --sf-dir overrides $SPARK_GRAFT_SF_DIR: the scale-regime loop
+    # (BENCH_NOTES "Scale-regime" sections) points this at a synthetic sf1
+    # built by tools/make_scaled_sf.py for round-over-round tracking above
+    # the largest shipped fixture.
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = sys.argv[1:]
+    if "--sf-dir" in args:
+        sf_dir = args[args.index("--sf-dir") + 1]
+    import re
+
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
     try:
-        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+        sf = float(m.group(1)) if m else None
     except ValueError:
         sf = None
 
