@@ -9,6 +9,8 @@ Beyond reference parity, the operators a 100 TB LLM-data pipeline needs:
   Jaccard, embedding-cosine near-dup.
 * :mod:`similarity` — brute-force cosine top-k baseline + hyperplane-LSH
   bucketed and IVF-flat approximate search as the scale paths.
+* :mod:`semdedup` — SemDeDup-style semantic dedup: IVF-cell-restricted
+  cosine pairing → min-label components → keep-one-representative.
 * :mod:`multimodal` — opaque binary columns with typed metadata; decode /
   resize / frame-sample plumbing as Arrow-batched Pandas UDFs (decoders
   stubbed — codec libs are not in this container).
@@ -46,13 +48,22 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-from . import decontam, dedup, multimodal, sampling, similarity, text  # noqa: E402
+from . import (  # noqa: E402
+    decontam,
+    dedup,
+    multimodal,
+    sampling,
+    semdedup,
+    similarity,
+    text,
+)
 
 __all__ = [
     "decontam",
     "dedup",
     "multimodal",
     "sampling",
+    "semdedup",
     "similarity",
     "text",
     "spread",

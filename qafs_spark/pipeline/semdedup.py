@@ -1,0 +1,170 @@
+"""SemDeDup-style semantic deduplication over an embedding column.
+
+Published pipeline shape (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540):
+coarse-cluster the embeddings with k-means, compute pairwise cosine only
+WITHIN each cluster, treat pairs above a threshold as semantic duplicates,
+and keep one representative per duplicate group. The within-cluster
+restriction is what makes the O(n²) pair step tractable at web scale.
+
+This module re-expresses that pipeline Spark-first from the pieces the
+engine already has:
+
+* coarse clustering = the IVF-flat quantizer (:func:`similarity.ivf_train`
+  / :func:`similarity._cell_assigner` — one Arrow-batched matmul per batch,
+  centroids broadcast);
+* within-cluster pairing = a shuffle hash equi-join on the cell id (never a
+  cross join — the quadratic work is bounded per cell, and cell count
+  scales with data via ``nlist``);
+* duplicate groups = :func:`dedup.cluster_pairs` min-label propagation;
+* representative = the minimum id of each group (deterministic, and the
+  convention every dedup op in this package uses).
+
+Two tiers, mirroring the ANN modules: the EXACT tier (``nlist=None``,
+all-pairs cosine) is the small-data oracle path the DuckDB gate replays
+bit-for-bit; the IVF tier is the 100 TB path, certified against the exact
+tier by an agreement query (pattern: ``lsh_ann_recall``).
+
+The reference engine (rodrigobaron/qafs) has no semantic dedup; this module
+is part of the mandated LLM-training-data extension surface alongside
+:mod:`pipeline.dedup` and :mod:`pipeline.similarity`.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def semantic_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.85,
+    nlist: Optional[int] = None,
+    centroids: Optional[List[List[float]]] = None,
+    train_iters: int = 1,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
+
+    ``nlist``/``centroids`` unset → exact all-pairs cosine (the oracle
+    tier; O(n²), small data only). With a quantizer, vectors are assigned
+    to their nearest IVF cell (Arrow-batched matmul, centroids broadcast)
+    and pairs are generated only within a cell — the SemDeDup restriction.
+    A duplicate pair split across two cells is missed; that is the
+    published algorithm's deliberate recall trade, certified against the
+    exact tier by the ``semantic_dedup_agreement`` catalog query.
+
+    Scale shape of the IVF tier: one scan + cell-assign (map-only), one
+    shuffle of (id, vec, cell) on the cell id, quadratic work bounded per
+    cell. Size ``nlist`` ∝ corpus/target_cell_size so cells stay O(10⁴)
+    rows; the self-join is hinted shuffle_hash so the assigned frame is
+    computed once and reused (ReusedExchange), never broadcast-duplicated.
+    """
+    from .dedup import embedding_dedup_pairs
+    from .similarity import _cell_assigner, cosine, ivf_train
+
+    if nlist is None and centroids is None:
+        return embedding_dedup_pairs(
+            df, vec_col, id_col, threshold=threshold, use_lsh=False
+        )
+    if centroids is None:
+        centroids = ivf_train(
+            df, nlist=nlist, iters=train_iters, data_id=id_col, data_vec=vec_col
+        )
+    assign = _cell_assigner(centroids)
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        assign(F.col(vec_col)).alias("cell"),
+    )
+    a, b = v.alias("a"), v.hint("shuffle_hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.85,
+    k_iters: int = 3,
+    nlist: Optional[int] = None,
+    centroids: Optional[List[List[float]]] = None,
+    train_iters: int = 1,
+    converge: bool = False,
+) -> DataFrame:
+    """Per-row keep/drop decision: (id, cluster, keep) for EVERY input row.
+
+    ``cluster`` is the min-label component of the >=threshold cosine pair
+    graph (own id for rows with no near-duplicate); ``keep`` is true for
+    exactly the representative (``id == cluster``) — the SemDeDup "keep one
+    per duplicate group" decision as a filterable column.
+
+    With the default fixed ``k_iters`` the whole decision is ONE lazy plan
+    (propagation unrolls, no driver loop) and is SQL-replayable; a
+    component of diameter > k_iters splits into several labels, each
+    keeping its own representative — the error direction is keeping EXTRA
+    near-duplicates, never dropping a non-duplicate. ``converge=True``
+    switches to iterate-to-fixed-point (exact components at any diameter,
+    driver-looped — see :func:`dedup.cluster_pairs`).
+
+    The label join back onto the full id set hash-shuffles on id; the
+    labels side holds only ids that appear in some pair — after AQE sizes
+    it at runtime, a corpus with few duplicates gets a broadcast join here
+    for free.
+    """
+    from .dedup import cluster_pairs
+
+    pairs = semantic_pairs(
+        df, vec_col, id_col, threshold, nlist, centroids, train_iters
+    )
+    labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("cluster"), F.col("id")).alias("cluster"),
+        )
+        .withColumn("keep", F.col("id") == F.col("cluster"))
+    )
+
+
+def keep_set_agreement(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """One-row certification frame for an approximate keep-set.
+
+    (n_vecs, n_kept_exact, agreement_ok): Jaccard overlap of the two keep
+    sets thresholded at 0.5 — far above the floor an uninformative
+    quantizer would produce, far below what any working cell assignment
+    achieves (cross-cell pair loss only ever ADDS approx keeps, so
+    agreement degrades smoothly with missed pairs). n_vecs / n_kept_exact
+    are exact-tier values the oracle replays bit-for-bit; the boolean is
+    the approximate tier's gate (pattern: ``recall_vs_exact``).
+    """
+    e = exact.select("id", F.col("keep").alias("keep_e"))
+    x = approx.select("id", F.col("keep").alias("keep_x"))
+    j = e.join(x, "id", "inner")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("keep_e").cast("long")).alias("n_kept_exact"),
+        F.sum((F.col("keep_e") & F.col("keep_x")).cast("long")).alias("_inter"),
+        F.sum((F.col("keep_e") | F.col("keep_x")).cast("long")).alias("_union"),
+    )
+    return agg.select(
+        "n_vecs",
+        "n_kept_exact",
+        (F.col("_inter") / F.col("_union") >= F.lit(0.5)).alias("agreement_ok"),
+    )

@@ -35,6 +35,7 @@ from .operators.align import align_features
 from .pipeline import decontam as dc
 from .pipeline import dedup as dd
 from .pipeline import sampling as sp
+from .pipeline import semdedup as sdd
 from .pipeline import similarity as sim
 from .pipeline import text as tx
 
@@ -3073,6 +3074,99 @@ def q_dedup_clusters(spark, sf_dir):
         max_doc_frac=None,  # exact mode — the oracle replays unguarded pairs
     )
     return dd.cluster_pairs(pairs, k_iters=3).withColumnRenamed("id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (pipeline/semdedup.py)
+# ---------------------------------------------------------------------------
+# Shared oracle body: >=0.4 cosine pair graph over embeddings, the SAME 3
+# unrolled min-label iterations as cluster_pairs(k_iters=3), keep decision
+# left-joined back onto every vec_id (singletons keep themselves).
+_SQL_SEMDEDUP_KEEPS = f"""
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_SQL_COSINE} >= 0.4
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS id, src AS cluster FROM edges),
+    l1 AS (
+        SELECT l.id, least(l.cluster, coalesce(m.n_min, l.cluster)) AS cluster
+        FROM l0 l LEFT JOIN (
+            SELECT e.src, min(x.cluster) AS n_min
+            FROM edges e JOIN l0 x ON e.dst = x.id GROUP BY e.src
+        ) m ON l.id = m.src
+    ),
+    l2 AS (
+        SELECT l.id, least(l.cluster, coalesce(m.n_min, l.cluster)) AS cluster
+        FROM l1 l LEFT JOIN (
+            SELECT e.src, min(x.cluster) AS n_min
+            FROM edges e JOIN l1 x ON e.dst = x.id GROUP BY e.src
+        ) m ON l.id = m.src
+    ),
+    l3 AS (
+        SELECT l.id, least(l.cluster, coalesce(m.n_min, l.cluster)) AS cluster
+        FROM l2 l LEFT JOIN (
+            SELECT e.src, min(x.cluster) AS n_min
+            FROM edges e JOIN l2 x ON e.dst = x.id GROUP BY e.src
+        ) m ON l.id = m.src
+    ),
+    keeps AS (
+        SELECT e.vec_id AS id,
+               coalesce(l.cluster, e.vec_id) AS cluster,
+               coalesce(l.cluster, e.vec_id) = e.vec_id AS keep
+        FROM embeddings e LEFT JOIN l3 l ON e.vec_id = l.id
+    )
+"""
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+    WITH {_SQL_SEMDEDUP_KEEPS}
+    SELECT id, cluster, keep FROM keeps
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """Pipeline: SemDeDup keep/drop decision, exact tier — >=0.4 cosine
+    pair graph, 3-round min-label components, keep = min-id representative,
+    singletons keep themselves. One lazy plan end-to-end (propagation
+    unrolls); the IVF-celled scale tier is certified against this exact
+    tier by `semantic_dedup_agreement`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sdd.semantic_dedup(emb, "embedding", "vec_id", threshold=0.4, k_iters=3)
+
+
+@register(
+    "semantic_dedup_agreement",
+    # certification row (pattern: lsh_ann_recall): the IVF tier's keep-set
+    # is approximate by design (cross-cell pairs are missed), so it can't
+    # hash-match — but the exact tier's counts can, plus a thresholded
+    # agreement boolean that fails if the cell assignment stops grouping
+    # near-duplicates together.
+    oracle=f"""
+    WITH {_SQL_SEMDEDUP_KEEPS}
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_exact,
+           true AS agreement_ok
+    FROM keeps
+    """,
+)
+def q_semantic_dedup_agreement(spark, sf_dir):
+    """Pipeline: certification of the IVF-celled SemDeDup tier — Jaccard
+    overlap of the exact and IVF keep-sets, computed in Spark and
+    thresholded at 0.5 (measured ~0.9 at this config/sf; missed cross-cell
+    pairs only ever ADD approximate keeps, so the metric degrades smoothly
+    if the quantizer breaks)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = sdd.semantic_dedup(emb, "embedding", "vec_id", threshold=0.4, k_iters=3)
+    approx = sdd.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, k_iters=3, nlist=8
+    )
+    return sdd.keep_set_agreement(exact, approx)
 
 
 # ---------------------------------------------------------------------------

@@ -1784,3 +1784,97 @@ def test_dedup_guard_parity_property(spark):
         assert ng_auto == ng_exact
 
     run()
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (pipeline/semdedup.py)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def vecs(spark):
+    """Two tight duplicate groups + two singletons, 4-dim.
+
+    Group A {0, 1, 4}: identical/near-identical along e1.
+    Group B {2, 5}: identical along e2.
+    Singletons {3 (e3), 6 (e4)}.
+    """
+    data = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.98, 0.0, 0.02, 0.0]),
+        (5, [0.0, 0.97, 0.0, 0.03]),
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(data, ["vec_id", "embedding"])
+
+
+def test_semantic_dedup_exact(vecs):
+    from qafs_spark.pipeline import semdedup
+
+    out = {
+        r["id"]: (r["cluster"], r["keep"])
+        for r in semdedup.semantic_dedup(
+            vecs, "embedding", "vec_id", threshold=0.9
+        ).collect()
+    }
+    assert out == {
+        0: (0, True),
+        1: (0, False),
+        4: (0, False),
+        2: (2, True),
+        5: (2, False),
+        3: (3, True),   # singleton keeps itself
+        6: (6, True),
+    }
+
+
+def test_semantic_dedup_ivf_matches_exact_with_good_cells(vecs):
+    """With centroids that put each duplicate group in one cell, the IVF
+    tier loses no pairs and the keep decision is bit-equal to exact."""
+    from qafs_spark.pipeline import semdedup
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    exact = semdedup.semantic_dedup(vecs, "embedding", "vec_id", threshold=0.9)
+    ivf = semdedup.semantic_dedup(
+        vecs, "embedding", "vec_id", threshold=0.9, centroids=cents
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_semantic_pairs_ivf_subset_of_exact(spark):
+    """Cell restriction can only REMOVE pairs, never add or alter one."""
+    import random
+
+    from qafs_spark.pipeline import semdedup
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)
+    ] + [(100 + i, [1.0 + rng.gauss(0, 0.01) for _ in range(8)]) for i in range(5)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in semdedup.semantic_pairs(
+            df, "embedding", "vec_id", threshold=0.5
+        ).collect()
+    }
+    ivf = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in semdedup.semantic_pairs(
+            df, "embedding", "vec_id", threshold=0.5, nlist=4
+        ).collect()
+    }
+    assert set(ivf) <= set(exact)
+    assert all(exact[k] == v for k, v in ivf.items())
+    # the clone flood lands in one cell — its pairs must survive
+    flood = {k for k in exact if k[0] >= 100 and k[1] >= 100}
+    assert flood and flood <= set(ivf)
+
+
+def test_keep_set_agreement_shape(vecs):
+    from qafs_spark.pipeline import semdedup
+
+    exact = semdedup.semantic_dedup(vecs, "embedding", "vec_id", threshold=0.9)
+    row = semdedup.keep_set_agreement(exact, exact).collect()[0]
+    assert (row["n_vecs"], row["n_kept_exact"], row["agreement_ok"]) == (7, 4, True)
