@@ -11,6 +11,9 @@ Beyond reference parity, the operators a 100 TB LLM-data pipeline needs:
   bucketed and IVF-flat approximate search as the scale paths.
 * :mod:`semdedup` — SemDeDup-style semantic dedup: IVF-cell-restricted
   cosine pairing → min-label components → keep-one-representative.
+* :mod:`incremental` — continuous-ingestion dedup: persisted MinHash
+  index, per-batch candidate join (new side broadcast, corpus never
+  re-tokenized or shuffled).
 * :mod:`multimodal` — opaque binary columns with typed metadata; decode /
   resize / frame-sample plumbing as Arrow-batched Pandas UDFs (decoders
   stubbed — codec libs are not in this container).
@@ -51,6 +54,7 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 from . import (  # noqa: E402
     decontam,
     dedup,
+    incremental,
     multimodal,
     sampling,
     semdedup,
@@ -61,6 +65,7 @@ from . import (  # noqa: E402
 __all__ = [
     "decontam",
     "dedup",
+    "incremental",
     "multimodal",
     "sampling",
     "semdedup",

@@ -34,6 +34,7 @@ from .operators import last_write_wins, resample_asof, time_travel_filter
 from .operators.align import align_features
 from .pipeline import decontam as dc
 from .pipeline import dedup as dd
+from .pipeline import incremental as inc
 from .pipeline import sampling as sp
 from .pipeline import semdedup as sdd
 from .pipeline import similarity as sim
@@ -723,6 +724,42 @@ def q_minhash_lsh_dedup(spark, sf_dir):
         # hottest bucket stays under the default cap).
         max_band_size=None,
     )
+
+
+@register(
+    "incremental_dedup",
+    # Same validity argument as minhash_lsh_dedup: candidates are
+    # exact-verified and the signatures are deterministic, so the exact
+    # Jaccard pairs RESTRICTED to pairs touching the new batch are a valid
+    # oracle; any recall miss would be a deterministic diff.
+    oracle=f"""
+    WITH sh AS ({{shingles}})
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+               / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    """.format(shingles=_SQL_SHINGLES),
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Pipeline: continuous-ingestion dedup — 80% of the corpus (doc_id %
+    5 != 0) is the pre-built MinHash index, the remaining 20% arrives as a
+    batch; the batch is deduped against index + itself without the corpus
+    ever being re-tokenized (pipeline/incremental.py). Pair set is
+    bit-equal to the batch operator restricted to pairs touching the
+    batch (asserted by the parity test in test_pipeline.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = inc.minhash_index(old, "text", "doc_id", n=3, num_hashes=32)
+    pairs, _ = inc.incremental_minhash_dedup(
+        new, idx, "text", "doc_id", n=3, num_hashes=32, num_bands=16,
+        threshold=0.5,
+        max_band_size=None,  # exact mode — oracle replays unguarded pairs
+    )
+    return pairs
 
 
 def _sql_simhash() -> str:

@@ -1878,3 +1878,115 @@ def test_keep_set_agreement_shape(vecs):
     exact = semdedup.semantic_dedup(vecs, "embedding", "vec_id", threshold=0.9)
     row = semdedup.keep_set_agreement(exact, exact).collect()[0]
     assert (row["n_vecs"], row["n_kept_exact"], row["agreement_ok"]) == (7, 4, True)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted MinHash index (pipeline/incremental.py)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def inc_corpus(spark):
+    """Randomized corpus with planted near-dups spanning the old/new split
+    (even ids = old batch, odd ids = new batch)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(80)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    # planted near-dups: old-old, old-new, new-new, plus an exact clone
+    base = rows[2][1]
+    mutate = lambda s, k: " ".join(
+        t if j % k else rng.choice(vocab) for j, t in enumerate(s.split())
+    )
+    rows += [
+        (100, mutate(base, 9)),   # even -> old (near-dup of old doc 2)
+        (101, mutate(base, 9)),   # odd -> new (near-dup spanning the split)
+        (102, base),              # old exact clone
+        (103, base),              # new exact clone
+        (104, "a b"),             # too short for 3-shingles, old
+        (105, "a b"),             # too short, new
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pairset(df):
+    return {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in df.collect()
+    }
+
+
+def test_incremental_matches_batch_restricted(inc_corpus):
+    """The incremental pair set must be bit-equal to the batch operator's
+    pairs restricted to pairs touching a new document."""
+    from qafs_spark.pipeline import dedup, incremental
+
+    old = inc_corpus.filter(F.col("doc_id") % 2 == 0)
+    new = inc_corpus.filter(F.col("doc_id") % 2 == 1)
+    batch = _pairset(
+        dedup.minhash_lsh_dedup(
+            inc_corpus, "text", "doc_id", n=3, num_hashes=32, num_bands=16,
+            threshold=0.3, max_band_size=None,
+        )
+    )
+    touching_new = {
+        k: v for k, v in batch.items() if k[0] % 2 == 1 or k[1] % 2 == 1
+    }
+    idx = incremental.minhash_index(old, "text", "doc_id", n=3, num_hashes=32)
+    pairs, new_rows = incremental.incremental_minhash_dedup(
+        new, idx, "text", "doc_id", n=3, num_hashes=32, num_bands=16,
+        threshold=0.3, max_band_size=None,
+    )
+    assert _pairset(pairs) == touching_new
+    assert touching_new  # the planted dups must actually span the split
+    # appended index rows cover exactly the new docs with >= 3 tokens
+    got_ids = {r["id"] for r in new_rows.select("id").collect()}
+    want_ids = {
+        r["doc_id"]
+        for r in new.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        .select("doc_id").collect()
+    }
+    assert got_ids == want_ids
+
+
+def test_incremental_shuffle_join_parity(inc_corpus):
+    """broadcast_new=False (shuffle-hash fallback for big batches) returns
+    the identical pair set."""
+    from qafs_spark.pipeline import incremental
+
+    old = inc_corpus.filter(F.col("doc_id") % 2 == 0)
+    new = inc_corpus.filter(F.col("doc_id") % 2 == 1)
+    idx = incremental.minhash_index(old, "text", "doc_id", n=3, num_hashes=32)
+    kw = dict(n=3, num_hashes=32, num_bands=16, threshold=0.3, max_band_size=None)
+    p_b, _ = incremental.incremental_minhash_dedup(
+        new, idx, "text", "doc_id", broadcast_new=True, **kw
+    )
+    p_s, _ = incremental.incremental_minhash_dedup(
+        new, idx, "text", "doc_id", broadcast_new=False, **kw
+    )
+    assert _pairset(p_b) == _pairset(p_s)
+
+
+def test_incremental_band_guard_parity_with_batch(inc_corpus):
+    """With the oversized-bucket guard ON, incremental must drop exactly
+    the pairs the batch guard drops (counts over old+new combined)."""
+    from qafs_spark.pipeline import dedup, incremental
+
+    old = inc_corpus.filter(F.col("doc_id") % 2 == 0)
+    new = inc_corpus.filter(F.col("doc_id") % 2 == 1)
+    cap = 2  # tight enough to actually fire on the clone/boilerplate bands
+    batch = _pairset(
+        dedup.minhash_lsh_dedup(
+            inc_corpus, "text", "doc_id", n=3, num_hashes=32, num_bands=16,
+            threshold=0.3, max_band_size=cap,
+        )
+    )
+    touching_new = {
+        k: v for k, v in batch.items() if k[0] % 2 == 1 or k[1] % 2 == 1
+    }
+    idx = incremental.minhash_index(old, "text", "doc_id", n=3, num_hashes=32)
+    pairs, _ = incremental.incremental_minhash_dedup(
+        new, idx, "text", "doc_id", n=3, num_hashes=32, num_bands=16,
+        threshold=0.3, max_band_size=cap,
+    )
+    assert _pairset(pairs) == touching_new
