@@ -2879,6 +2879,13 @@ def q_curation_pipeline(spark, sf_dir):
         corpus, bench,
         quality_threshold=0.75, ngram_n=3, jaccard_threshold=0.5,
         decontam_n=4, sample_fraction=0.5, seed=42,
+        # Explicit exact mode (same rationale as ngram_jaccard /
+        # minhash_lsh_dedup / dedup_clusters): the oracle replays UNGUARDED
+        # near-dup pairs, so the default "auto" df cap must be off here or
+        # query and oracle would diverge on any fixture whose hottest
+        # shingle crosses the auto threshold. The guarded chain is what
+        # production uses; ngram_jaccard_capped certifies the guard itself.
+        max_doc_frac=None,
     )
     return out.select("doc_id", "source")
 
