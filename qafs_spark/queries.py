@@ -762,6 +762,66 @@ def q_incremental_dedup(spark, sf_dir):
     return pairs
 
 
+@register(
+    "stream_incremental_dedup",
+    # The accumulated pairs log over ALL micro-batches is the complete
+    # batch pair set (each pair lands exactly once, in the batch where its
+    # later document arrives), so the oracle is the same exact-Jaccard
+    # pair set as minhash_lsh_dedup — stream/batch parity, proven against
+    # SQL rather than against the batch operator.
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES})
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+               / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_stream_incremental_dedup(spark, sf_dir):
+    """Streaming: the corpus arrives as 3 micro-batches (doc_id % 3, one
+    file per trigger); streaming_minhash_dedup maintains the persisted
+    MinHash index across batches and appends each batch's near-dup pairs.
+    The accumulated log must equal the batch operator's full pair set
+    (streaming/dedup_lsh.py)."""
+    import os
+    import tempfile
+
+    from .streaming.dedup_lsh import streaming_minhash_dedup
+
+    root = tempfile.mkdtemp(prefix="qafs_streamdedup_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    docs = _t(spark, sf_dir, "documents")
+    for k in range(3):
+        staged = os.path.join(root, f"stage{k}")
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        # mtime drives file-source batch order; pair/index contents are
+        # order-independent, this just keeps runs identical
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs_path = os.path.join(root, "pairs")
+    q = streaming_minhash_dedup(
+        stream, os.path.join(root, "index"), pairs_path,
+        os.path.join(root, "ckpt"),
+        n=3, num_hashes=32, num_bands=16, threshold=0.5,
+        max_band_size=None,  # exact mode — oracle replays unguarded pairs
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(pairs_path).select("id_a", "id_b", "jaccard")
+
+
 def _sql_simhash() -> str:
     return """
     WITH tok AS (

@@ -1,3 +1,4 @@
+from .dedup_lsh import streaming_minhash_dedup
 from .stateful import latest_state_stream
 from .ingest import (
     read_event_stream,
@@ -9,6 +10,7 @@ from .ingest import (
 
 __all__ = [
     "latest_state_stream",
+    "streaming_minhash_dedup",
     "read_event_stream",
     "save_stream",
     "session_agg",

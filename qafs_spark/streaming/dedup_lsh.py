@@ -1,0 +1,101 @@
+"""Streaming near-dup detection: a MinHash index maintained across
+micro-batches via ``foreachBatch`` + :mod:`pipeline.incremental`.
+
+A continuously-fed corpus can't run the batch dedup operators per arrival
+(they re-tokenize everything). This sink keeps the persisted index from
+:func:`pipeline.incremental.minhash_index` on disk and, per micro-batch:
+
+1. dedups the batch against index + itself (batch side broadcast, index
+   text never re-read — see ``incremental_minhash_dedup``);
+2. appends the discovered pairs (stamped with ``batch_id``) to a pairs
+   log;
+3. appends the batch's index rows to the index.
+
+Completeness invariant (asserted in tests): each near-dup pair is emitted
+exactly once — in the micro-batch where its LATER document arrives — so
+the accumulated pairs log after N batches equals the batch operator's
+pair set over everything ingested, regardless of how documents were split
+into batches.
+
+Delivery note (same class as :mod:`rollup`): foreachBatch is
+at-least-once — a replayed micro-batch would re-append its index rows and
+pairs. Both outputs carry ``batch_id`` so replays are detectable and
+scrubable; for exactly-once, check ``batch_id`` against the index before
+applying (the standard idempotent-sink recipe) or sink into a MERGE-
+capable table format. The parquet variant keeps the repo dependency-free.
+
+Caller contract: document ids are unique across the stream's lifetime
+(re-ingestions must be filtered upstream, e.g. with
+:func:`stateful.dedup_stream` keyed by id).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import storage as fs_storage
+from ..pipeline.incremental import incremental_minhash_dedup, minhash_index
+from ..pipeline.dedup import DEFAULT_MAX_BAND_SIZE
+
+
+def streaming_minhash_dedup(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_band_size: Optional[int] = DEFAULT_MAX_BAND_SIZE,
+    trigger_available_now: bool = True,
+):
+    """Start the dedup sink; returns the StreamingQuery.
+
+    ``index_path`` accumulates (id, sig, sh) rows — one per document ever
+    ingested; ``pairs_path`` accumulates (id_a, id_b, jaccard, batch_id).
+    Maintenance cost per micro-batch scales with the batch (tokenization)
+    plus one band-derivation map + semi-join-pruned verify over the index
+    — never with the corpus's text.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        if fs_storage.path_exists(spark, index_path):
+            index = spark.read.parquet(index_path)
+        else:
+            index = minhash_index(
+                batch.limit(0), text_col, id_col, n, num_hashes, seed
+            )
+        pairs, new_rows = incremental_minhash_dedup(
+            batch, index, text_col, id_col,
+            n=n, num_hashes=num_hashes, num_bands=num_bands,
+            threshold=threshold, seed=seed, max_band_size=max_band_size,
+        )
+        # pairs FIRST: the pairs plan lazily reads index_path, so it must
+        # materialize before the batch's rows are appended there (appending
+        # first would make the batch pair with its own index rows).
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(pairs_path)
+        )
+        (
+            new_rows.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(index_path)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1990,3 +1990,77 @@ def test_incremental_band_guard_parity_with_batch(inc_corpus):
         threshold=0.3, max_band_size=cap,
     )
     assert _pairset(pairs) == touching_new
+
+
+def test_streaming_minhash_dedup_accumulates_batch_result(spark, tmp_path):
+    """The pairs log accumulated across micro-batches equals the batch
+    operator's pair set on the full corpus (each pair emitted exactly
+    once, in the batch where its later document arrives), and the index
+    ends up holding every shingle-bearing document."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from qafs_spark.pipeline import dedup
+    from qafs_spark.streaming.dedup_lsh import streaming_minhash_dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(24)]
+    base = docs[4][1]
+    mutate = lambda k: " ".join(
+        t if j % k else rng.choice(vocab) for j, t in enumerate(base.split())
+    )
+    # near-dups planted across the 3 batches (8 docs per batch)
+    docs += [(30, mutate(8)), (31, mutate(8)), (32, base), (33, "x y")]
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+
+    def mk(rows, name, mtime):
+        p = str(src / name)
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = next(f for f in os.listdir(p + ".dir") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".dir", part), p)
+        os.utime(p, (mtime, mtime))
+
+    mk(docs[:8] + [docs[24]], "b1.parquet", 1_700_000_000)   # has 30
+    mk(docs[8:16] + [docs[25], docs[27]], "b2.parquet", 1_700_000_100)  # 31, 33
+    mk(docs[16:24] + [docs[26]], "b3.parquet", 1_700_000_200)  # 32 (base clone)
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    index_path = str(tmp_path / "lsh_index")
+    pairs_path = str(tmp_path / "lsh_pairs")
+    q = streaming_minhash_dedup(
+        stream, index_path, pairs_path, str(tmp_path / "ckpt"),
+        n=3, num_hashes=32, num_bands=16, threshold=0.3, max_band_size=None,
+    )
+    q.awaitTermination(180)
+
+    all_docs = spark.createDataFrame(
+        pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    want = _pairset(
+        dedup.minhash_lsh_dedup(
+            all_docs, "text", "doc_id", n=3, num_hashes=32, num_bands=16,
+            threshold=0.3, max_band_size=None,
+        )
+    )
+    got_rows = spark.read.parquet(pairs_path).collect()
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in got_rows}
+    assert got == want
+    assert want  # the planted dups must produce pairs
+    # exactly-once per pair across batches
+    assert len(got_rows) == len(got)
+    # index holds every shingle-bearing doc exactly once
+    idx_ids = [r["id"] for r in spark.read.parquet(index_path).select("id").collect()]
+    assert sorted(idx_ids) == sorted(
+        i for i, t in docs if len(t.split()) >= 3
+    )
