@@ -3111,12 +3111,12 @@ def q_bucket_centroids(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # Near-dup clusters: iterative min-label propagation (pipeline/dedup.py)
 # ---------------------------------------------------------------------------
-@register(
-    "dedup_clusters",
-    # the oracle unrolls the SAME 3 min-label iterations — results are
-    # equal by construction whether or not propagation has converged
-    oracle="""
-    WITH sh AS (
+# Shared oracle body for the n-gram-Jaccard near-dup cluster labels:
+# exact (unguarded) 3-shingle Jaccard >= 0.5 pair graph, then the SAME 3
+# unrolled min-label iterations cluster_pairs(k_iters=3) runs. Used by
+# dedup_clusters (labels) and cluster_representatives (survivor pick).
+_SQL_NEARDUP_LABEL_CTES = """
+    sh AS (
         SELECT doc_id, h, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM (
             SELECT DISTINCT doc_id,
                    ('0x' || substr(md5(t[CAST(i AS INTEGER)] || ' ' ||
@@ -3164,6 +3164,15 @@ def q_bucket_centroids(spark, sf_dir):
             FROM edges e JOIN l2 x ON e.dst = x.id GROUP BY e.src
         ) m ON l.id = m.src
     )
+"""
+
+
+@register(
+    "dedup_clusters",
+    # the oracle unrolls the SAME 3 min-label iterations — results are
+    # equal by construction whether or not propagation has converged
+    oracle=f"""
+    WITH {_SQL_NEARDUP_LABEL_CTES}
     SELECT id AS doc_id, cluster FROM l3
     """,
 )
@@ -3178,6 +3187,75 @@ def q_dedup_clusters(spark, sf_dir):
         max_doc_frac=None,  # exact mode — the oracle replays unguarded pairs
     )
     return dd.cluster_pairs(pairs, k_iters=3).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "cluster_representatives",
+    # same label CTEs as dedup_clusters, then the survivor pick: highest
+    # quality wins, lowest doc_id breaks ties (both engines compute the
+    # quality formula term-for-term identically — quality_score is
+    # hash-exact — so the argmax ordering agrees bit-for-bit).
+    oracle=f"""
+    WITH {_SQL_NEARDUP_LABEL_CTES},
+    quality AS (
+        SELECT doc_id,
+               (((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0
+                       WHEN n = 0 THEN 0.0 ELSE 0.5 END * 0.3)
+                 + (CASE WHEN sw >= 0.05 THEN 1.0 ELSE sw * 20.0 END * 0.3))
+                + ((1.0 - least(pr * 2.0, 1.0)) * 0.2))
+               + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END * 0.2)
+               AS quality
+        FROM (
+            SELECT doc_id,
+                   {_SQL_NTOK} AS n,
+                   {_SQL_SW_RATIO} AS sw,
+                   {_SQL_PUNCT_RATIO} AS pr,
+                   {_SQL_MWL} AS mwl
+            FROM documents
+        )
+    )
+    SELECT cluster, id AS rep_doc_id, quality AS rep_quality, n_members
+    FROM (
+        SELECT l3.cluster, l3.id, q.quality,
+               CAST(count(*) OVER (PARTITION BY l3.cluster) AS BIGINT)
+                   AS n_members,
+               row_number() OVER (PARTITION BY l3.cluster
+                                  ORDER BY q.quality DESC, l3.id ASC) AS rn
+        FROM l3 JOIN quality q ON l3.id = q.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def q_cluster_representatives(spark, sf_dir):
+    """Pipeline: quality-aware SURVIVOR SELECTION — the step between
+    near-dup clustering and the final keep-list. Naive dedup keeps an
+    arbitrary member of each near-dup cluster (lowest id, first seen); a
+    curation pipeline should keep the BEST one. Composition of two green
+    operators: cluster labels (ngram_jaccard_pairs exact → cluster_pairs,
+    as dedup_clusters) joined to the per-doc quality heuristic
+    (text.quality_table), then one ``max(struct(quality, -id))`` partial
+    aggregate per cluster — argmax by (quality DESC, id ASC), deterministic
+    under quality ties. Scale shape: the join is id-equi on the (tiny)
+    clustered subset, the argmax is a map-side-combined groupBy — no
+    windows over data rows, no driver loops."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_doc_frac=None,
+    )
+    labels = dd.cluster_pairs(pairs, k_iters=3)
+    qual = tx.quality_table(docs, "text", "doc_id")
+    joined = labels.join(qual, "id")
+    best = joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(F.col("quality"), (-F.col("id")).alias("neg_id"))
+        ).alias("_m"),
+    )
+    return best.select(
+        "cluster",
+        (-F.col("_m.neg_id")).alias("rep_doc_id"),
+        F.col("_m.quality").alias("rep_quality"),
+        "n_members",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2064,3 +2064,51 @@ def test_streaming_minhash_dedup_accumulates_batch_result(spark, tmp_path):
     assert sorted(idx_ids) == sorted(
         i for i, t in docs if len(t.split()) >= 3
     )
+
+
+def test_cluster_representative_selection_by_quality(spark):
+    """Survivor selection keeps the HIGHEST-quality member of each near-dup
+    cluster, tie-breaking on lowest id — the argmax-by-(quality, -id)
+    aggregate the cluster_representatives query runs (queries.py). Built
+    here directly from cluster labels + a synthetic quality column so the
+    semantics are pinned independently of the tokenizer/Jaccard stages."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qafs_spark.pipeline import dedup as dd
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([
+            {"id_a": 1, "id_b": 2},   # cluster {1,2,3}
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 10, "id_b": 11},  # cluster {10,11}
+        ])
+    )
+    labels = dd.cluster_pairs(pairs, k_iters=3)
+    qual = spark.createDataFrame(
+        pd.DataFrame([
+            {"id": 1, "quality": 0.2},
+            {"id": 2, "quality": 0.9},   # best of {1,2,3}
+            {"id": 3, "quality": 0.9},   # tied — higher id loses
+            {"id": 10, "quality": 0.5},  # tied with 11 — lower id wins
+            {"id": 11, "quality": 0.5},
+        ])
+    )
+    best = (
+        labels.join(qual, "id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(F.col("quality"), (-F.col("id")).alias("neg_id"))).alias("_m"),
+        )
+        .select(
+            "cluster",
+            (-F.col("_m.neg_id")).alias("rep_doc_id"),
+            F.col("_m.quality").alias("rep_quality"),
+            "n_members",
+        )
+    )
+    rows = {r["cluster"]: r for r in best.collect()}
+    assert rows[1]["rep_doc_id"] == 2 and rows[1]["n_members"] == 3
+    assert rows[1]["rep_quality"] == pytest.approx(0.9)
+    assert rows[10]["rep_doc_id"] == 10 and rows[10]["n_members"] == 2
