@@ -25,7 +25,7 @@ place.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import with_shingle_hashes
@@ -110,4 +110,133 @@ def fingerprint_hits(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("hits"))
         .filter(F.col("hits") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the 100 TB variant
+# ---------------------------------------------------------------------------
+# ngram_hits broadcasts the benchmark's RAW distinct-gram set. That is fine
+# for eval sets (MBs), but a large held-out suite at 13-grams can reach
+# many GBs of 64-bit hashes — past broadcast limits. The classic fix
+# (Bloom, CACM'70; same trick Spark's own runtime row-level filtering
+# uses): broadcast a fixed-size Bloom BITMAP of the benchmark grams
+# (m_bits/8 bytes, e.g. 2 MB at m=2^24 — independent of gram count),
+# prefilter the corpus grams map-side with ZERO false negatives, then run
+# the exact-membership join only over the tiny surviving candidate set.
+# The final answer is EXACT (the verify join removes Bloom's false
+# positives); the bitmap only decides how little data reaches the shuffle.
+
+def _bloom_probe_cols(g: Column, m_bits: int, k: int) -> list[Column]:
+    """k bit positions for one gram hash: Kirsch–Mitzenmacher double
+    hashing pos_i = (h1 + i*h2) mod m over a single xxhash64 evaluation.
+    h2 is forced odd so (with m a power of two) the probe stride is
+    coprime with m and the k positions never collapse onto one slot."""
+    h = F.xxhash64(g)
+    h1 = F.pmod(h, F.lit(m_bits))
+    h2 = F.pmod(F.shiftright(h, 32), F.lit(m_bits)).bitwiseOR(F.lit(1))
+    return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
+
+
+def bloom_build(
+    grams: DataFrame, gram_col: str = "g", m_bits: int = 1 << 24, k: int = 4
+) -> DataFrame:
+    """Distributed Bloom-bitmap build: ``(word, bits)`` rows, one per
+    NON-ZERO 64-bit word of the m_bits-wide bitmap.
+
+    Each gram contributes k single-bit masks; ``bit_or`` with map-side
+    partial aggregation collapses them so the shuffle carries at most
+    m_bits/64 rows no matter how many grams went in. The sparse (word,
+    bits) form doubles as the broadcast payload — absent words mean 0."""
+    pos = grams.select(
+        F.explode(F.array(*_bloom_probe_cols(F.col(gram_col), m_bits, k))).alias("p")
+    )
+    # SQL-form shiftleft: the Python F.shiftleft only accepts a literal int
+    # shift amount; the SQL function takes a column expression.
+    return pos.groupBy(F.shiftright(F.col("p"), 6).alias("word")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 64) AS INT))")
+        ).alias("bits")
+    )
+
+
+def bloom_prefilter(
+    items: DataFrame,
+    bitmap: DataFrame,
+    gram_col: str = "g",
+    m_bits: int = 1 << 24,
+    k: int = 4,
+) -> DataFrame:
+    """Rows of ``items`` whose ``gram_col`` MAY be in the Bloom set (all k
+    probed bits set). No false negatives; false-positive rate ~
+    (1 - e^(-k·n/m))^k.
+
+    Plan shape: k BROADCAST left joins of the (word, bits) bitmap — the
+    corpus stream is never shuffled; each probe is a hash-map lookup plus
+    two bit-ops, all inside whole-stage codegen. A missing word coalesces
+    to 0 (bit not set)."""
+    out = items
+    keep = None
+    for i, pos in enumerate(_bloom_probe_cols(F.col(gram_col), m_bits, k)):
+        p, w, b = f"__bp{i}", f"__bw{i}", f"__bb{i}"
+        out = (
+            out.withColumn(p, pos)
+            .withColumn(w, F.shiftright(F.col(p), 6))
+            # SQL-form shiftleft: the Python API's shift amount must be a
+            # literal int; the SQL function accepts a column.
+            .withColumn(
+                b,
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, 64) AS INT))"),
+            )
+        )
+        bm = F.broadcast(
+            bitmap.select(F.col("word").alias(w), F.col("bits").alias(f"__bs{i}"))
+        )
+        out = out.join(bm, w, "left")
+        hit = F.coalesce(F.col(f"__bs{i}"), F.lit(0)).bitwiseAND(F.col(b)) != 0
+        keep = hit if keep is None else keep & hit
+    return out.filter(keep).drop(
+        *[c for i in range(k) for c in (f"__bp{i}", f"__bw{i}", f"__bb{i}", f"__bs{i}")]
+    )
+
+
+def bloom_ngram_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    m_bits: int = 1 << 24,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`ngram_hits` semantics (identical exact output) with a Bloom
+    prefilter between the corpus and the membership join.
+
+    1. benchmark grams → :func:`bloom_build` bitmap (one small shuffle on
+       the benchmark side only);
+    2. corpus grams → :func:`bloom_prefilter` — map-side, no false
+       negatives, so no true hit can be lost;
+    3. the surviving (id, gram) pairs — a tiny fraction of the corpus at
+       any realistic false-positive rate — join the TRUE benchmark gram
+       set WITHOUT a broadcast hint (the raw set may exceed broadcast
+       limits; that is the point of this variant — AQE picks the
+       strategy for the shrunken candidate side), which removes Bloom's
+       false positives; per-doc distinct-hit counts follow as in
+       ngram_hits.
+    """
+    corpus_grams = with_shingle_hashes(corpus, text_col, id_col, n).select(
+        "id", F.explode("sh").alias("g")
+    )
+    bench_grams = (
+        with_shingle_hashes(benchmark, text_col, id_col, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    bitmap = bloom_build(bench_grams, "g", m_bits, k)
+    candidates = bloom_prefilter(corpus_grams, bitmap, "g", m_bits, k)
+    return (
+        candidates.join(bench_grams, "g", "leftsemi")
+        .groupBy("id")
+        .agg(F.count("*").alias("hits"))
+        .select(F.col("id").alias(id_col), "hits")
     )

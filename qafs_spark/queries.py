@@ -1891,6 +1891,49 @@ def q_decontam_hits(spark, sf_dir):
     return dc.ngram_hits(corpus, bench, "text", "doc_id", n=4)
 
 
+@register(
+    "bloom_decontam",
+    # Exact-membership oracle: the Bloom stage is a lossless PREFILTER (no
+    # false negatives; the verify join removes false positives), so the
+    # query's final semantics are plain n-gram decontamination — the oracle
+    # needs no Bloom arithmetic at all.
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    t[CAST(i AS INTEGER):CAST(i AS INTEGER)+4], ' ')), 1, 8)
+               )::BIGINT AS g
+        FROM tok, UNNEST(range(1, len(t) - 3)) AS u(i)
+        WHERE len(t) >= 5
+    ),
+    bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0)
+    SELECT doc_id, hits FROM (
+        SELECT doc_id, count(*) AS hits
+        FROM grams WHERE doc_id % 89 <> 0 AND g IN (SELECT g FROM bg)
+        GROUP BY doc_id
+    )
+    """,
+)
+def q_bloom_decontam(spark, sf_dir):
+    """Pipeline: Bloom-prefiltered decontamination (word 5-grams, doc_id %
+    89 as the eval slice) — the 100 TB path when the benchmark gram set
+    outgrows broadcast limits: a fixed-size Bloom bitmap broadcasts
+    instead, the corpus is prefiltered map-side with zero false negatives,
+    and only the surviving candidates reach the exact-membership join
+    (pipeline/decontam.py:bloom_ngram_hits). Output is exact, so its
+    oracle is the plain membership SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 89 != 0)
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    return dc.bloom_ngram_hits(
+        corpus, bench, "text", "doc_id", n=5, m_bits=1 << 20, k=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # More TPC-H shapes: q10 (top-k group agg), q14 (broadcast-join conditional
 # agg), q18 (having-filtered semi join), q19-ish (OR-of-ANDs pushdown)

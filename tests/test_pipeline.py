@@ -419,6 +419,51 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert clean == [2, 4]
 
 
+def test_bloom_ngram_hits_matches_exact(spark):
+    """Bloom-prefiltered decontamination is an exact rewrite of ngram_hits:
+    the bitmap has no false negatives and the verify join removes false
+    positives, so outputs must be identical row-for-row — including at a
+    deliberately tiny m_bits where nearly every probe is a false positive
+    (the verify join is then doing all the work)."""
+    from qafs_spark.pipeline import decontam as dc
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(12))) for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = {
+        (r.doc_id, r.hits)
+        for r in dc.ngram_hits(corpus, bench, n=4).collect()
+    }
+    assert exact, "fixture must overlap"
+    for m_bits in (1 << 16, 64):  # realistic and degenerate-tiny bitmaps
+        got = {
+            (r.doc_id, r.hits)
+            for r in dc.bloom_ngram_hits(
+                corpus, bench, n=4, m_bits=m_bits, k=3
+            ).collect()
+        }
+        assert got == exact
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Every inserted gram passes its own filter; a disjoint probe set
+    passes only at the expected false-positive rate (sanity-bounded)."""
+    from qafs_spark.pipeline import decontam as dc
+
+    inserted = spark.range(0, 500).select(F.concat(F.lit("in"), "id").alias("g"))
+    bitmap = dc.bloom_build(inserted, "g", m_bits=1 << 16, k=4)
+    kept = dc.bloom_prefilter(inserted, bitmap, "g", m_bits=1 << 16, k=4)
+    assert kept.count() == 500  # zero false negatives, by construction
+    others = spark.range(0, 2000).select(F.concat(F.lit("out"), "id").alias("g"))
+    fp = dc.bloom_prefilter(others, bitmap, "g", m_bits=1 << 16, k=4).count()
+    # n=500, m=65536, k=4 → theoretical fpr ~ (1-e^(-4*500/65536))^4 ≈ 8e-7;
+    # allow a generous margin for hash quirks
+    assert fp <= 5
+
+
 def test_minhash_band_size_cap(spark):
     """Oversized-bucket skip: a generous cap keeps all verified pairs; a
     cap of zero drops every bucket (no candidates at all)."""
