@@ -208,3 +208,109 @@ def take_per_group(
         .filter(F.col("__rank") <= k)
         .drop("__rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023)
+# ---------------------------------------------------------------------------
+# Select raw-corpus documents whose hashed-unigram distribution looks like a
+# small TARGET corpus: score each doc by the log-likelihood ratio of its
+# tokens under two hashed bucket unigram models (target vs raw), keep the
+# top-k. The hashing trick (token -> md5 bucket) bounds both models at
+# n_buckets cells regardless of vocabulary size, which is what makes the
+# model exchange broadcast-able at 100 TB.
+#
+# Scale shape: two map-side-combined bucket-count aggregates (each shuffles
+# at most n_buckets rows), a broadcast of the n_buckets-row log-ratio table,
+# then one per-doc sum. The corpus is shuffled once (per-doc agg); no
+# Python, no floats in any aggregate (log-ratios are frozen to integer
+# micro-nats per bucket, per-doc sums are exact BIGINT).
+
+
+def token_bucket(term: Column, n_buckets: int = 1024) -> Column:
+    """md5-derived hashed-feature bucket in [0, n_buckets); mirrored in SQL
+    as ``('0x' || substr(md5(term), 1, 8))::BIGINT % n_buckets`` so oracles
+    and external engines reproduce membership exactly."""
+    h32 = F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+    return h32 % n_buckets
+
+
+def dsir_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-corpus-doc DSIR importance weight: ``(id, n_tokens,
+    weight_micro)`` with ``weight_micro = Σ_tokens round(ln(p_target[b] /
+    p_raw[b]) * 1e6)`` under add-one-smoothed hashed unigram models.
+
+    The per-bucket log-ratio is computed as ONE natural log of one
+    correctly-rounded double division — ``ln(((nt+1)·(Tr+B)) / ((nr+1)·
+    (Tt+B)))`` — frozen to integer micro-nats once per bucket, so per-doc
+    scores are exact integer sums (order-independent, cross-engine
+    reproducible; same float discipline as text.unigram_logprob_table).
+    Docs with zero tokens produce no row (explode drops them)."""
+    from .text import tokens
+
+    def bucket_counts(df: DataFrame, n_col: str) -> DataFrame:
+        tok = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        return tok.groupBy(token_bucket(F.col("term"), n_buckets).alias("b")).agg(
+            F.count(F.lit(1)).alias(n_col)
+        )
+
+    ct = bucket_counts(target, "nt")
+    cr = bucket_counts(corpus, "nr")
+    tt = ct.agg(F.sum("nt").alias("tt"))
+    tr = cr.agg(F.sum("nr").alias("tr"))
+    B = F.lit(n_buckets).cast("long")
+    lr = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.coalesce(F.col("nt"), F.lit(0)) + 1) * (F.col("tr") + B))
+                    .cast("double")
+                    / ((F.col("nr") + 1) * (F.col("tt") + B)).cast("double")
+                )
+                * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    tok_c = corpus.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).select("__id", token_bucket(F.col("term"), n_buckets).alias("b"))
+    return (
+        tok_c.join(F.broadcast(lr), "b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("weight_micro"),
+        )
+        .select(F.col("__id").alias(id_col), "n_tokens", "weight_micro")
+    )
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k corpus docs by DSIR importance weight (deterministic: ties
+    break on id). ``orderBy().limit(k)`` plans as TakeOrderedAndProject —
+    per-partition top-k then a k-row merge, never a global sort — and the
+    rank column is assigned on the k surviving rows only (the window's
+    single-partition exchange touches k rows, not the corpus)."""
+    w = dsir_weights(corpus, target, text_col, id_col, n_buckets)
+    order = [F.col("weight_micro").desc(), F.col(id_col).asc()]
+    top = w.orderBy(*order).limit(k)
+    return top.withColumn("rank", F.row_number().over(Window.orderBy(*order)))

@@ -3568,6 +3568,52 @@ def q_temperature_mix(spark, sf_dir):
     return sp.temperature_sample(docs, "lang", "doc_id", target_rows=250)
 
 
+@register(
+    "dsir_select",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    tb AS (SELECT doc_id, lang,
+                  ('0x' || substr(md5(term), 1, 8))::BIGINT % 1024 AS b
+           FROM tok),
+    ct AS (SELECT b, count(*) AS nt FROM tb WHERE lang = 'en' GROUP BY 1),
+    cr AS (SELECT b, count(*) AS nr FROM tb GROUP BY 1),
+    tots AS (SELECT (SELECT sum(nt) FROM ct) AS tt,
+                    (SELECT sum(nr) FROM cr) AS tr),
+    lr AS (SELECT cr.b,
+                  CAST(round(ln(
+                      CAST((COALESCE(nt, 0) + 1) * (tr + 1024) AS DOUBLE)
+                      / CAST((nr + 1) * (tt + 1024) AS DOUBLE)
+                  ) * 1000000) AS BIGINT) AS lr_micro
+           FROM cr LEFT JOIN ct USING (b) CROSS JOIN tots),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_tokens, sum(lr_micro) AS weight_micro
+        FROM tb JOIN lr USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, CAST(weight_micro AS BIGINT) AS weight_micro, rank
+    FROM (
+        SELECT doc_id, n_tokens, weight_micro,
+               row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS rank
+        FROM per_doc
+    ) WHERE rank <= 50
+    """,
+)
+def q_dsir_select(spark, sf_dir):
+    """Pipeline: DSIR importance selection (Xie et al., NeurIPS 2023) —
+    top-50 docs whose hashed-unigram distribution is most target-like,
+    target = the English slice. Both unigram models are n_buckets-cell
+    hashed tables (broadcast-able at any corpus size); per-bucket
+    log-ratios freeze to integer micro-nats so per-doc scores are exact
+    BIGINT sums; top-k plans as TakeOrderedAndProject, never a global sort
+    (pipeline/sampling.py:dsir_select)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    target = docs.filter(F.col("lang") == "en")
+    return sp.dsir_select(docs, target, "text", "doc_id", n_buckets=1024, k=50)
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document — pipeline/text.py
 # ---------------------------------------------------------------------------

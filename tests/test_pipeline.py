@@ -448,6 +448,38 @@ def test_bloom_ngram_hits_matches_exact(spark):
         assert got == exact
 
 
+def test_dsir_ranks_target_like_docs_first(spark):
+    """DSIR importance weights must rank docs drawn from the target's token
+    distribution above docs from a disjoint distribution, and the top-k is
+    deterministic (ties break on doc id)."""
+    from qafs_spark.pipeline import sampling as sp
+
+    tvocab = [f"eng{i}" for i in range(20)]
+    rvocab = [f"oth{i}" for i in range(20)]
+    target = spark.createDataFrame(
+        [(1000 + i, " ".join(tvocab[(i + j) % 20] for j in range(15)))
+         for i in range(10)],
+        ["doc_id", "text"],
+    )
+    corpus_rows = (
+        # 5 target-like docs, ids 0-4
+        [(i, " ".join(tvocab[(i * 3 + j) % 20] for j in range(15)))
+         for i in range(5)]
+        # 10 off-distribution docs, ids 5-14
+        + [(i, " ".join(rvocab[(i + j) % 20] for j in range(15)))
+           for i in range(5, 15)]
+    )
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    top = sp.dsir_select(corpus, target, k=5).collect()
+    assert [r.rank for r in sorted(top, key=lambda r: -r.weight_micro)] == [1, 2, 3, 4, 5]
+    assert {r.doc_id for r in top} == {0, 1, 2, 3, 4}
+    assert all(r.weight_micro > 0 for r in top)  # target-like ⇒ ratio > 1
+    # weights of the off-distribution docs are strictly negative
+    w = sp.dsir_weights(corpus, target)
+    off = w.filter(F.col("doc_id") >= 5).collect()
+    assert len(off) == 10 and all(r.weight_micro < 0 for r in off)
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     """Every inserted gram passes its own filter; a disjoint probe set
     passes only at the expected false-positive rate (sanity-bounded)."""
