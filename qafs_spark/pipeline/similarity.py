@@ -338,3 +338,61 @@ def ivf_train(
             new[cell] = [dims[i] for i in range(len(dims))]
         cents = new
     return cents
+
+
+# ---------------------------------------------------------------------------
+# Topic clustering: nearest-centroid assignment + per-cluster stats
+# ---------------------------------------------------------------------------
+def nearest_centroid_assign(
+    data: DataFrame,
+    centroids: list,  # [(cid, [float, ...]), ...] — small, driver-held
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster_id, cosine): each vector's nearest centroid by cosine,
+    ties broken toward the smallest centroid id.
+
+    The centroid list is tiny by nature (k vectors), so it is inlined as
+    LITERAL arrays and the whole assignment is a narrow map over the scan —
+    zero joins, zero shuffles, whole-stage codegen end to end. The per-row
+    argmax is ``array_max`` over k ``struct(cosine, -cid)`` entries (struct
+    comparison is lexicographic: highest cosine first, then smallest cid).
+    This is the same shape Spark MLlib's KMeans prediction uses, without
+    VectorUDT or Python. Zero-norm vectors produce NaN cosines and are
+    assigned arbitrarily among NaN ties — filter them upstream if present.
+    """
+    entries = []
+    for cid, vec in centroids:
+        cvec = F.array(*[F.lit(float(x)) for x in vec])
+        entries.append(
+            F.struct(
+                cosine(F.col(vec_col), cvec).alias("cos"),
+                F.lit(-int(cid)).cast("long").alias("ncid"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return data.select(
+        F.col(id_col).alias("id"),
+        (-best.getField("ncid")).alias("cluster_id"),
+        best.getField("cos").alias("cosine"),
+    )
+
+
+def topic_cluster_stats(
+    data: DataFrame,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster rollup of a nearest-centroid assignment: ``(cluster_id,
+    n, cohesion_micro)`` with cohesion the exact BIGINT sum of per-member
+    ``round(cosine * 1e6)`` (order-independent, cross-engine identical).
+    Plan: map-only assignment → one map-side-combined aggregate shuffling
+    k rows total."""
+    assigned = nearest_centroid_assign(data, centroids, id_col, vec_col)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("cosine") * 1_000_000).cast("long")).alias(
+            "cohesion_micro"
+        ),
+    )

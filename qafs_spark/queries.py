@@ -3151,6 +3151,50 @@ def q_bucket_centroids(spark, sf_dir):
     )
 
 
+@register(
+    "topic_clusters",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS id, b.cid, {_SQL_COSINE} AS cos
+        FROM embeddings a CROSS JOIN
+             (SELECT vec_id AS cid, embedding FROM embeddings
+              WHERE vec_id < 8) b
+    ),
+    assign AS (
+        SELECT id, cid, cos,
+               row_number() OVER (
+                   PARTITION BY id ORDER BY cos DESC, cid ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n,
+           CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT)
+               AS cohesion_micro
+    FROM assign WHERE rn = 1 GROUP BY cid
+    """,
+)
+def q_topic_clusters(spark, sf_dir):
+    """Pipeline: topic clustering of the embedding corpus by
+    nearest-centroid cosine assignment (centroids = the 8 lowest vec_ids,
+    deterministic). The centroid set inlines as literal arrays so the
+    assignment is a narrow map over the scan — zero joins/shuffles until
+    the k-row per-cluster rollup; cohesion aggregates in exact integer
+    micro-units (pipeline/similarity.py:topic_cluster_stats)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = [
+        (r.vec_id, r.embedding)
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    out = sim.topic_cluster_stats(emb, cents)
+    return out.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "n",
+        "cohesion_micro",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Near-dup clusters: iterative min-label propagation (pipeline/dedup.py)
 # ---------------------------------------------------------------------------

@@ -448,6 +448,30 @@ def test_bloom_ngram_hits_matches_exact(spark):
         assert got == exact
 
 
+def test_nearest_centroid_assign_and_ties(spark):
+    """Vectors go to their obviously-closest centroid; an exact cosine tie
+    breaks toward the smaller centroid id; cluster stats add up."""
+    rows = [
+        (0, [1.0, 0.0]),      # centroid 0
+        (1, [0.0, 1.0]),      # centroid 1
+        (2, [10.0, 0.1]),     # → cluster 0
+        (3, [0.1, 10.0]),     # → cluster 1
+        (4, [1.0, 1.0]),      # exact tie (cos 45° to both) → cluster 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    got = {
+        r.id: r.cluster_id
+        for r in similarity.nearest_centroid_assign(df, cents).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 0, 3: 1, 4: 0}
+    stats = {
+        r.cluster_id: r.n
+        for r in similarity.topic_cluster_stats(df, cents).collect()
+    }
+    assert stats == {0: 3, 1: 2}
+
+
 def test_dsir_ranks_target_like_docs_first(spark):
     """DSIR importance weights must rank docs drawn from the target's token
     distribution above docs from a disjoint distribution, and the top-k is
