@@ -262,8 +262,11 @@ def dsir_weights(
 
     ct = bucket_counts(target, "nt")
     cr = bucket_counts(corpus, "nr")
-    tt = ct.agg(F.sum("nt").alias("tt"))
-    tr = cr.agg(F.sum("nr").alias("tr"))
+    # sum() over zero rows is NULL — coalesce to 0 so an empty target (or
+    # corpus) degrades to the smoothing-only uniform model instead of
+    # silently nulling every weight downstream.
+    tt = ct.agg(F.coalesce(F.sum("nt"), F.lit(0)).alias("tt"))
+    tr = cr.agg(F.coalesce(F.sum("nr"), F.lit(0)).alias("tr"))
     B = F.lit(n_buckets).cast("long")
     lr = (
         cr.join(ct, "b", "left")

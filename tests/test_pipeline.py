@@ -504,6 +504,23 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert len(off) == 10 and all(r.weight_micro < 0 for r in off)
 
 
+def test_dsir_and_bloom_degenerate_inputs(spark):
+    """Empty target → DSIR degrades to the smoothing-only uniform model
+    (finite weights, not nulls); empty benchmark → Bloom decontam reports
+    no hits; zero-token docs never appear in either output."""
+    from qafs_spark.pipeline import decontam as dc
+    from qafs_spark.pipeline import sampling as sp
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j"), (3, "   ")], ["doc_id", "text"]
+    )
+    empty = corpus.filter("doc_id < 0")
+    w = sp.dsir_weights(corpus, empty).collect()
+    assert {r.doc_id for r in w} == {1, 2}  # blank doc 3 absent
+    assert all(r.weight_micro is not None for r in w)
+    assert dc.bloom_ngram_hits(corpus, empty, n=2, m_bits=1 << 12).count() == 0
+
+
 def test_bloom_prefilter_no_false_negatives(spark):
     """Every inserted gram passes its own filter; a disjoint probe set
     passes only at the expected false-positive rate (sanity-bounded)."""
