@@ -1,6 +1,7 @@
-"""Corpus-cleaning walkthrough with the round-4 operators: C4-style line
+"""Corpus-cleaning walkthrough: C4-style line
 and three-sentence-span dedup, PII redaction, and a downsampled feature
-rollup materialized back into the store.
+rollup materialized back into the store — plus the round-6 additions:
+Bloom-prefiltered decontamination, DSIR selection, topic clustering.
 
 Run: python examples/cleaning.py  (uses /root/testdata/sf0.001)
 """
@@ -73,3 +74,31 @@ targets = fs.materialize(
     freq="1d", method="mean", suffix="_daily_mean",
 )
 fs.load_features(targets[0]).show()
+
+# 5. Bloom-prefiltered decontamination: broadcast a fixed-size bitmap of
+# the "benchmark" grams (not the raw gram set), prefilter map-side, then
+# exact-verify — same answer as ngram_hits at any benchmark size
+from qafs_spark.pipeline.decontam import bloom_ngram_hits, ngram_hits
+
+corpus = docs.filter(F.col("doc_id") % 10 != 0)
+bench = docs.filter(F.col("doc_id") % 10 == 0)
+bloom_hits = bloom_ngram_hits(corpus, bench, n=4, m_bits=1 << 18, k=4)
+exact_hits = ngram_hits(corpus, bench, n=4)
+print("bloom==exact:", bloom_hits.exceptAll(exact_hits).count() == 0
+      and exact_hits.exceptAll(bloom_hits).count() == 0)
+
+# 6. DSIR importance selection: pick the 10 docs most like the English
+# slice under hashed-unigram models (exact integer micro-nat scores)
+from qafs_spark.pipeline.sampling import dsir_select
+
+target = docs.filter(F.col("lang") == "en")
+dsir_select(docs, target, k=10).show(5)
+
+# 7. Topic clustering: nearest-centroid cosine assignment — centroids
+# inline as literals, so assignment is map-only over the scan
+from qafs_spark.pipeline.similarity import topic_cluster_stats
+
+emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+cents = [(r.vec_id, r.embedding)
+         for r in emb.filter(F.col("vec_id") < 4).collect()]
+topic_cluster_stats(emb, cents).orderBy("cluster_id").show()
