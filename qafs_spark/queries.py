@@ -1171,7 +1171,12 @@ def feature_roundtrip_segments(spark, sf_dir):
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = tempfile.mkdtemp(prefix="qafs_roundtrip_")
-    fs = FeatureStore(storage=root, spark=spark)
+    # write_partitions: the documented parallel-ingest knob (FeatureStore
+    # docstring / write_feature(distribute=...)). The sf0.1 events fixture
+    # is ONE parquet file → one scan partition → without this the whole
+    # derive+sort+write pipeline serializes on a single core (measured
+    # 1.27s → 0.72s warm at 8 writer tasks on local[32]).
+    fs = FeatureStore(storage=root, spark=spark, write_partitions=8)
     fs.create_namespace("bench")
     fs.create_feature("bench/event_value", check=Column(float))
 
