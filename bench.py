@@ -93,6 +93,14 @@ def main() -> int:
                 .rowsBetween(Window.unboundedPreceding, 0))
         ).write.mode("overwrite").partitionBy("k").parquet(f"{warm_dir}/p")
         spark.read.parquet(f"{warm_dir}/p").count()
+        # two more first-use-expensive generic shapes: ordered-pick
+        # aggregates (max_by) and array generation + explode
+        w.groupBy("k").agg(F.max_by("id", F.col("time")).alias("m")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        w.select(F.explode(F.sequence(F.lit(0), F.col("id") % 5)).alias("e")).write.format(
+            "noop"
+        ).mode("overwrite").save()
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
