@@ -491,3 +491,52 @@ def test_resample_agg_multi_property_random(spark):
                 assert abs(got - exp.loc[kk]) < 1e-9, (trial, freq, how, t, got, exp.loc[kk])
             else:
                 assert (got == 0) if how == "count" else pd.isna(got), (trial, freq, how, t, got)
+
+
+def test_bloom_prefilter_map_side_no_corpus_shuffle(spark):
+    """The Bloom probe stage must be k BROADCAST joins over the corpus
+    gram stream (no SortMergeJoin, no corpus-side Exchange before the
+    probes) — the bitmap broadcasts, the corpus does not move."""
+    from qafs_spark.pipeline import decontam as dc
+
+    grams = spark.range(0, 1000).select(F.concat(F.lit("g"), "id").alias("g"))
+    bitmap = dc.bloom_build(grams.limit(100), "g", m_bits=1 << 16, k=4)
+    plan = _physical(dc.bloom_prefilter(grams, bitmap, "g", m_bits=1 << 16, k=4))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_topic_clusters_map_only_before_rollup(spark):
+    """Nearest-centroid assignment must be a narrow map: the whole
+    topic_cluster_stats plan carries exactly ONE exchange (the k-row
+    rollup) and zero joins of any kind."""
+    from qafs_spark.pipeline import similarity as sim
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"), (F.col("id") % 3).cast("float")
+        ).alias("embedding"),
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])]
+    out = sim.topic_cluster_stats(df, cents)
+    plan = _physical(out)
+    assert shuffle_count(out) == 1
+    assert "Join" not in plan and "pythonUDF" not in plan.lower()
+
+
+def test_dsir_model_broadcasts_topk_is_take_ordered(spark):
+    """DSIR's log-ratio table must broadcast onto the token stream, and
+    the top-k must plan as TakeOrderedAndProject (bounded per-partition
+    top-k + k-row merge), never a global Sort of the per-doc scores."""
+    from qafs_spark.pipeline import sampling as sp
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    plan = _physical(sp.dsir_select(docs, target, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 1
