@@ -761,3 +761,47 @@ def dedup_spans(
             ).alias("n_removed_sentences"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str, id_col: str, k: int = 100
+) -> DataFrame:
+    """Top-k vocabulary with cumulative corpus coverage: ``(term, n, rank,
+    cov_micro)`` — the tokenizer-prep question "how few types cover how
+    much of the token stream?" (Zipf audit / vocab-size selection).
+
+    ``cov_micro = round(cum_n * 1e6 / total_tokens)`` with ``cum_n`` the
+    running count down the (n DESC, term ASC) order — one correctly-rounded
+    double division per emitted row over exact BIGINT inputs, so values are
+    bit-identical across engines.
+
+    Scale shape: one map-side-combined term count (the only corpus-wide
+    shuffle, same skew profile as any word count), the top-k via
+    ``orderBy().limit(k)`` → TakeOrderedAndProject (bounded per-partition
+    top-k + k-row merge — the vocabulary itself is never globally sorted),
+    total-token count as a one-row broadcast, and the running sum's window
+    runs on the k survivors only.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    total = cnt.agg(F.sum("n").alias("_total"))
+    order = [F.col("n").desc(), F.col("term").asc()]
+    top = cnt.orderBy(*order).limit(k)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            "n",
+            F.row_number().over(Window.orderBy(*order)).alias("rank"),
+            F.round(
+                F.sum("n").over(w).cast("double")
+                * F.lit(1_000_000)
+                / F.col("_total").cast("double")
+            )
+            .cast("long")
+            .alias("cov_micro"),
+        )
+    )

@@ -3663,6 +3663,35 @@ def q_dsir_select(spark, sf_dir):
     return sp.dsir_select(docs, target, "text", "doc_id", n_buckets=1024, k=50)
 
 
+@register(
+    "vocab_coverage",
+    oracle=r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    cnt AS (SELECT term, count(*) AS n FROM tok GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM cnt),
+    top AS (SELECT term, n FROM cnt ORDER BY n DESC, term ASC LIMIT 100)
+    SELECT term, n,
+           row_number() OVER (ORDER BY n DESC, term ASC) AS rank,
+           CAST(round(CAST(sum(n) OVER (ORDER BY n DESC, term ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE) * 1000000 / CAST(t AS DOUBLE)) AS BIGINT)
+               AS cov_micro
+    FROM top CROSS JOIN tot
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Pipeline: top-100 vocabulary with cumulative corpus coverage (the
+    Zipf / vocab-size-selection audit before tokenizer training). One
+    map-side-combined word count is the only corpus-wide shuffle; the
+    top-k plans as TakeOrderedAndProject and the running-coverage window
+    touches the 100 survivors only (pipeline/text.py:vocab_coverage)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return tx.vocab_coverage(docs, "text", "doc_id", k=100)
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document — pipeline/text.py
 # ---------------------------------------------------------------------------

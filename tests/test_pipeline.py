@@ -448,6 +448,25 @@ def test_bloom_ngram_hits_matches_exact(spark):
         assert got == exact
 
 
+def test_vocab_coverage_zipf_audit(spark):
+    """Ranks are contiguous in (n DESC, term ASC) order, coverage is
+    nondecreasing and ends at exactly 1e6 when k covers the whole
+    vocabulary; a dominating term's first-row coverage equals its share."""
+    docs = spark.createDataFrame(
+        [(1, "a a a a a a b b c d"), (2, "a a a a a a b b c e")],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        text.vocab_coverage(docs, "text", "doc_id", k=10).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.term for r in rows] == ["a", "b", "c", "d", "e"]
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    covs = [r.cov_micro for r in rows]
+    assert covs == sorted(covs) and covs[-1] == 1_000_000
+    assert covs[0] == 600_000  # 12 of 20 tokens
+
+
 def test_nearest_centroid_assign_and_ties(spark):
     """Vectors go to their obviously-closest centroid; an exact cosine tie
     breaks toward the smaller centroid id; cluster stats add up."""
