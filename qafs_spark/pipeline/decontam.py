@@ -224,6 +224,8 @@ def bloom_ngram_hits(
        false positives; per-doc distinct-hit counts follow as in
        ngram_hits.
     """
+    from pyspark import StorageLevel
+
     corpus_grams = with_shingle_hashes(corpus, text_col, id_col, n).select(
         "id", F.explode("sh").alias("g")
     )
@@ -232,7 +234,14 @@ def bloom_ngram_hits(
         .select(F.explode("sh").alias("g"))
         .distinct()
     )
-    bitmap = bloom_build(bench_grams, "g", m_bits, k)
+    # persist: the k probe joins each build their own BroadcastExchange
+    # (the per-probe column renames defeat exchange reuse) — without this
+    # the benchmark-side hash+bit_or aggregate would re-run k times. The
+    # k broadcast COPIES of the small bitmap remain, which is the right
+    # trade (a corpus-side shuffle to share one copy would cost far more).
+    bitmap = bloom_build(bench_grams, "g", m_bits, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     candidates = bloom_prefilter(corpus_grams, bitmap, "g", m_bits, k)
     return (
         candidates.join(bench_grams, "g", "leftsemi")

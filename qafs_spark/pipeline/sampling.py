@@ -252,6 +252,8 @@ def dsir_weights(
     scores are exact integer sums (order-independent, cross-engine
     reproducible; same float discipline as text.unigram_logprob_table).
     Docs with zero tokens produce no row (explode drops them)."""
+    from pyspark import StorageLevel
+
     from .text import tokens
 
     def bucket_counts(df: DataFrame, n_col: str) -> DataFrame:
@@ -260,8 +262,12 @@ def dsir_weights(
             F.count(F.lit(1)).alias(n_col)
         )
 
-    ct = bucket_counts(target, "nt")
-    cr = bucket_counts(corpus, "nr")
+    # persist both (≤ n_buckets-row) count frames: each feeds its total AND
+    # the log-ratio table — without this the corpus would be tokenized three
+    # times (cr total, lr join, scoring) instead of twice (model + scoring),
+    # the same one-pass discipline as text.unigram_logprob_table.
+    ct = bucket_counts(target, "nt").persist(StorageLevel.MEMORY_AND_DISK)
+    cr = bucket_counts(corpus, "nr").persist(StorageLevel.MEMORY_AND_DISK)
     # sum() over zero rows is NULL — coalesce to 0 so an empty target (or
     # corpus) degrades to the smoothing-only uniform model instead of
     # silently nulling every weight downstream.

@@ -782,10 +782,17 @@ def vocab_coverage(
     total-token count as a one-row broadcast, and the running sum's window
     runs on the k survivors only.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("term"))
-    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    # persist: the count frame feeds both the total-tokens scalar and the
+    # top-k — one corpus tokenize pass, not two (unigram_logprob discipline)
+    cnt = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     total = cnt.agg(F.sum("n").alias("_total"))
     order = [F.col("n").desc(), F.col("term").asc()]
     top = cnt.orderBy(*order).limit(k)
