@@ -141,10 +141,11 @@ def _resolve_db_url(db_path: str) -> str:
         return rest[1:]
     raise FeatureStoreException(
         f"Unsupported registry dialect {scheme!r}: this build supports "
-        "stdlib sqlite3 (sqlite:/// URLs or plain paths) and "
+        "stdlib sqlite3 (sqlite:/// URLs or plain paths), "
         "postgresql:// (via psycopg2/pg8000 when installed, else the "
-        "built-in minimal wire client). The registry is driver-side "
-        "metadata — the data plane is unaffected by this constraint."
+        "built-in minimal wire client), and duckdb:/// (embedded). The "
+        "registry is driver-side metadata — the data plane is unaffected "
+        "by this constraint."
     )
 
 
@@ -345,11 +346,91 @@ def _pg_sqlstate(exc: BaseException) -> str:
     return ""
 
 
+class _DuckDBConnAdapter:
+    """Uniform qmark/dict-row surface over a DuckDB cursor (DuckDB is
+    natively qmark-paramstyle, so only row shaping is adapted)."""
+
+    def __init__(self, raw):
+        self._raw = raw
+
+    def execute(self, sql: str, params=()):
+        cur = self._raw.execute(sql, list(params)) if params else self._raw.execute(sql)
+        if cur.description is None:
+            return _EagerRows([])
+        names = [d[0] for d in cur.description]
+        return _EagerRows([dict(zip(names, row)) for row in cur.fetchall()])
+
+    def close(self) -> None:
+        self._raw.close()
+
+
+class _DuckDBDriver:
+    """Embedded-analytics registry backend (``duckdb:///path.db``).
+
+    Third live engine behind the same ANSI statements — sqlite (zero-dep
+    single host), postgresql (multi-writer server), duckdb (embedded
+    OLAP). Besides being useful where DuckDB is already the local
+    analytics store, it is the in-container PROOF that the registry SQL is
+    dialect-portable (the postgres leg needs a server; this leg runs
+    everywhere the test suite runs).
+
+    Process model: DuckDB allows ONE process per database file — the
+    driver holds a single root connection and hands out thread-safe
+    cursors, so threads within a process share cleanly, but a second
+    process (or a second live Registry after abandoning one un-closed)
+    cannot attach. Cross-process multi-writer deployments belong on the
+    postgres backend; transactions here still serialize correctly via
+    DuckDB's optimistic concurrency (write-write conflicts surface as
+    TransactionException, retried as transient by :meth:`is_transient`).
+    """
+
+    name = "duckdb"
+
+    def __init__(self, path: str):
+        self.display = path
+        self._db = None
+        import duckdb
+
+        self.error_types = (duckdb.Error,)
+
+    def connect(self):
+        import duckdb
+
+        if self._db is None:
+            self._db = duckdb.connect(self.display)
+        return _DuckDBConnAdapter(self._db.cursor())
+
+    def init_schema(self, con) -> None:
+        for stmt in _DDL.split(";"):
+            if stmt.strip():
+                con.execute(stmt)
+
+    def begin(self, con) -> None:
+        con.execute("BEGIN TRANSACTION")
+
+    def is_transient(self, exc: BaseException) -> bool:
+        import duckdb
+
+        return isinstance(exc, duckdb.TransactionException)
+
+    def dispose(self) -> None:
+        if self._db is not None:
+            self._db.close()
+            self._db = None
+
+
 def _make_driver(db_path: str):
     if "://" in db_path:
         scheme = db_path.split("://", 1)[0]
         if scheme in ("postgresql", "postgres"):
             return _PostgresDriver(db_path)
+        if scheme == "duckdb":
+            rest = db_path.split("://", 1)[1]
+            if not rest.startswith("/"):
+                raise FeatureStoreException(
+                    f"Malformed duckdb URL {db_path!r} (use duckdb:///path)"
+                )
+            return _DuckDBDriver(rest[1:])
     return _SqliteDriver(_resolve_db_url(db_path))
 
 
@@ -446,6 +527,11 @@ class Registry:
         if con is not None:
             con.close()
             self._local.con = None
+        # duckdb holds a process-wide root connection (one process per
+        # file); release it so a later Registry can reattach
+        dispose = getattr(self._driver, "dispose", None)
+        if dispose is not None:
+            dispose()
 
     # ------------------------------------------------------------------
     # namespaces

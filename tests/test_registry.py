@@ -88,15 +88,18 @@ def _fresh_pg_url(pg_server):
     return f"{base}/{dbname}"
 
 
-@pytest.fixture(params=["sqlite", "postgresql"])
+@pytest.fixture(params=["sqlite", "postgresql", "duckdb"])
 def reg(request, tmp_path):
-    """The registry surface, parametrized over both supported backends.
+    """The registry surface, parametrized over all three backends.
 
-    Every CRUD/validation test in this module runs twice; the postgres leg
-    skips automatically where no server can be provided.
+    Every CRUD/validation test in this module runs per backend; the
+    postgres leg skips automatically where no server can be provided (the
+    duckdb leg is the always-runnable second-engine dialect proof).
     """
     if request.param == "sqlite":
         r = Registry(str(tmp_path / "fs.db"))
+    elif request.param == "duckdb":
+        r = Registry(f"duckdb:///{tmp_path}/fs.duckdb")
     else:
         url = _fresh_pg_url(request.getfixturevalue("pg_server"))
         r = Registry(url)
@@ -250,3 +253,24 @@ def test_concurrent_sessions_write_safely(shared_db_url):
         list(ex.map(racer, range(4)))
     assert len(errs) == 3
     assert fresh.get_feature("c", "raced") is not None
+
+
+def test_duckdb_registry_feature_store_roundtrip(tmp_path, spark):
+    """Full store surface over the duckdb:// registry: create/save/load,
+    then close and REATTACH (the driver must release its process-wide root
+    connection on close, or the second store cannot open the file)."""
+    import pandas as pd
+
+    from qafs_spark import Column, FeatureStore
+
+    url = f"duckdb:///{tmp_path}/fs.duckdb"
+    fs = FeatureStore(storage=str(tmp_path), db_connection=url, spark=spark)
+    fs.create_namespace("ns")
+    fs.create_feature("ns/x", check=Column(float))
+    dts = pd.date_range("2021-01-01", periods=6)
+    fs.save_df(pd.DataFrame({"time": dts, "ns/x": [float(i) for i in range(6)]}))
+    assert len(fs.load_dataframe("ns/x")) == 6
+    fs.registry.close()
+    fs2 = FeatureStore(storage=str(tmp_path), db_connection=url, spark=spark)
+    assert len(fs2.load_dataframe("ns/x")) == 6
+    fs2.registry.close()
