@@ -251,7 +251,11 @@ def dsir_weights(
     (Tt+B)))`` — frozen to integer micro-nats once per bucket, so per-doc
     scores are exact integer sums (order-independent, cross-engine
     reproducible; same float discipline as text.unigram_logprob_table).
-    Docs with zero tokens produce no row (explode drops them)."""
+    Each factor casts to double BEFORE the multiply: at 100 TB the token
+    totals reach ~1e14, so the integer product would silently wrap BIGINT
+    (~9.2e18) — double products are exact to 53 bits and never overflow,
+    and the oracle mirrors the same op order. Docs with zero tokens
+    produce no row (explode drops them)."""
     from pyspark import StorageLevel
 
     from .text import tokens
@@ -282,9 +286,14 @@ def dsir_weights(
             "b",
             F.round(
                 F.log(
-                    ((F.coalesce(F.col("nt"), F.lit(0)) + 1) * (F.col("tr") + B))
-                    .cast("double")
-                    / ((F.col("nr") + 1) * (F.col("tt") + B)).cast("double")
+                    (
+                        (F.coalesce(F.col("nt"), F.lit(0)) + 1).cast("double")
+                        * (F.col("tr") + B).cast("double")
+                    )
+                    / (
+                        (F.col("nr") + 1).cast("double")
+                        * (F.col("tt") + B).cast("double")
+                    )
                 )
                 * F.lit(1_000_000)
             )

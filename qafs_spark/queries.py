@@ -3634,8 +3634,9 @@ def q_temperature_mix(spark, sf_dir):
                     (SELECT sum(nr) FROM cr) AS tr),
     lr AS (SELECT cr.b,
                   CAST(round(ln(
-                      CAST((COALESCE(nt, 0) + 1) * (tr + 1024) AS DOUBLE)
-                      / CAST((nr + 1) * (tt + 1024) AS DOUBLE)
+                      (CAST(COALESCE(nt, 0) + 1 AS DOUBLE)
+                       * CAST(tr + 1024 AS DOUBLE))
+                      / (CAST(nr + 1 AS DOUBLE) * CAST(tt + 1024 AS DOUBLE))
                   ) * 1000000) AS BIGINT) AS lr_micro
            FROM cr LEFT JOIN ct USING (b) CROSS JOIN tots),
     per_doc AS (
