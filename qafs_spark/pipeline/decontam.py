@@ -229,10 +229,13 @@ def bloom_ngram_hits(
     corpus_grams = with_shingle_hashes(corpus, text_col, id_col, n).select(
         "id", F.explode("sh").alias("g")
     )
+    # persist: bench_grams feeds the bitmap build AND the verify join —
+    # one benchmark tokenize pass, not two
     bench_grams = (
         with_shingle_hashes(benchmark, text_col, id_col, n)
         .select(F.explode("sh").alias("g"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # persist: the k probe joins each build their own BroadcastExchange
     # (the per-probe column renames defeat exchange reuse) — without this
