@@ -389,6 +389,7 @@ class _DuckDBDriver:
     def __init__(self, path: str):
         self.display = path
         self._db = None
+        self._db_lock = threading.Lock()
         import duckdb
 
         self.error_types = (duckdb.Error,)
@@ -396,9 +397,13 @@ class _DuckDBDriver:
     def connect(self):
         import duckdb
 
-        if self._db is None:
-            self._db = duckdb.connect(self.display)
-        return _DuckDBConnAdapter(self._db.cursor())
+        # two threads racing the lazy root-connection open would each
+        # attach to the file and the second would hit DuckDB's
+        # one-process-per-file lock — serialize the open
+        with self._db_lock:
+            if self._db is None:
+                self._db = duckdb.connect(self.display)
+            return _DuckDBConnAdapter(self._db.cursor())
 
     def init_schema(self, con) -> None:
         for stmt in _DDL.split(";"):

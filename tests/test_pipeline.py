@@ -523,6 +523,50 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert len(off) == 10 and all(r.weight_micro < 0 for r in off)
 
 
+def test_bloom_matches_exact_property_random(spark):
+    """Property: bloom_ngram_hits ≡ ngram_hits on randomized corpora and
+    bitmap sizes — including bitmaps small enough that false positives are
+    common (the verify join must remove every one), random vocab sizes
+    (controls overlap density), and random n."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qafs_spark.pipeline import decontam as dc
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        vocab=st.integers(5, 40),
+        n_docs=st.integers(6, 30),
+        n=st.integers(2, 5),
+        m_bits=st.sampled_from([64, 1 << 10, 1 << 16]),
+    )
+    def run(seed, vocab, n_docs, n, m_bits):
+        import random as _r
+
+        rng = _r.Random(seed)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(vocab)}" for _ in range(rng.randrange(0, 15))))
+            for i in range(n_docs)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        corpus = docs.filter(F.col("doc_id") % 3 != 0)
+        bench = docs.filter(F.col("doc_id") % 3 == 0)
+        exact = {(r.doc_id, r.hits) for r in dc.ngram_hits(corpus, bench, n=n).collect()}
+        got = {
+            (r.doc_id, r.hits)
+            for r in dc.bloom_ngram_hits(
+                corpus, bench, n=n, m_bits=m_bits, k=3
+            ).collect()
+        }
+        assert got == exact
+
+    run()
+
+
 def test_dsir_and_bloom_degenerate_inputs(spark):
     """Empty target → DSIR degrades to the smoothing-only uniform model
     (finite weights, not nulls); empty benchmark → Bloom decontam reports
