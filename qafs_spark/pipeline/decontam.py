@@ -252,3 +252,25 @@ def bloom_ngram_hits(
         .agg(F.count("*").alias("hits"))
         .select(F.col("id").alias(id_col), "hits")
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_hits: int = 1,
+    m_bits: int = 1 << 24,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` semantics (corpus minus contaminated docs)
+    over the Bloom-prefiltered hit path — use when the benchmark gram set
+    outgrows broadcast limits. The contaminated-id set is small by nature,
+    so its anti join still broadcasts."""
+    dirty = (
+        bloom_ngram_hits(corpus, benchmark, text_col, id_col, n, m_bits, k)
+        .filter(F.col("hits") >= min_hits)
+        .select(id_col)
+    )
+    return corpus.join(F.broadcast(dirty), id_col, "left_anti")

@@ -589,6 +589,19 @@ def test_bloom_prefilter_no_false_negatives(spark):
     passes only at the expected false-positive rate (sanity-bounded)."""
     from qafs_spark.pipeline import decontam as dc
 
+    from qafs_spark.pipeline import decontam as _dc
+
+    # scrub parity: bloom_decontaminate keeps exactly what decontaminate keeps
+    rows = [(i, " ".join(f"w{(i * 5 + j) % 17}" for j in range(10))) for i in range(30)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus, bench = docs.filter("doc_id % 4 != 0"), docs.filter("doc_id % 4 = 0")
+    keep_exact = {r.doc_id for r in _dc.decontaminate(corpus, bench, n=4).collect()}
+    keep_bloom = {
+        r.doc_id
+        for r in _dc.bloom_decontaminate(corpus, bench, n=4, m_bits=1 << 12).collect()
+    }
+    assert keep_bloom == keep_exact
+
     inserted = spark.range(0, 500).select(F.concat(F.lit("in"), "id").alias("g"))
     bitmap = dc.bloom_build(inserted, "g", m_bits=1 << 16, k=4)
     kept = dc.bloom_prefilter(inserted, bitmap, "g", m_bits=1 << 16, k=4)
