@@ -274,3 +274,45 @@ def bloom_decontaminate(
         .select(id_col)
     )
     return corpus.join(F.broadcast(dirty), id_col, "left_anti")
+
+
+def contamination_attribution(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """For each contaminated corpus doc, WHICH benchmark doc it overlaps
+    most: ``(doc_id, bench_doc_id, shared_grams)`` — the diagnostics
+    companion to :func:`ngram_hits` (knowing *that* a doc is contaminated
+    says to drop it; knowing *which* benchmark leaked says what to audit
+    upstream). Ties break toward the smallest benchmark id.
+
+    Plan: the benchmark's (gram, bench_id) pairs broadcast (still
+    eval-set-sized — per-id grams are a constant factor over the distinct
+    set); per-(corpus doc, bench doc) shared-gram counts aggregate
+    map-side; the per-doc argmax is a ``max(struct(cnt, -bench_id))``
+    partial aggregate — no windows over data rows, corpus never shuffled
+    except by its own doc id."""
+    corpus_grams = with_shingle_hashes(corpus, text_col, id_col, n).select(
+        "id", F.explode("sh").alias("g")
+    )
+    bench_grams = with_shingle_hashes(benchmark, text_col, id_col, n).select(
+        F.col("id").alias("__bid"), F.explode("sh").alias("g")
+    )
+    pair_counts = (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id", "__bid")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    best = pair_counts.groupBy("id").agg(
+        F.max(
+            F.struct(F.col("shared"), (-F.col("__bid")).alias("__nbid"))
+        ).alias("_m")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        (-F.col("_m.__nbid")).alias("bench_doc_id"),
+        F.col("_m.shared").alias("shared_grams"),
+    )

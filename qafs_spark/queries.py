@@ -1897,6 +1897,49 @@ def q_decontam_hits(spark, sf_dir):
 
 
 @register(
+    "decontam_attribution",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(array_to_string(
+                    t[CAST(i AS INTEGER):CAST(i AS INTEGER)+3], ' ')), 1, 8)
+               )::BIGINT AS g
+        FROM tok, UNNEST(range(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 4
+    ),
+    pairs AS (
+        SELECT c.doc_id, b.doc_id AS bench_doc_id, count(*) AS shared
+        FROM grams c JOIN grams b USING (g)
+        WHERE c.doc_id % 97 <> 0 AND b.doc_id % 97 = 0
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, bench_doc_id, shared AS shared_grams FROM (
+        SELECT doc_id, bench_doc_id, shared,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY shared DESC, bench_doc_id ASC
+               ) AS rn
+        FROM pairs
+    ) WHERE rn = 1
+    """,
+)
+def q_decontam_attribution(spark, sf_dir):
+    """Pipeline: contamination attribution — for each contaminated doc,
+    the benchmark doc it shares the most 4-grams with (ties → smallest
+    bench id). The diagnostics companion to decontam_hits: per-(doc,
+    bench) counts aggregate map-side off a broadcast of the benchmark's
+    (gram, id) pairs; the per-doc argmax is a window-free max(struct)
+    partial aggregate (pipeline/decontam.py:contamination_attribution)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return dc.contamination_attribution(corpus, bench, "text", "doc_id", n=4)
+
+
+@register(
     "bloom_decontam",
     # Exact-membership oracle: the Bloom stage is a lossless PREFILTER (no
     # false negatives; the verify join removes false positives), so the

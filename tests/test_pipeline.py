@@ -523,6 +523,35 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert len(off) == 10 and all(r.weight_micro < 0 for r in off)
 
 
+def test_contamination_attribution_argmax(spark):
+    """The attributed benchmark doc is the one sharing the most n-grams;
+    an exact tie attributes to the smaller benchmark id."""
+    from qafs_spark.pipeline import decontam as dc
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),        # 5 grams with 100, 1 with 104
+            (2, "p q r s t u"),            # only matches 104
+            (3, "x y z w"),                # matches 100 and 104 equally (tie)
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "a b c d e f g h extra x y z w"),
+            (104, "e f g h p q r s t u x y z w"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.bench_doc_id, r.shared_grams)
+        for r in dc.contamination_attribution(corpus, bench, n=4).collect()
+    }
+    assert got[1][0] == 100 and got[1][1] == 5
+    assert got[2][0] == 104
+    assert got[3] == (100, 1)  # tie on 1 shared gram → smaller bench id
+
+
 def test_bloom_matches_exact_property_random(spark):
     """Property: bloom_ngram_hits ≡ ngram_hits on randomized corpora and
     bitmap sizes — including bitmaps small enough that false positives are
