@@ -41,6 +41,15 @@ from .names import validate_name
 
 SCHEMA_VERSION = 1
 
+#: Ordered migration steps: version N maps to the ANSI statements that
+#: bring an (N-1)-version store to N. Applied by Registry._upgrade_schema
+#: inside one writer-serialized transaction; each applied version is
+#: stamped into feature_store_version (append-only history, like the
+#: reference's timestamped version rows). The reference's own historical
+#: migration (upgrade.py:34 adds namespace.backend) is already part of the
+#: v1 baseline DDL here.
+_MIGRATIONS: dict = {}
+
 _DDL = """
 CREATE TABLE IF NOT EXISTS namespace (
     name TEXT PRIMARY KEY,
@@ -468,16 +477,44 @@ class Registry:
         self._local = threading.local()
         con = self._con()
         self._driver.init_schema(con)
+        self._write_txn(self._upgrade_schema)
 
-        def _stamp(con) -> None:
-            cur = con.execute("SELECT version FROM feature_store_version")
-            if cur.fetchone() is None:
-                con.execute(
-                    "INSERT INTO feature_store_version (version) VALUES (?)",
-                    (SCHEMA_VERSION,),
-                )
+    def _upgrade_schema(self, con) -> None:
+        """Version-check + in-place upgrade on open (reference
+        upgrade.py:12-43: read the latest stamped version, apply
+        add-column-style migration steps when the store is older than the
+        code, stamp afterwards; a NEWER store refuses loudly instead of
+        being silently mangled by old code).
 
-        self._write_txn(_stamp)
+        Runs inside one writer-serialized transaction, so two sessions
+        racing to open an old store apply the migration exactly once.
+        Steps in :data:`_MIGRATIONS` must be ANSI (all three backends run
+        them verbatim) and idempotent-by-construction is NOT required —
+        the version gate guarantees each step runs once per store."""
+        cur = con.execute("SELECT max(version) AS v FROM feature_store_version")
+        row = cur.fetchone()
+        current = row["v"] if row is not None else None
+        if current is None:
+            con.execute(
+                "INSERT INTO feature_store_version (version) VALUES (?)",
+                (SCHEMA_VERSION,),
+            )
+            return
+        current = int(current)
+        if current > SCHEMA_VERSION:
+            raise FeatureStoreException(
+                f"registry {self.db_path!r} has schema version {current}, "
+                f"newer than this build's {SCHEMA_VERSION} — refusing to "
+                "open (upgrade qafs_spark instead of letting old code "
+                "write an incompatible store)"
+            )
+        for target in range(current + 1, SCHEMA_VERSION + 1):
+            for stmt in _MIGRATIONS.get(target, ()):
+                con.execute(stmt)
+            con.execute(
+                "INSERT INTO feature_store_version (version) VALUES (?)",
+                (target,),
+            )
 
     def _con(self):
         con = getattr(self._local, "con", None)

@@ -274,3 +274,58 @@ def test_duckdb_registry_feature_store_roundtrip(tmp_path, spark):
     fs2 = FeatureStore(storage=str(tmp_path), db_connection=url, spark=spark)
     assert len(fs2.load_dataframe("ns/x")) == 6
     fs2.registry.close()
+
+
+@pytest.mark.parametrize("backend", ["sqlite", "duckdb", "postgresql"])
+def test_schema_version_gate_and_migration(backend, tmp_path, request, monkeypatch):
+    """Reference upgrade.py semantics on all three backends: a store
+    stamped NEWER than the code refuses to open loudly; an OLDER store is
+    migrated in place (ordered ANSI steps, each version stamped) with
+    existing rows intact."""
+    import qafs_spark.registry as regmod
+    from qafs_spark.registry import _make_driver
+
+    if backend == "sqlite":
+        url = str(tmp_path / "m.db")
+    elif backend == "duckdb":
+        url = f"duckdb:///{tmp_path}/m.duckdb"
+    else:
+        url = _fresh_pg_url(request.getfixturevalue("pg_server"))
+
+    r = Registry(url)
+    r.create_namespace("survivor")
+    r._write_txn(
+        lambda con: con.execute(
+            "INSERT INTO feature_store_version (version) VALUES (?)", (99,)
+        )
+    )
+    r.close()
+    with pytest.raises(FeatureStoreException, match="newer"):
+        Registry(url)
+
+    drv = _make_driver(url)
+    con = drv.connect()
+    con.execute("DELETE FROM feature_store_version WHERE version = ?", (99,))
+    con.close()
+    if hasattr(drv, "dispose"):
+        drv.dispose()
+
+    # simulate a code upgrade: v2 adds a column via the migration table
+    monkeypatch.setattr(regmod, "SCHEMA_VERSION", 2)
+    monkeypatch.setitem(
+        regmod._MIGRATIONS, 2, ["ALTER TABLE namespace ADD COLUMN note TEXT"]
+    )
+    r2 = Registry(url)
+    rows = r2._con().execute(
+        "SELECT note FROM namespace WHERE name = ?", ("survivor",)
+    ).fetchall()
+    assert len(rows) == 1 and rows[0]["note"] is None  # column exists, row kept
+    v = r2._con().execute(
+        "SELECT max(version) AS v FROM feature_store_version"
+    ).fetchone()["v"]
+    assert int(v) == 2
+    r2.close()
+    # idempotent reopen at v2: no re-run of the (non-idempotent) ALTER
+    r3 = Registry(url)
+    assert r3.get_namespace("survivor") is not None
+    r3.close()
