@@ -9,12 +9,17 @@ Convention (what a 100 TB multimodal corpus table looks like here):
     >
 
 The Spark-side plumbing — schemas, partitioning, Arrow batch shapes, UDF
-signatures — is real and tested. The actual codec work (image decode,
-resample, frame extraction) is STUBBED: the codec libraries (Pillow,
-ffmpeg, torchaudio) are not in this container. Each stub either raises
-``NotImplementedError`` (``engine="real"``) or runs a deterministic fake
-(``engine="fake"``) that exercises the full distributed path with
-reproducible outputs, so the pipeline around the decoder is verifiable.
+signatures — is real and tested. Codec status by format:
+
+* **REAL decode, pure stdlib/numpy** (no external codec libs needed):
+  WAV audio (:func:`decode_audio`, stdlib ``wave``), uncompressed 24-bit
+  BMP and binary PPM (P6) images (``engine="real"`` in
+  :func:`decode_images`, struct parsing + numpy).
+* **Compressed codecs** (JPEG/PNG/MP4/...) need Pillow/cv2/ffmpeg, which
+  are not in this container: ``engine="real"`` raises a documented
+  ``NotImplementedError`` naming the dependency; the deterministic fake
+  (``engine="fake"``) exercises the full distributed path with
+  reproducible outputs so the pipeline around the decoder is verifiable.
 
 Scale notes: decode runs in ``mapInPandas`` (Arrow-batched, one Python
 worker per core, no per-row overhead); binary columns stay opaque through
@@ -71,6 +76,54 @@ def _fake_decode(content: bytes) -> np.ndarray:
     return arr.reshape(8, 8)
 
 
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Real decode of an uncompressed 24-bit BMP (the standard
+    BITMAPINFOHEADER layout) — struct parsing + one numpy reshape; returns
+    (h, w, 3) uint8 in BGR order (BMP's native channel order)."""
+    if content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = int.from_bytes(content[10:14], "little")
+    w = int.from_bytes(content[18:22], "little", signed=True)
+    h = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    comp = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BMP decodes here (got bpp={bpp}, "
+            f"compression={comp})"
+        )
+    row_size = ((w * 3 + 3) // 4) * 4  # rows pad to 4-byte boundaries
+    buf = np.frombuffer(content, np.uint8, count=row_size * abs(h), offset=off)
+    img = buf.reshape(abs(h), row_size)[:, : w * 3].reshape(abs(h), w, 3)
+    return img[::-1] if h > 0 else img  # positive height = bottom-up rows
+
+
+def _decode_ppm(content: bytes) -> np.ndarray:
+    """Real decode of binary PPM (P6, maxval <= 255): (h, w, 3) uint8."""
+    parts = content.split(maxsplit=4)
+    if parts[0] != b"P6":
+        raise ValueError("not a P6 PPM")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    pixels = parts[4][: w * h * 3]
+    return np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
+
+
+def _real_decode(content: bytes) -> np.ndarray:
+    """Dispatch on magic bytes to the stdlib-decodable formats; compressed
+    codecs raise the documented dependency error."""
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:2] == b"P6":
+        return _decode_ppm(content)
+    raise NotImplementedError(
+        "engine='real' decodes uncompressed BMP/PPM with the stdlib; "
+        "compressed formats (JPEG/PNG/...) require Pillow/cv2, not "
+        "present in this environment"
+    )
+
+
 DECODE_SCHEMA = T.StructType(
     [
         T.StructField("width", T.IntegerType()),
@@ -89,23 +142,21 @@ def decode_images(
 ) -> DataFrame:
     """Decode → per-image features, as an Arrow-batched mapInPandas stage.
 
-    engine="real" raises NotImplementedError (codec libs absent here; slot
-    Pillow/cv2 into ``_fake_decode``'s place on a real cluster).
+    engine="real" REALLY decodes uncompressed BMP / binary PPM (stdlib +
+    numpy, :func:`_real_decode`); compressed formats raise the documented
+    dependency error — slot Pillow/cv2 into ``_real_decode`` on a cluster
+    that has them. engine="fake" runs the deterministic FAKEIMG1 path.
     """
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType())] + list(DECODE_SCHEMA.fields)
     )
+    decode = _real_decode if engine == "real" else _fake_decode
 
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if engine == "real":
-                raise NotImplementedError(
-                    "Real image decode requires codec libraries "
-                    "(Pillow/cv2) not present in this environment"
-                )
             rows = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
-                img = _fake_decode(bytes(content))
+                img = decode(bytes(content))
                 rows.append(
                     {
                         id_col: rid,
@@ -113,6 +164,71 @@ def decode_images(
                         "height": img.shape[0],
                         "mean_intensity": float(img.mean()),
                         "sha": hashlib.sha256(bytes(content)).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.select(id_col, content_col).mapInPandas(runner, schema=out_schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def _decode_wav(content: bytes):
+    """Real WAV decode via the stdlib ``wave`` module: returns
+    (sample_rate, n_channels, n_frames, float64 sample array)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content)) as w:
+        n, ch, sw, sr = (
+            w.getnframes(), w.getnchannels(), w.getsampwidth(), w.getframerate()
+        )
+        raw = w.readframes(n)
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise NotImplementedError(f"unsupported WAV sample width {sw}")
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:  # 8-bit WAV is unsigned, centered at 128
+        arr -= 128.0
+    return sr, ch, n, arr
+
+
+def decode_audio(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio decode (WAV via stdlib, no codec libs) → per-asset
+    features ``(id, sample_rate, n_channels, n_samples, duration_s,
+    rms)``, Arrow-batched ``mapInPandas`` — the same distributed shape the
+    image path uses, but with nothing stubbed."""
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType())] + list(AUDIO_SCHEMA.fields)
+    )
+
+    def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                sr, ch, n, arr = _decode_wav(bytes(content))
+                rms = float(np.sqrt((arr * arr).mean())) if arr.size else 0.0
+                rows.append(
+                    {
+                        id_col: rid,
+                        "sample_rate": sr,
+                        "n_channels": ch,
+                        "n_samples": n,
+                        "duration_s": (n / sr) if sr else 0.0,
+                        "rms": rms,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])

@@ -523,6 +523,61 @@ def test_dsir_ranks_target_like_docs_first(spark):
     assert len(off) == 10 and all(r.weight_micro < 0 for r in off)
 
 
+def _bmp_bytes(img):
+    """Minimal uncompressed 24-bit bottom-up BMP encoder (test fixture)."""
+    import struct
+
+    h, w, _ = img.shape
+    row_size = ((w * 3 + 3) // 4) * 4
+    data = bytearray()
+    for row in img[::-1]:  # bottom-up
+        data += bytes(row.reshape(-1)) + b"\x00" * (row_size - w * 3)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    return bytes(header + info + data)
+
+
+def test_real_decode_bmp_ppm_wav(spark):
+    """engine='real' ACTUALLY decodes uncompressed BMP / P6 PPM / WAV via
+    the stdlib — features must match locally computed values exactly; a
+    compressed format still raises the documented dependency error."""
+    import io
+    import wave
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    bmp, ppm = _bmp_bytes(img), b"P6\n3 2\n255\n" + bytes(img.reshape(-1))
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        samples = np.array([0, 1000, -1000, 2000], dtype=np.int16)
+        w.writeframes(samples.tobytes())
+    wav = buf.getvalue()
+
+    imgs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "content": [bmp, ppm]})
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.mean_intensity)
+        for r in multimodal.decode_images(imgs, engine="real").collect()
+    }
+    exp = float(img.mean())
+    assert got == {1: (3, 2, exp), 2: (3, 2, exp)}
+
+    aud = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "content": [wav]}))
+    row = multimodal.decode_audio(aud).collect()[0]
+    assert (row.sample_rate, row.n_channels, row.n_samples) == (8000, 1, 4)
+    assert row.duration_s == 4 / 8000
+    assert abs(row.rms - float(np.sqrt((samples.astype(np.float64) ** 2).mean()))) < 1e-12
+
+    png_ish = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "content": [b"\x89PNG\r\n fake"]})
+    )
+    with pytest.raises(Exception, match="Pillow|cv2"):
+        multimodal.decode_images(png_ish, engine="real").collect()
+
+
 def test_contamination_attribution_argmax(spark):
     """The attributed benchmark doc is the one sharing the most n-grams;
     an exact tie attributes to the smaller benchmark id."""
