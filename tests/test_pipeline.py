@@ -1057,6 +1057,51 @@ def test_save_stream_feeds_feature_store(spark, tmp_path, fs):
     }
 
 
+def test_save_stream_checkpoint_restart_exactly_once(spark, tmp_path, fs):
+    """Restarting an availableNow ingest on the SAME checkpoint must
+    process only files that arrived since the last run — batch-1 rows are
+    not re-appended (no duplicate versions), batch-2 rows land."""
+    import pandas as pd
+    from qafs_spark.streaming import save_stream
+
+    fs.create_namespace("ck")
+    fs.create_feature("ck/f")
+    path = fs._path("ck", "f")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "time TIMESTAMP, created_time TIMESTAMP, value DOUBLE"
+
+    def batch(days, created0, vals):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "time": pd.date_range("2021-03-01", periods=days, freq="1D"),
+                    "created_time": pd.date_range(created0, periods=days, freq="1min"),
+                    "value": [float(v) for v in vals],
+                }
+            )
+        )
+
+    batch(3, "2021-06-01", [1, 2, 3]).write.mode("append").parquet(src)
+    save_stream(
+        spark.readStream.schema(schema).parquet(src), path, checkpoint=ckpt
+    ).awaitTermination(120)
+    n1 = spark.read.parquet(path).count()
+    assert n1 == 3
+
+    batch(3, "2021-07-01", [10, 20, 30]).write.mode("append").parquet(src)
+    save_stream(
+        spark.readStream.schema(schema).parquet(src), path, checkpoint=ckpt
+    ).awaitTermination(120)
+    # exactly-once: 3 old + 3 new physical rows, never 3 + 6
+    assert spark.read.parquet(path).count() == 6
+    got = {r["time"]: r["ck/f"] for r in fs.load_features("ck/f").collect()}
+    assert got == {
+        pd.Timestamp("2021-03-01") + pd.Timedelta(days=i): float(v)
+        for i, v in enumerate([10, 20, 30])
+    }
+
+
 def test_jsonl_csv_document_sources(spark, tmp_path):
     """JSONL/CSV corpus ingestion: schema-pinned reads, corrupt-line
     quarantine, parity with the parquet documents shape."""
