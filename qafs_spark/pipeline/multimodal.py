@@ -12,10 +12,11 @@ The Spark-side plumbing — schemas, partitioning, Arrow batch shapes, UDF
 signatures — is real and tested. Codec status by format:
 
 * **REAL decode, pure stdlib/numpy** (no external codec libs needed):
-  WAV audio (:func:`decode_audio`, stdlib ``wave``), uncompressed 24-bit
-  BMP and binary PPM (P6) images (``engine="real"`` in
-  :func:`decode_images`, struct parsing + numpy).
-* **Compressed codecs** (JPEG/PNG/MP4/...) need Pillow/cv2/ffmpeg, which
+  WAV audio (:func:`decode_audio`, stdlib ``wave``), 8-bit non-interlaced
+  PNG (zlib inflate + all five scanline filters + palette), uncompressed
+  24-bit BMP, and binary PPM (P6) (``engine="real"`` in
+  :func:`decode_images`).
+* **Remaining codecs** (JPEG/WebP/MP4/...) need Pillow/cv2/ffmpeg, which
   are not in this container: ``engine="real"`` raises a documented
   ``NotImplementedError`` naming the dependency; the deterministic fake
   (``engine="fake"``) exercises the full distributed path with
@@ -110,17 +111,96 @@ def _decode_ppm(content: bytes) -> np.ndarray:
     return np.frombuffer(pixels, np.uint8).reshape(h, w, 3)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # colortype → raw channels
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Real PNG decode with the stdlib: chunk walk → zlib inflate →
+    scanline unfilter (all five filter types; Sub vectorized as a
+    mod-256 cumsum, Up as row deltas, Average/Paeth as per-byte loops) →
+    palette expansion. Supports bit depth 8, color types 0/2/3/4/6,
+    non-interlaced — i.e. everything a standard encoder emits at 8-bit.
+    Returns (h, w, channels) uint8 (palette expands to RGB)."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos < len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctag = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctag == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctag == b"IDAT":
+            idat.append(data)
+        elif ctag == b"IEND":
+            break
+    if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not handled by the stdlib decoder (depth={depth}, "
+            f"colortype={ctype}, interlace={interlace}) — use Pillow/cv2"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), np.int32)
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] → cumsum mod 256
+            rec = np.cumsum(row.reshape(w, ch), axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (row + prior) % 256
+        elif f == 3:  # Average (left term is sequential; loop per byte)
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + (left + prior[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = prior = rec
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
 def _real_decode(content: bytes) -> np.ndarray:
-    """Dispatch on magic bytes to the stdlib-decodable formats; compressed
-    codecs raise the documented dependency error."""
+    """Dispatch on magic bytes to the stdlib-decodable formats; formats
+    needing external codec libraries raise the documented dependency
+    error."""
     if content[:2] == b"BM":
         return _decode_bmp(content)
     if content[:2] == b"P6":
         return _decode_ppm(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(content)
     raise NotImplementedError(
-        "engine='real' decodes uncompressed BMP/PPM with the stdlib; "
-        "compressed formats (JPEG/PNG/...) require Pillow/cv2, not "
-        "present in this environment"
+        "engine='real' decodes PNG (8-bit, non-interlaced), uncompressed "
+        "BMP, and binary PPM with the stdlib; JPEG/WebP/video formats "
+        "require Pillow/cv2/ffmpeg, not present in this environment"
     )
 
 
@@ -142,10 +222,11 @@ def decode_images(
 ) -> DataFrame:
     """Decode → per-image features, as an Arrow-batched mapInPandas stage.
 
-    engine="real" REALLY decodes uncompressed BMP / binary PPM (stdlib +
-    numpy, :func:`_real_decode`); compressed formats raise the documented
-    dependency error — slot Pillow/cv2 into ``_real_decode`` on a cluster
-    that has them. engine="fake" runs the deterministic FAKEIMG1 path.
+    engine="real" REALLY decodes PNG (8-bit), uncompressed BMP, and binary
+    PPM (stdlib + numpy, :func:`_real_decode`); JPEG/WebP raise the
+    documented dependency error — slot Pillow/cv2 into ``_real_decode`` on
+    a cluster that has them. engine="fake" runs the deterministic FAKEIMG1
+    path.
     """
     out_schema = T.StructType(
         [T.StructField(id_col, T.LongType())] + list(DECODE_SCHEMA.fields)

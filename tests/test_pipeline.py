@@ -537,6 +537,90 @@ def _bmp_bytes(img):
     return bytes(header + info + data)
 
 
+def _png_bytes(img, filters=None, ctype=None):
+    """Test-fixture PNG encoder: 8-bit, non-interlaced, with a CHOSEN
+    filter type per scanline (so the decoder's unfilter paths 0-4 all get
+    exercised) — filtered bytes are computed as the exact inverse of the
+    spec's reconstruction functions."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    ctype = ctype if ctype is not None else {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prior = np.zeros(stride, np.int32)
+    for y in range(h):
+        rec, f = flat[y], filters[y]
+        left = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]]) if stride > ch else np.zeros(stride, np.int32)
+        upleft = np.concatenate([np.zeros(ch, np.int32), prior[:-ch]]) if stride > ch else np.zeros(stride, np.int32)
+        if f == 0:
+            filt = rec
+        elif f == 1:
+            filt = (rec - left) % 256
+        elif f == 2:
+            filt = (rec - prior) % 256
+        elif f == 3:
+            filt = (rec - (left + prior) // 2) % 256
+        else:  # paeth
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft))
+            filt = (rec - pred) % 256
+        out += bytes([f]) + bytes(filt.astype(np.uint8))
+        prior = rec
+
+    def chunk(tag, data):
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decode_png_all_filters(spark):
+    """Stdlib PNG decode: every scanline filter type (None/Sub/Up/Average/
+    Paeth) reconstructs exactly; gray and RGBA channel counts; decode runs
+    distributed through the same mapInPandas stage."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    png_rgb = _png_bytes(rgb, filters=[0, 1, 2, 3, 4])
+    gray = rng.integers(0, 256, size=(3, 6, 1), dtype=np.uint8)
+    png_gray = _png_bytes(gray, filters=[4, 3, 1])
+    rgba = rng.integers(0, 256, size=(4, 2, 4), dtype=np.uint8)
+    png_rgba = _png_bytes(rgba, filters=[2, 4, 1, 3])
+
+    # direct decode parity against the source arrays
+    from qafs_spark.pipeline.multimodal import _decode_png
+
+    assert (_decode_png(png_rgb) == rgb).all()
+    assert (_decode_png(png_gray) == gray).all()
+    assert (_decode_png(png_rgba) == rgba).all()
+
+    # distributed path
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "content": [png_rgb, png_gray, png_rgba]})
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.mean_intensity)
+        for r in multimodal.decode_images(df, engine="real").collect()
+    }
+    assert got == {
+        1: (4, 5, float(rgb.mean())),
+        2: (6, 3, float(gray.mean())),
+        3: (2, 4, float(rgba.mean())),
+    }
+
+
 def test_real_decode_bmp_ppm_wav(spark):
     """engine='real' ACTUALLY decodes uncompressed BMP / P6 PPM / WAV via
     the stdlib — features must match locally computed values exactly; a
@@ -571,11 +655,11 @@ def test_real_decode_bmp_ppm_wav(spark):
     assert row.duration_s == 4 / 8000
     assert abs(row.rms - float(np.sqrt((samples.astype(np.float64) ** 2).mean()))) < 1e-12
 
-    png_ish = spark.createDataFrame(
-        pd.DataFrame({"doc_id": [9], "content": [b"\x89PNG\r\n fake"]})
+    jpeg_ish = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "content": [b"\xff\xd8\xff fake jpeg"]})
     )
     with pytest.raises(Exception, match="Pillow|cv2"):
-        multimodal.decode_images(png_ish, engine="real").collect()
+        multimodal.decode_images(jpeg_ish, engine="real").collect()
 
 
 def test_contamination_attribution_argmax(spark):
