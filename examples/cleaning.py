@@ -102,3 +102,15 @@ emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 cents = [(r.vec_id, r.embedding)
          for r in emb.filter(F.col("vec_id") < 4).collect()]
 topic_cluster_stats(emb, cents).orderBy("cluster_id").show()
+
+# 8. Contamination attribution: not just WHICH docs are dirty but which
+# benchmark doc each one leaked from (most shared 4-grams, ties → lowest)
+from qafs_spark.pipeline.decontam import contamination_attribution
+
+contamination_attribution(corpus, bench, n=4).show(5)
+
+# 9. Vocabulary-coverage audit: how few token types cover how much of the
+# corpus (the Zipf curve a tokenizer-vocab decision reads)
+from qafs_spark.pipeline.text import vocab_coverage
+
+vocab_coverage(docs, "text", "doc_id", k=10).orderBy("rank").show()
