@@ -324,8 +324,14 @@ def resize_images(
     id_col: str = "doc_id",
     engine: str = "fake",
 ) -> DataFrame:
-    """'Resize' each fake-decoded image to target×target via block-mean
-    pooling — stands in for a real resize kernel; same mapInPandas shape."""
+    """Resize each decoded image to target×target (grayscale) via
+    area-average pooling; same mapInPandas shape for both engines.
+
+    engine="real" decodes PNG/BMP/PPM with the stdlib decoders, averages
+    channels to grayscale, and area-pools to the target grid (each output
+    cell averages its — possibly ragged — source block, the standard
+    INTER_AREA downscale); engine="fake" pools the deterministic 8×8
+    FAKEIMG1 image."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
@@ -333,16 +339,27 @@ def resize_images(
         ]
     )
 
+    def pool(img: np.ndarray) -> np.ndarray:
+        if img.ndim == 3:  # channels → grayscale
+            img = img.mean(axis=2)
+        h, w = img.shape
+        ys = np.linspace(0, h, target + 1).astype(int)
+        xs = np.linspace(0, w, target + 1).astype(int)
+        return np.array(
+            [
+                [img[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean() for j in range(target)]
+                for i in range(target)
+            ]
+        )
+
+    decode = _real_decode if engine == "real" else _fake_decode
+
     def runner(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if engine == "real":
-                raise NotImplementedError("Real resize requires codec libs")
             rows = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
-                img = _fake_decode(bytes(content)).astype(np.float64)
-                blk = img.shape[0] // target
-                pooled = img.reshape(target, blk, target, blk).mean(axis=(1, 3))
-                rows.append({id_col: rid, "pixels": pooled.ravel().tolist()})
+                img = decode(bytes(content)).astype(np.float64)
+                rows.append({id_col: rid, "pixels": pool(img).ravel().tolist()})
             yield pd.DataFrame(rows, columns=[id_col, "pixels"])
 
     return df.select(id_col, content_col).mapInPandas(runner, schema=out_schema)

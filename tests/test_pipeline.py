@@ -621,6 +621,18 @@ def test_real_decode_png_all_filters(spark):
     }
 
 
+def test_real_resize_area_pool(spark):
+    """engine='real' resize: a PNG whose left half is 0 and right half is
+    200 pools to a grid whose left columns are 0 and right columns 200."""
+    img = np.zeros((4, 8, 3), np.uint8)
+    img[:, 4:, :] = 200
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "content": [_png_bytes(img)]})
+    )
+    px = multimodal.resize_images(df, target=2, engine="real").collect()[0].pixels
+    assert px == [0.0, 200.0, 0.0, 200.0]
+
+
 def test_real_decode_bmp_ppm_wav(spark):
     """engine='real' ACTUALLY decodes uncompressed BMP / P6 PPM / WAV via
     the stdlib — features must match locally computed values exactly; a
