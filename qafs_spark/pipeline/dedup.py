@@ -183,15 +183,16 @@ def jaccard(a: Column, b: Column) -> Column:
     )
 
 
-def ngram_jaccard_pairs(
+def _shingle_pair_counts(
     df: DataFrame,
     text_col: str,
     id_col: str,
     n: int = 3,
-    threshold: float = 0.5,
     max_doc_frac="auto",
 ) -> DataFrame:
-    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+    """Shared candidate machinery for the exact n-gram similarity family:
+    ``(id_a, id_b, n_a, n_b, inter)`` for every pair sharing >= 1 retained
+    shingle (id_a < id_b).
 
     Shingle-explode + self-equi-join on the shingle hash: candidate pairs
     are generated only where docs actually share a shingle, and the
@@ -263,12 +264,53 @@ def ngram_jaccard_pairs(
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_frac="auto",
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t);
+    see :func:`_shingle_pair_counts` for the candidate machinery and the
+    skew-guard semantics (``max_doc_frac``)."""
+    pairs = _shingle_pair_counts(df, text_col, id_col, n, max_doc_frac)
     jac = F.col("inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("inter")
     ).cast("double")
     return (
         pairs.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_frac="auto",
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT near-dup pairs (Broder '97's asymmetric
+    resemblance): ``containment = |A∩B| / min(|A|, |B|)`` — the smaller
+    document's coverage by the larger. Catches the superset/quotation
+    duplicates symmetric Jaccard structurally misses: a doc fully embedded
+    in a 10× larger doc scores Jaccard ≈ 0.1 but containment 1.0. Same
+    candidate machinery, shuffle profile, and skew guard as
+    :func:`ngram_jaccard_pairs`; same (id_a < id_b) output orientation
+    with a ``containment`` column."""
+    pairs = _shingle_pair_counts(df, text_col, id_col, n, max_doc_frac)
+    cont = F.col("inter").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return (
+        pairs.select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -643,6 +643,34 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "ngram_containment",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES})
+    SELECT id_a, id_b, containment FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+               / CAST(least(any_value(a.n_sh), any_value(b.n_sh)) AS DOUBLE)
+                   AS containment
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) WHERE containment >= 0.6
+    """,
+)
+def q_ngram_containment(spark, sf_dir):
+    """Pipeline: exact word-3-gram CONTAINMENT near-dup pairs (threshold
+    0.6) — Broder's asymmetric measure |A∩B|/min(|A|,|B|): catches the
+    superset/quotation duplicates symmetric Jaccard structurally misses (a
+    doc embedded in a 10× larger one has Jaccard ≈ 0.1, containment 1.0).
+    Same candidate machinery and skew guard as ngram_jaccard;
+    max_doc_frac=None keeps query and oracle semantically identical
+    (pipeline/dedup.py:ngram_containment_pairs)."""
+    return dd.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.6,
+        max_doc_frac=None,
+    )
+
+
+@register(
     "ngram_jaccard_capped",
     # df-capped Jaccard: shingles in > 1% of docs are stop-shingles —
     # excluded from candidate generation AND the similarity itself. The

@@ -448,6 +448,24 @@ def test_bloom_ngram_hits_matches_exact(spark):
         assert got == exact
 
 
+def test_containment_catches_superset_dups(spark):
+    """A short doc fully embedded in a much larger one: Jaccard stays far
+    below any dedup threshold while containment is exactly 1.0 — the case
+    the asymmetric measure exists for."""
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i}" for i in range(60))
+    docs = spark.createDataFrame([(1, small), (2, big)], ["doc_id", "text"])
+    jac = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.0, max_doc_frac=None
+    ).collect()
+    cont = dedup.ngram_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.8, max_doc_frac=None
+    ).collect()
+    assert len(jac) == 1 and jac[0].jaccard < 0.1
+    assert len(cont) == 1 and cont[0].containment == 1.0
+    assert (cont[0].id_a, cont[0].id_b) == (1, 2)
+
+
 def test_vocab_coverage_zipf_audit(spark):
     """Ranks are contiguous in (n DESC, term ASC) order, coverage is
     nondecreasing and ends at exactly 1e6 when k covers the whole
