@@ -1171,6 +1171,60 @@ def test_save_stream_feeds_feature_store(spark, tmp_path, fs):
     }
 
 
+def test_stream_static_decontam_filter(spark, tmp_path):
+    """Stream-static join: a document STREAM is scrubbed against a static
+    benchmark's broadcast gram set micro-batch by micro-batch — the
+    streaming result equals batch decontaminate() on the same data (the
+    static side is re-broadcast per batch by Structured Streaming, so the
+    batch operator composes unchanged)."""
+    import pandas as pd
+    from qafs_spark.pipeline import decontam as dc
+
+    leak = "alpha beta gamma delta epsilon"
+    rows = [
+        (
+            i,
+            " ".join(f"u{i}t{j}" for j in range(6))
+            + (f" {leak}" if i % 5 == 1 else ""),  # docs 1,6,11,16,21 leak
+        )
+        for i in range(24)
+    ]
+    docs_pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    bench = spark.createDataFrame(pd.DataFrame({"doc_id": [100], "text": [leak]}))
+    corpus_pdf = docs_pdf
+
+    src = str(tmp_path / "docs_src")
+    # two files → at least one micro-batch boundary inside the run
+    spark.createDataFrame(corpus_pdf.iloc[:10]).write.mode("append").parquet(src)
+    spark.createDataFrame(corpus_pdf.iloc[10:]).write.mode("append").parquet(src)
+    stream = spark.readStream.option("maxFilesPerTrigger", 1).schema(
+        "doc_id LONG, text STRING"
+    ).parquet(src)
+    out = str(tmp_path / "clean_out")
+
+    def scrub(batch_df, _batch_id):
+        # the UNCHANGED batch operator per micro-batch; per-doc hits need
+        # no cross-batch state (contamination is a per-document property),
+        # so foreachBatch composes it stream-side verbatim
+        dc.decontaminate(batch_df, bench, n=4).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(scrub)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    expect = {
+        r.doc_id
+        for r in dc.decontaminate(
+            spark.createDataFrame(corpus_pdf), bench, n=4
+        ).collect()
+    }
+    assert got == expect and got  # non-trivial and batch-equal
+
+
 def test_save_stream_checkpoint_restart_exactly_once(spark, tmp_path, fs):
     """Restarting an availableNow ingest on the SAME checkpoint must
     process only files that arrived since the last run — batch-1 rows are
