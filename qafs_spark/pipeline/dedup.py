@@ -714,3 +714,91 @@ def cluster_pairs(
         "rounds — the pair graph has a component diameter that large, which "
         "is not a near-dup cluster shape; raise max_converge_iters to force it"
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_tokens: int = 8,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN report — the bounded exact-substring
+    dedup audit (Lee et al. '22 "Deduplicating Training Data Makes
+    Language Models Better" find such spans with a suffix array; the
+    bounded-L formulation is distributable): every maximal run of token
+    positions covered by some ``min_tokens``-gram that occurs in >= 2
+    DISTINCT documents. Output ``(id, span_start, span_end, n_tokens)``
+    with 1-based inclusive token positions; overlapping gram hits merge
+    into one span, strictly disjoint hits stay separate islands.
+
+    Plan shape: one staged projection builds each doc's (pos, gram-hash)
+    struct array (tokenize once, hash inside codegen), posexplode-free
+    explode carries positions; the duplicated-gram set is a
+    map-side-combined ``count_distinct(id) >= 2`` aggregate keyed by hash
+    (the word-count skew profile); hits semi-join that set; the island
+    merge is two windows PARTITIONED BY doc (bounded per-doc work, no
+    global window) + one final per-island aggregate. All hashing is the
+    md5 idiom, so the whole report replays exactly in SQL."""
+    from pyspark.sql import Window
+
+    from . import spread
+
+    L = min_tokens
+    t = tokens(F.col(text_col))
+    s1 = spread(df).select(F.col(id_col).alias("id"), t.alias("_tk"))
+    tk = F.col("_tk")
+    starts = F.sequence(F.lit(1), F.size(tk) - (L - 1))
+    entries = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.conv(
+                F.substring(F.md5(F.array_join(F.slice(tk, i, L), " ")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        ),
+    )
+    s2 = s1.select(
+        "id",
+        F.when(
+            F.size(tk) < L, F.array().cast("array<struct<pos:int,h:bigint>>")
+        )
+        .otherwise(entries)
+        .alias("_e"),
+    )
+    occ = s2.select("id", F.explode("_e").alias("e")).select(
+        "id", F.col("e.pos").alias("pos"), F.col("e.h").alias("h")
+    )
+    hot = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = occ.join(hot, "h", "leftsemi").select(
+        "id", "pos", (F.col("pos") + F.lit(L - 1)).alias("e")
+    )
+    w = Window.partitionBy("id").orderBy("pos", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hits.withColumn(
+        "ni",
+        F.when(F.col("pos") > F.coalesce(prev_max, F.lit(-1)), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    islands = marked.withColumn(
+        "isl", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("id", "isl")
+        .agg(F.min("pos").alias("__s"), F.max("e").alias("__e"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("__s").cast("long").alias("span_start"),
+            F.col("__e").cast("long").alias("span_end"),
+            (F.col("__e") - F.col("__s") + 1).cast("long").alias("n_tokens"),
+        )
+    )

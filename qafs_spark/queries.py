@@ -643,6 +643,56 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "duplicated_spans",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    occ AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS pos,
+               ('0x' || substr(md5(array_to_string(
+                    t[CAST(i AS INTEGER):CAST(i AS INTEGER)+7], ' ')), 1, 8)
+               )::BIGINT AS h
+        FROM tok, UNNEST(range(1, len(t) - 6)) AS u(i)
+        WHERE len(t) >= 8
+    ),
+    hot AS (SELECT h FROM occ GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (SELECT doc_id, pos, pos + 7 AS e FROM occ
+             WHERE h IN (SELECT h FROM hot)),
+    marked AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN pos > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1) THEN 1 ELSE 0 END AS ni
+        FROM hits
+    ),
+    islands AS (
+        SELECT doc_id, pos, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS isl
+        FROM marked
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(pos) + 1 AS BIGINT) AS n_tokens
+    FROM islands GROUP BY doc_id, isl
+    """,
+)
+def q_duplicated_spans(spark, sf_dir):
+    """Pipeline: cross-document duplicated-span report (bounded
+    exact-substring dedup audit, Lee et al. '22 shape) — maximal token
+    intervals covered by 8-grams occurring in >= 2 distinct docs. Hot-gram
+    set via map-side-combined count_distinct; island merge via per-doc
+    windows (no global window); positions 1-based inclusive
+    (pipeline/dedup.py:duplicated_spans)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return dd.duplicated_spans(docs, "text", "doc_id", min_tokens=8)
+
+
+@register(
     "ngram_containment",
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES})

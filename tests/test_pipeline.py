@@ -448,6 +448,25 @@ def test_bloom_ngram_hits_matches_exact(spark):
         assert got == exact
 
 
+def test_duplicated_spans_positions_and_merge(spark):
+    """Known geometry: a 10-token run shared by docs 1 and 2 produces one
+    MERGED span at the exact token offsets in each doc (three overlapping
+    8-gram hits collapse to one island); doc 3 shares nothing and is
+    absent."""
+    shared = " ".join(f"s{j}" for j in range(10))     # 10 shared tokens
+    d1 = shared + " " + " ".join(f"a{j}" for j in range(5))   # at pos 1-10
+    d2 = " ".join(f"b{j}" for j in range(4)) + " " + shared   # at pos 5-14
+    d3 = " ".join(f"c{j}" for j in range(20))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in dedup.duplicated_spans(docs, "text", "doc_id", 8).collect()
+    }
+    assert got == {(1, 1, 10, 10), (2, 5, 14, 10)}
+
+
 def test_containment_catches_superset_dups(spark):
     """A short doc fully embedded in a much larger one: Jaccard stays far
     below any dedup threshold while containment is exactly 1.0 — the case
