@@ -728,8 +728,11 @@ def duplicated_spans(
     bounded-L formulation is distributable): every maximal run of token
     positions covered by some ``min_tokens``-gram that occurs in >= 2
     DISTINCT documents. Output ``(id, span_start, span_end, n_tokens)``
-    with 1-based inclusive token positions; overlapping gram hits merge
-    into one span, strictly disjoint hits stay separate islands.
+    with 1-based inclusive token positions; overlapping AND touching gram
+    hits merge into one span (a hit starting at ``prev_end + 1`` extends
+    the current island — the covered token run is contiguous), so only a
+    genuine coverage gap starts a new island. That matches the "maximal
+    covered run" framing exactly.
 
     Plan shape: one staged projection builds each doc's (pos, gram-hash)
     struct array (tokenize once, hash inside codegen), posexplode-free
@@ -785,9 +788,9 @@ def duplicated_spans(
     prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     marked = hits.withColumn(
         "ni",
-        F.when(F.col("pos") > F.coalesce(prev_max, F.lit(-1)), F.lit(1)).otherwise(
-            F.lit(0)
-        ),
+        F.when(
+            F.col("pos") > F.coalesce(prev_max, F.lit(-2)) + 1, F.lit(1)
+        ).otherwise(F.lit(0)),
     )
     islands = marked.withColumn(
         "isl", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))

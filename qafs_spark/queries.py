@@ -665,7 +665,7 @@ def q_ngram_jaccard(spark, sf_dir):
                CASE WHEN pos > coalesce(max(e) OVER (
                         PARTITION BY doc_id ORDER BY pos, e
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                    ), -1) THEN 1 ELSE 0 END AS ni
+                    ), -2) + 1 THEN 1 ELSE 0 END AS ni
         FROM hits
     ),
     islands AS (
@@ -684,7 +684,8 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_duplicated_spans(spark, sf_dir):
     """Pipeline: cross-document duplicated-span report (bounded
     exact-substring dedup audit, Lee et al. '22 shape) — maximal token
-    intervals covered by 8-grams occurring in >= 2 distinct docs. Hot-gram
+    intervals covered by 8-grams occurring in >= 2 distinct docs
+    (touching hits merge: only a coverage GAP starts a new span). Hot-gram
     set via map-side-combined count_distinct; island merge via per-doc
     windows (no global window); positions 1-based inclusive
     (pipeline/dedup.py:duplicated_spans)."""

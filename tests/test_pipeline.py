@@ -467,6 +467,23 @@ def test_duplicated_spans_positions_and_merge(spark):
     assert got == {(1, 1, 10, 10), (2, 5, 14, 10)}
 
 
+def test_duplicated_spans_touching_hits_merge(spark):
+    """Touching-but-non-overlapping hot grams cover a CONTIGUOUS token run
+    and must merge into one maximal span: doc 1 carries two duplicated
+    8-grams at positions 1 and 9 (the straddling grams are unique to it),
+    so its covered run 1-16 reports as a single span, not two."""
+    xg = " ".join(f"x{j}" for j in range(8))
+    yg = " ".join(f"y{j}" for j in range(8))
+    docs = spark.createDataFrame(
+        [(1, xg + " " + yg), (2, xg), (3, yg)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in dedup.duplicated_spans(docs, "text", "doc_id", 8).collect()
+    }
+    assert got == {(1, 1, 16, 16), (2, 1, 8, 8), (3, 1, 8, 8)}
+
+
 def test_containment_catches_superset_dups(spark):
     """A short doc fully embedded in a much larger one: Jaccard stays far
     below any dedup threshold while containment is exactly 1.0 — the case
@@ -668,6 +685,44 @@ def test_real_resize_area_pool(spark):
     )
     px = multimodal.resize_images(df, target=2, engine="real").collect()[0].pixels
     assert px == [0.0, 200.0, 0.0, 200.0]
+
+
+def test_ppm_header_positional_parse():
+    """P6 whose FIRST PIXEL BYTE is ASCII whitespace (0x20) must decode
+    exactly — the header parse takes pixel data from exactly one
+    whitespace byte after maxval, never swallowing pixel bytes as
+    separators; malformed/truncated headers raise ValueError (not
+    IndexError), as does a short pixel buffer."""
+    import pytest
+
+    from qafs_spark.pipeline.multimodal import _decode_ppm
+
+    img = np.full((1, 2, 3), 7, np.uint8)
+    img[0, 0, 0] = 0x20  # first pixel byte is a space
+    ppm = b"P6 2 1 255\n" + bytes(img.reshape(-1))
+    assert (_decode_ppm(ppm) == img).all()
+    # multi-whitespace runs between header fields are still fine
+    assert (_decode_ppm(b"P6\n  2\t1\n 255\n" + bytes(img.reshape(-1))) == img).all()
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6 2 1")  # truncated header
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P6 2 1 255\n" + b"\x00" * 5)  # short pixel buffer
+    with pytest.raises(ValueError):
+        _decode_ppm(b"P5 2 1 255\n" + b"\x00" * 6)  # wrong magic
+
+
+def test_resize_smaller_than_target_no_nan(spark):
+    """An image smaller than the target grid nearest-upsamples first, so
+    every output cell is a defined value (the old linspace blocks produced
+    empty slices → silent NaN pixels)."""
+    img = np.zeros((2, 2, 3), np.uint8)
+    img[:, 1, :] = 100  # left column 0, right column 100
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "content": [_png_bytes(img)]})
+    )
+    px = multimodal.resize_images(df, target=4, engine="real").collect()[0].pixels
+    assert not any(np.isnan(px))
+    assert px == [0.0, 0.0, 100.0, 100.0] * 4
 
 
 def test_real_decode_bmp_ppm_wav(spark):
