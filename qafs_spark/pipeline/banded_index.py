@@ -1,0 +1,385 @@
+"""Band-partitioned persisted MinHash index: per-batch cost scales with
+the BATCH, never with the corpus.
+
+:mod:`incremental` closes the re-tokenization problem (each document is
+tokenized once in its lifetime) but still touches the whole stored index
+per batch twice: it re-derives band keys by mapping over every stored
+signature, and (guard on) aggregates band counts over the entire index.
+At a 1B-document index that is hundreds of GB of signature reads per
+arrival. This module persists what those two passes compute:
+
+- ``bands/``  — (id, band) rows, **partitioned by a band-hash prefix**
+  (``band_pfx = pmod(xxhash64(band), num_partitions)``). A batch's band
+  set covers a bounded set of prefixes, so the candidate probe reads only
+  the matching partition directories — partition pruning, not an index
+  scan. Band keys are derived once, at index time.
+- ``band_counts/`` — (band, cnt) delta rows, same partitioning. The
+  oversized-bucket guard reads ONLY the batch's band partitions and
+  aggregates after a broadcast semi-join to the batch's bands, replacing
+  the index-wide count aggregate.
+- ``docs/`` — (id, sig, sh) rows partitioned by ``id_pfx`` so the
+  exact-Jaccard verify reads only the partitions holding candidate ids.
+
+Every dataset is ALSO partitioned by ``batch_id`` at the top level, each
+batch written with ``mode("overwrite")`` into its own
+``batch_id=N`` directory. That makes the sink **exactly-once under
+foreachBatch replay**: a replayed micro-batch overwrites its own
+directories with identical content (probe reads exclude the in-flight
+batch_id, so a partially-written previous attempt cannot perturb the pair
+set), and a completed batch is skipped outright via the ``_SUCCESS``
+marker of its last-written dataset. No scrubs, no MERGE-capable table
+format needed.
+
+Pair-set parity: for the same (n, num_hashes, num_bands, seed, threshold,
+max_band_size) this path is bit-equal to
+:func:`incremental.incremental_minhash_dedup` — asserted by tests. The
+guard is equivalent because a band can only produce candidates when it
+appears in the batch, and for those bands old+new counts are identical to
+the index-wide aggregate's.
+
+Driver-side work per batch is bounded by ``num_partitions`` (two
+prefix-set collects of <= num_partitions rows), never by data size.
+
+Reference parity note: the reference has no incremental tier at all (its
+dedup is whole-corpus pandas/dask); this is the 100 TB extension surface.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import storage as fs_storage
+from .dedup import DEFAULT_MAX_BAND_SIZE, lsh_band_keys
+from .incremental import minhash_index
+
+
+class BandedMinHashIndex:
+    """Persisted, band-partitioned MinHash dedup index rooted at ``root``.
+
+    Layout (all parquet)::
+
+        root/docs/batch_id=N/id_pfx=K/        (id, sig, sh)
+        root/bands/batch_id=N/band_pfx=K/     (id, band)
+        root/band_counts/batch_id=N/band_pfx=K/  (band, cnt)
+        root/pairs/batch_id=N/                (id_a, id_b, jaccard)
+        root/meta/                            one config row (validated)
+
+    ``n``/``num_hashes``/``num_bands``/``seed``/``num_partitions`` must be
+    identical across the index's lifetime (signatures are only comparable
+    under identical hashing; prefixes only prune under one modulus) — the
+    ``meta`` row pins them and :meth:`apply_batch` refuses a mismatch.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n: int = 3,
+        num_hashes: int = 32,
+        num_bands: int = 8,
+        seed: int = 42,
+        num_partitions: int = 32,
+    ) -> None:
+        if num_hashes % num_bands != 0:
+            raise ValueError("num_bands must divide num_hashes")
+        self.spark = spark
+        self.root = root
+        self.n = n
+        self.num_hashes = num_hashes
+        self.num_bands = num_bands
+        self.seed = seed
+        self.num_partitions = num_partitions
+        j = fs_storage.join
+        self.docs_path = j(root, "docs")
+        self.bands_path = j(root, "bands")
+        self.counts_path = j(root, "band_counts")
+        self.pairs_path = j(root, "pairs")
+        self.meta_path = j(root, "meta")
+        self._persisted: list[DataFrame] = []
+
+    # -- config pinning ----------------------------------------------------
+
+    def _config(self) -> dict:
+        return {
+            "n": self.n,
+            "num_hashes": self.num_hashes,
+            "num_bands": self.num_bands,
+            "seed": self.seed,
+            "num_partitions": self.num_partitions,
+        }
+
+    def _check_meta(self) -> None:
+        if fs_storage.path_exists(self.spark, self.meta_path):
+            stored = json.loads(
+                self.spark.read.parquet(self.meta_path).first()["config"]
+            )
+            if stored != self._config():
+                raise ValueError(
+                    f"index at {self.root} was built with {stored}, "
+                    f"got {self._config()} — hashing/partitioning params are "
+                    "immutable for an index's lifetime"
+                )
+        else:
+            self.spark.createDataFrame(
+                [(json.dumps(self._config()),)], "config string"
+            ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _pfx(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.num_partitions))
+
+    def _banded(self, index_rows: DataFrame) -> DataFrame:
+        rpb = self.num_hashes // self.num_bands
+        return index_rows.select(
+            "id",
+            F.explode(
+                lsh_band_keys(F.col("sig"), self.num_bands, rpb)
+            ).alias("band"),
+        )
+
+    def _read_pruned(
+        self,
+        path: str,
+        pfx_col: str,
+        pfxs: list,
+        exclude_batch_id: Optional[int],
+        empty_like: DataFrame,
+        cols: list,
+    ) -> DataFrame:
+        """Read a partitioned dataset restricted to the given prefix set
+        (partition pruning — only matching directories are listed/read)
+        and excluding the in-flight batch's own directory."""
+        if not fs_storage.path_exists(self.spark, path) or not pfxs:
+            return empty_like.select(*cols).limit(0)
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:
+            # dirs whose batches were all empty hold no part files, so
+            # schema inference fails — semantically an empty dataset
+            return empty_like.select(*cols).limit(0)
+        # partition dirs read back as strings (type inference is off)
+        df = df.filter(F.col(pfx_col).isin([str(p) for p in pfxs]))
+        if exclude_batch_id is not None:
+            df = df.filter(F.col("batch_id") != str(exclude_batch_id))
+        return df.select(*cols)
+
+    # -- core --------------------------------------------------------------
+
+    def dedup_batch(
+        self,
+        new_docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        max_band_size: Optional[int] = DEFAULT_MAX_BAND_SIZE,
+        exclude_batch_id: Optional[int] = None,
+        broadcast_new: bool = True,
+    ) -> Tuple[DataFrame, DataFrame]:
+        """Near-dup pairs touching the batch + the batch's index rows.
+
+        Same contract and pair set as
+        :func:`incremental.incremental_minhash_dedup` (batch ids disjoint
+        from stored ids; pairs exact-verified, id_a < id_b), but every
+        index read is partition-pruned:
+
+        1. the batch's band-prefix set (<= ``num_partitions`` values) is
+           collected once, driver-side — bounded, never data-sized;
+        2. stored (id, band) rows are read ONLY from those partitions and
+           equi-joined against the (broadcast) batch bands;
+        3. the guard's stored counts come from the same pruned partitions,
+           semi-joined to the batch's bands BEFORE aggregating;
+        4. the verify reads ``docs/`` only at the candidate ids' id-prefix
+           partitions.
+
+        The returned frames hold persisted intermediates; call
+        :meth:`unpersist_intermediates` when done (``apply_batch`` does).
+        """
+        new_rows = minhash_index(
+            new_docs, text_col, id_col, self.n, self.num_hashes, self.seed
+        ).persist()
+        self._persisted.append(new_rows)
+        nb = self._banded(new_rows).withColumn("band_pfx", self._pfx(F.col("band")))
+        batch_pfx = [r[0] for r in nb.select("band_pfx").distinct().collect()]
+
+        ob = self._read_pruned(
+            self.bands_path, "band_pfx", batch_pfx, exclude_batch_id,
+            empty_like=nb, cols=["id", "band"],
+        )
+        nb_g = nb.select("id", "band")
+        if max_band_size is not None:
+            nb_counts = nb_g.groupBy("band").agg(
+                F.count(F.lit(1)).alias("bn_new")
+            )
+            stored = (
+                self._read_pruned(
+                    self.counts_path, "band_pfx", batch_pfx, exclude_batch_id,
+                    empty_like=nb_counts.select(
+                        "band", F.col("bn_new").alias("cnt")
+                    ),
+                    cols=["band", "cnt"],
+                )
+                .join(F.broadcast(nb_counts.select("band")), "band", "leftsemi")
+                .groupBy("band")
+                .agg(F.sum("cnt").alias("bn_old"))
+            )
+            big = (
+                nb_counts.join(stored, "band", "left")
+                .select(
+                    "band",
+                    (
+                        F.coalesce(F.col("bn_old"), F.lit(0)) + F.col("bn_new")
+                    ).alias("bn"),
+                )
+                .filter(F.col("bn") > max_band_size)
+                .select("band")
+            )
+            # the old side needs no anti-join: an old row only produces a
+            # candidate through a band present in the (guarded) batch side
+            nb_g = nb_g.join(F.broadcast(big), "band", "left_anti")
+        ab = ob.unionByName(nb_g)
+        rhs = F.broadcast(nb_g.alias("b")) if broadcast_new else nb_g.alias("b")
+        cand = (
+            ab.alias("a")
+            .join(
+                rhs,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+            .persist()
+        )
+        self._persisted.append(cand)
+        id_pfx = [
+            r[0]
+            for r in cand.select(self._pfx(F.col("id_a")).alias("p"))
+            .union(cand.select(self._pfx(F.col("id_b"))))
+            .distinct()
+            .collect()
+        ]
+        old_sh = self._read_pruned(
+            self.docs_path, "id_pfx", id_pfx, exclude_batch_id,
+            empty_like=new_rows, cols=["id", "sh"],
+        )
+        sh_all = old_sh.unionByName(new_rows.select("id", "sh"))
+        verif = (
+            cand.join(
+                sh_all.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+                "id_a",
+            ).join(
+                sh_all.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+                "id_b",
+            )
+        )
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast(
+            "double"
+        )
+        union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        pairs = verif.select(
+            "id_a", "id_b", (inter / union).alias("jaccard")
+        ).filter(F.col("jaccard") >= threshold)
+        return pairs, new_rows
+
+    def unpersist_intermediates(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
+
+    # -- exactly-once batch application ------------------------------------
+
+    def batch_applied(self, batch_id: int) -> bool:
+        """A batch is durably applied iff its LAST-written dataset
+        (band_counts) committed — the _SUCCESS marker doubles as the
+        exactly-once watermark, so no separate marker file is needed."""
+        return fs_storage.path_exists(
+            self.spark,
+            fs_storage.join(
+                self.counts_path, f"batch_id={int(batch_id)}", "_SUCCESS"
+            ),
+        )
+
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        threshold: float = 0.5,
+        max_band_size: Optional[int] = DEFAULT_MAX_BAND_SIZE,
+        broadcast_new: bool = True,
+    ) -> bool:
+        """Dedup ``batch`` against index + itself and commit its outputs,
+        exactly once. Returns False (no-op) for an already-applied batch.
+
+        Write order: pairs, docs, bands, band_counts — band_counts last, so
+        its _SUCCESS marker implies every other dataset committed. All
+        writes overwrite the batch's own ``batch_id=N`` directory, and all
+        probe reads exclude it, so a replay after any partial failure
+        reproduces identical output.
+        """
+        if self.batch_applied(batch_id):
+            return False
+        self._check_meta()
+        j = fs_storage.join
+        bdir = f"batch_id={int(batch_id)}"
+        pairs, new_rows = self.dedup_batch(
+            batch, text_col, id_col, threshold, max_band_size,
+            exclude_batch_id=int(batch_id), broadcast_new=broadcast_new,
+        )
+        try:
+            pairs.write.mode("overwrite").parquet(j(self.pairs_path, bdir))
+            (
+                new_rows.withColumn("id_pfx", self._pfx(F.col("id")))
+                .repartition(F.col("id_pfx"))
+                .write.partitionBy("id_pfx")
+                .mode("overwrite")
+                .parquet(j(self.docs_path, bdir))
+            )
+            nb = self._banded(new_rows).withColumn(
+                "band_pfx", self._pfx(F.col("band"))
+            )
+            (
+                nb.repartition(F.col("band_pfx"))
+                .sortWithinPartitions("band")  # row-group locality for probes
+                .write.partitionBy("band_pfx")
+                .mode("overwrite")
+                .parquet(j(self.bands_path, bdir))
+            )
+            (
+                nb.groupBy("band", "band_pfx")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .repartition(F.col("band_pfx"))
+                .write.partitionBy("band_pfx")
+                .mode("overwrite")
+                .parquet(j(self.counts_path, bdir))
+            )
+        finally:
+            self.unpersist_intermediates()
+        return True
+
+    # -- readers -----------------------------------------------------------
+
+    def pairs(self) -> DataFrame:
+        """Accumulated (id_a, id_b, jaccard, batch_id) over all applied
+        batches (empty long-id frame if no batch ever produced a pair)."""
+        try:
+            df = self.spark.read.parquet(self.pairs_path)
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, jaccard double, batch_id long"
+            )
+        return df.select(
+            "id_a", "id_b", "jaccard", F.col("batch_id").cast("long").alias("batch_id")
+        )
+
+    def doc_rows(self) -> DataFrame:
+        """All stored (id, sig, sh) rows (full scan — audits only)."""
+        return self.spark.read.parquet(self.docs_path).select("id", "sig", "sh")

@@ -901,6 +901,110 @@ def q_stream_incremental_dedup(spark, sf_dir):
     return spark.read.parquet(pairs_path).select("id_a", "id_b", "jaccard")
 
 
+@register(
+    "banded_incremental_dedup",
+    # Identical oracle to incremental_dedup: the band-partitioned index is
+    # proven bit-equal to the flat incremental path (parity test), and both
+    # exact-verify candidates under deterministic signatures.
+    oracle=f"""
+    WITH sh AS ({{shingles}})
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+               / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    """.format(shingles=_SQL_SHINGLES),
+)
+def q_banded_incremental_dedup(spark, sf_dir):
+    """Pipeline: continuous-ingestion dedup against the BAND-PARTITIONED
+    persisted index (pipeline/banded_index.py) — band keys and per-band
+    counts are persisted at index time and every probe read is
+    partition-pruned to the batch's band/id prefix set, so per-batch cost
+    scales with the batch, never the corpus. 80% of the corpus is applied
+    as batch 0; the remaining 20% dedups against it. Pair set bit-equal to
+    incremental_dedup (parity-tested)."""
+    import tempfile
+
+    from .pipeline.banded_index import BandedMinHashIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = BandedMinHashIndex(
+        spark, tempfile.mkdtemp(prefix="qafs_bandedix_"),
+        n=3, num_hashes=32, num_bands=16, num_partitions=32,
+    )
+    idx.apply_batch(
+        old, 0, text_col="text", id_col="doc_id",
+        threshold=0.5, max_band_size=None,  # exact mode — oracle replays unguarded
+    )
+    pairs, _ = idx.dedup_batch(
+        new, "text", "doc_id", threshold=0.5, max_band_size=None,
+    )
+    return pairs
+
+
+@register(
+    "stream_banded_dedup",
+    # Same oracle as stream_incremental_dedup: the accumulated pairs log
+    # over all micro-batches is the complete batch pair set; the banded
+    # sink additionally commits each batch exactly once.
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES})
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+               / CAST(any_value(a.n_sh) + any_value(b.n_sh) - count(*) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q_stream_banded_dedup(spark, sf_dir):
+    """Streaming: the corpus arrives as 3 micro-batches through the
+    EXACTLY-ONCE band-partitioned dedup sink (streaming/dedup_lsh.py:
+    streaming_banded_dedup) — per batch, partition-pruned probes against
+    the persisted banded index, outputs committed idempotently into
+    batch_id=N directories. The accumulated pairs log must equal the batch
+    operator's full pair set."""
+    import os
+    import tempfile
+
+    from .pipeline.banded_index import BandedMinHashIndex
+    from .streaming.dedup_lsh import streaming_banded_dedup
+
+    root = tempfile.mkdtemp(prefix="qafs_bandedstream_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    docs = _t(spark, sf_dir, "documents")
+    for k in range(3):
+        staged = os.path.join(root, f"stage{k}")
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ix_root = os.path.join(root, "ix")
+    q = streaming_banded_dedup(
+        stream, ix_root, os.path.join(root, "ckpt"),
+        n=3, num_hashes=32, num_bands=16, threshold=0.5,
+        max_band_size=None, num_partitions=32,
+    )
+    q.awaitTermination(300)
+    return BandedMinHashIndex(
+        spark, ix_root, n=3, num_hashes=32, num_bands=16, num_partitions=32
+    ).pairs().select("id_a", "id_b", "jaccard")
+
+
 def _sql_simhash() -> str:
     return """
     WITH tok AS (

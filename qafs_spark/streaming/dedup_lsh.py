@@ -99,3 +99,61 @@ def streaming_minhash_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_banded_dedup(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_band_size: Optional[int] = DEFAULT_MAX_BAND_SIZE,
+    num_partitions: int = 32,
+    trigger_available_now: bool = True,
+):
+    """Exactly-once streaming near-dup detection over a band-partitioned
+    index (:class:`pipeline.banded_index.BandedMinHashIndex`).
+
+    Improvements over :func:`streaming_minhash_dedup`:
+
+    - **exactly-once**: each micro-batch commits into its own
+      ``batch_id=N`` partition directories with overwrite semantics and an
+      applied-marker check, so foreachBatch replays are no-ops (completed
+      batch) or byte-identical re-commits (partially-written batch) —
+      asserted by the kill-and-replay test;
+    - **per-batch cost scales with the batch, not the corpus**: band keys
+      and band counts are persisted at index time and every probe read is
+      partition-pruned to the batch's band/id prefix set, replacing the
+      O(index) signature map + index-wide count aggregate.
+
+    Index + pairs live under ``root`` (``root/pairs`` accumulates
+    (id_a, id_b, jaccard, batch_id)); read them back via the
+    ``BandedMinHashIndex`` constructed with the same parameters.
+    """
+    from ..pipeline.banded_index import BandedMinHashIndex
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        index = BandedMinHashIndex(
+            batch.sparkSession, root, n=n, num_hashes=num_hashes,
+            num_bands=num_bands, seed=seed, num_partitions=num_partitions,
+        )
+        index.apply_batch(
+            batch, batch_id, text_col=text_col, id_col=id_col,
+            threshold=threshold, max_band_size=max_band_size,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -2631,6 +2631,161 @@ def test_streaming_minhash_dedup_accumulates_batch_result(spark, tmp_path):
     )
 
 
+def test_banded_index_matches_incremental(inc_corpus, tmp_path):
+    """The band-partitioned index's pair set must be bit-equal to
+    incremental_minhash_dedup's — in exact mode AND with the oversized-
+    bucket guard firing (counts from the persisted per-band metadata must
+    reproduce the index-wide aggregate's decisions)."""
+    from qafs_spark.pipeline import incremental
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    old = inc_corpus.filter(F.col("doc_id") % 2 == 0)
+    new = inc_corpus.filter(F.col("doc_id") % 2 == 1)
+    for cap, sub in [(None, "exact"), (2, "guarded")]:
+        idx = BandedMinHashIndex(
+            inc_corpus.sparkSession, str(tmp_path / sub),
+            n=3, num_hashes=32, num_bands=16, num_partitions=8,
+        )
+        assert idx.apply_batch(
+            old, 0, text_col="text", id_col="doc_id",
+            threshold=0.3, max_band_size=cap,
+        )
+        got, _ = idx.dedup_batch(
+            new, "text", "doc_id", threshold=0.3, max_band_size=cap,
+        )
+        flat = incremental.minhash_index(old, "text", "doc_id", n=3, num_hashes=32)
+        want, _ = incremental.incremental_minhash_dedup(
+            new, flat, "text", "doc_id", n=3, num_hashes=32, num_bands=16,
+            threshold=0.3, max_band_size=cap,
+        )
+        assert _pairset(got) == _pairset(want), sub
+        assert _pairset(want)  # fixture must exercise the path
+        idx.unpersist_intermediates()
+
+
+def test_banded_apply_batch_exactly_once(inc_corpus, tmp_path):
+    """Replay semantics: a completed batch re-applies as a no-op; a batch
+    whose commit was cut short (applied-marker dataset missing) re-applies
+    to byte-identical state — no duplicate index rows or pairs either
+    way."""
+    import shutil
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    idx = BandedMinHashIndex(
+        inc_corpus.sparkSession, str(tmp_path / "ix"),
+        n=3, num_hashes=32, num_bands=16, num_partitions=8,
+    )
+    b0 = inc_corpus.filter(F.col("doc_id") % 2 == 0)
+    b1 = inc_corpus.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(text_col="text", id_col="doc_id", threshold=0.3, max_band_size=None)
+    assert idx.apply_batch(b0, 0, **kw)
+    assert idx.apply_batch(b1, 1, **kw)
+    pairs1 = sorted(map(tuple, idx.pairs().collect()))
+    docs1 = sorted(r["id"] for r in idx.doc_rows().collect())
+    assert pairs1 and docs1
+
+    # replay of a COMPLETED batch: marker present -> no-op
+    assert not idx.apply_batch(b1, 1, **kw)
+    assert sorted(map(tuple, idx.pairs().collect())) == pairs1
+
+    # replay of a PARTIALLY-committed batch: drop the applied marker
+    # (band_counts is written last, so its absence means "incomplete")
+    shutil.rmtree(str(tmp_path / "ix" / "band_counts" / "batch_id=1"))
+    assert not idx.batch_applied(1)
+    assert idx.apply_batch(b1, 1, **kw)
+    assert sorted(map(tuple, idx.pairs().collect())) == pairs1
+    assert sorted(r["id"] for r in idx.doc_rows().collect()) == docs1
+
+
+def test_banded_index_refuses_config_drift(spark, tmp_path):
+    """Hashing/partitioning params are pinned by the meta row — an index
+    opened with different params must refuse to apply batches (signatures
+    would be incomparable, prefixes would stop pruning)."""
+    import pytest as _pytest
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    root = str(tmp_path / "ix")
+    BandedMinHashIndex(spark, root, num_bands=16).apply_batch(docs, 0)
+    with _pytest.raises(ValueError, match="immutable"):
+        BandedMinHashIndex(spark, root, num_bands=8).apply_batch(
+            docs.withColumn("doc_id", F.col("doc_id") + 10), 1
+        )
+
+
+def test_banded_streaming_equals_batch(spark, tmp_path):
+    """streaming_banded_dedup across 3 micro-batches accumulates exactly
+    the batch operator's pair set (same invariant as the flat streaming
+    sink), with each pair appearing once."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from qafs_spark.pipeline import dedup
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+    from qafs_spark.streaming.dedup_lsh import streaming_banded_dedup
+
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(24)]
+    base = docs[4][1]
+    mutate = lambda k: " ".join(
+        t if j % k else rng.choice(vocab) for j, t in enumerate(base.split())
+    )
+    docs += [(30, mutate(8)), (31, mutate(8)), (32, base), (33, "x y")]
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+
+    def mk(rows, name, mtime):
+        p = str(src / name)
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        ).coalesce(1).write.mode("overwrite").parquet(p + ".dir")
+        part = next(f for f in os.listdir(p + ".dir") if f.endswith(".parquet"))
+        os.rename(os.path.join(p + ".dir", part), p)
+        os.utime(p, (mtime, mtime))
+
+    mk(docs[:8] + [docs[24]], "b1.parquet", 1_700_000_000)
+    mk(docs[8:16] + [docs[25], docs[27]], "b2.parquet", 1_700_000_100)
+    mk(docs[16:24] + [docs[26]], "b3.parquet", 1_700_000_200)
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "banded_ix")
+    q = streaming_banded_dedup(
+        stream, root, str(tmp_path / "ckpt"),
+        n=3, num_hashes=32, num_bands=16, threshold=0.3, max_band_size=None,
+        num_partitions=8,
+    )
+    q.awaitTermination(180)
+
+    all_docs = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    want = _pairset(
+        dedup.minhash_lsh_dedup(
+            all_docs, "text", "doc_id", n=3, num_hashes=32, num_bands=16,
+            threshold=0.3, max_band_size=None,
+        )
+    )
+    idx = BandedMinHashIndex(
+        spark, root, n=3, num_hashes=32, num_bands=16, num_partitions=8
+    )
+    got_rows = idx.pairs().collect()
+    got = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in got_rows}
+    assert got == want and want
+    assert len(got_rows) == len(got)  # exactly once per pair
+    idx_ids = [r["id"] for r in idx.doc_rows().collect()]
+    assert sorted(idx_ids) == sorted(i for i, t in docs if len(t.split()) >= 3)
+
+
 def test_cluster_representative_selection_by_quality(spark):
     """Survivor selection keeps the HIGHEST-quality member of each near-dup
     cluster, tie-breaking on lowest id — the argmax-by-(quality, -id)

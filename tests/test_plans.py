@@ -540,3 +540,64 @@ def test_dsir_model_broadcasts_topk_is_take_ordered(spark):
     plan = _physical(sp.dsir_select(docs, target, k=5))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_banded_probe_prunes_band_partitions(spark, tmp_path):
+    """The banded index's candidate probe must be PARTITION-PRUNED: a
+    small batch's band/id prefix sets appear as PartitionFilters in the
+    pairs plan, and the pruned bands read touches only the directories
+    matching the batch's prefixes — never the whole index."""
+    import random
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(80)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    # 32 prefixes >> 16 bands: a 1-doc batch covers at most 16 prefixes,
+    # so pruning is structurally guaranteed, not luck
+    idx = BandedMinHashIndex(
+        spark, str(tmp_path / "ix"), n=3, num_hashes=32, num_bands=16,
+        num_partitions=32,
+    )
+    idx.apply_batch(docs, 0, threshold=0.3, max_band_size=None)
+    # clone of an old doc: guarantees candidates, hence a verify-side read
+    new = spark.createDataFrame(
+        [(1000, docs.filter(F.col("doc_id") == 7).first()["text"])],
+        ["doc_id", "text"],
+    )
+    pairs, _ = idx.dedup_batch(new, threshold=0.3, max_band_size=None)
+    assert pairs.count() >= 1
+    pf = ", ".join(partition_filters(pairs))
+    assert "band_pfx" in pf and "id_pfx" in pf
+
+    # the pruned read's file set stays inside the batch's prefix dirs
+    nb = idx._banded(
+        __import__(
+            "qafs_spark.pipeline.incremental", fromlist=["minhash_index"]
+        ).minhash_index(new, "text", "doc_id", 3, 32, 42)
+    ).withColumn("band_pfx", idx._pfx(F.col("band")))
+    batch_pfx = {r[0] for r in nb.select("band_pfx").distinct().collect()}
+    assert len(batch_pfx) <= 16
+    pruned = idx._read_pruned(
+        idx.bands_path, "band_pfx", sorted(batch_pfx), None,
+        empty_like=nb, cols=["id", "band"],
+    )
+    files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files
+    assert all(
+        any(f"band_pfx={p}/" in f for p in batch_pfx) for f in files
+    )
+    # and it is a strict subset of the index's populated partitions
+    all_files = [
+        r[0]
+        for r in spark.read.parquet(idx.bands_path)
+        .select(F.input_file_name()).distinct().collect()
+    ]
+    assert len(files) < len(all_files)
+    idx.unpersist_intermediates()
