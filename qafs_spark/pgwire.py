@@ -11,9 +11,12 @@ frontend/backend protocol, version 3 (PostgreSQL manual, "Frontend/Backend
 Protocol" chapter — public specification). Scope is exactly what the
 driver-side registry needs and nothing more:
 
-* **auth**: ``trust``, ``password`` (cleartext) and ``md5``. SCRAM
-  deployments (the modern default for remote connections) need a real
-  driver — the error says so explicitly.
+* **auth**: ``trust``, ``password`` (cleartext), ``md5`` and
+  ``SCRAM-SHA-256`` (RFC 5802/7677 — the PostgreSQL default since v14's
+  ``password_encryption = scram-sha-256``), all with the stdlib
+  (``hashlib.pbkdf2_hmac`` + ``hmac``). SCRAM-SHA-256-PLUS (channel
+  binding) requires TLS, which this plaintext-socket client doesn't
+  speak — pick the non-PLUS mechanism, as every driver does without SSL.
 * **simple query flow only** (``Q`` messages, text-format results): the
   registry runs a handful of single-row statements per store operation, so
   the extended protocol's Parse/Bind/Execute adds nothing here.
@@ -106,6 +109,134 @@ def _decode(oid: int, data: Optional[bytes]) -> Any:
     if oid in _OID_FLOATS:
         return float(data)
     return data.decode("utf-8")
+
+
+class _ScramClient:
+    """Client side of SCRAM-SHA-256 (RFC 5802, SHA-256 parameters per
+    RFC 7677), stdlib-only: ``hashlib.pbkdf2_hmac`` for Hi(), ``hmac`` for
+    the key/signature derivations.
+
+    No channel binding (gs2 header ``n,,`` — this client never speaks
+    TLS, and PostgreSQL only offers the -PLUS mechanism alongside the
+    plain one). The username in the SCRAM exchange is empty per the
+    PostgreSQL convention: the server takes identity from the startup
+    message.
+
+    Password normalization: RFC 5802 mandates SASLprep (RFC 4013);
+    stdlib ``stringprep`` supplies the tables, and ASCII passwords (the
+    overwhelmingly common case) are its fixed points. Non-ASCII input is
+    NFKC-normalized with the prohibited-character checks applied — the
+    same observable behavior as the real drivers for every password a
+    registry deployment realistically uses.
+    """
+
+    def __init__(
+        self,
+        password: str,
+        username: str = "",
+        nonce: Optional[str] = None,
+    ):
+        # username defaults to empty (PostgreSQL takes identity from the
+        # startup message); both knobs exist so the RFC 7677 test vector
+        # can replay bit-exactly
+        import base64
+        import os
+
+        self._password = _saslprep(password).encode("utf-8")
+        self._nonce = nonce or base64.b64encode(os.urandom(18)).decode()
+        self._client_first_bare = f"n={username},r={self._nonce}"
+        self._server_sig: Optional[bytes] = None
+
+    def client_first(self) -> bytes:
+        return ("n,," + self._client_first_bare).encode()
+
+    def client_final(self, server_first: bytes) -> bytes:
+        import base64
+        import hmac as _hmac
+
+        msg = server_first.decode()
+        attrs = dict(p.split("=", 1) for p in msg.split(","))
+        nonce, salt_b64, iters = attrs["r"], attrs["s"], int(attrs["i"])
+        if not nonce.startswith(self._nonce):
+            raise PgProtocolError("SCRAM server nonce does not extend ours")
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", self._password, base64.b64decode(salt_b64), iters
+        )
+        client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        final_no_proof = f"c=biws,r={nonce}"  # biws = b64("n,,")
+        auth_msg = ",".join(
+            [self._client_first_bare, msg, final_no_proof]
+        ).encode()
+        client_sig = _hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        self._server_sig = _hmac.new(server_key, auth_msg, hashlib.sha256).digest()
+        return (
+            final_no_proof + ",p=" + base64.b64encode(proof).decode()
+        ).encode()
+
+    def verify_server(self, server_final: bytes) -> None:
+        """Mutual auth: the server's v= signature proves it actually holds
+        the stored key — refuse the session otherwise."""
+        import base64
+        import hmac as _hmac
+
+        attrs = dict(
+            p.split("=", 1) for p in server_final.decode().split(",")
+        )
+        if "e" in attrs:
+            raise PgProtocolError(f"SCRAM server error: {attrs['e']}")
+        got = base64.b64decode(attrs["v"])
+        if self._server_sig is None or not _hmac.compare_digest(
+            got, self._server_sig
+        ):
+            raise PgProtocolError(
+                "SCRAM server signature mismatch — server does not hold the "
+                "credentials it authenticated us against"
+            )
+
+
+def _saslprep(s: str) -> str:
+    """RFC 4013 profile of stringprep for SCRAM passwords, via the stdlib
+    ``stringprep`` tables: map non-ASCII spaces to space, drop mapped-to-
+    nothing chars, NFKC-normalize, reject prohibited/bidi-invalid input.
+    ASCII passwords pass through unchanged."""
+    if s.isascii():
+        if any(ch in s for ch in map(chr, range(0, 32))) or "\x7f" in s:
+            raise PgProtocolError("control character in password")
+        return s
+    import stringprep
+    import unicodedata
+
+    mapped = "".join(
+        " " if stringprep.in_table_c12(ch) else ch
+        for ch in s
+        if not stringprep.in_table_b1(ch)
+    )
+    out = unicodedata.normalize("NFKC", mapped)
+    for ch in out:
+        if (
+            stringprep.in_table_c12(ch)
+            or stringprep.in_table_c21_c22(ch)
+            or stringprep.in_table_c3(ch)
+            or stringprep.in_table_c4(ch)
+            or stringprep.in_table_c5(ch)
+            or stringprep.in_table_c6(ch)
+            or stringprep.in_table_c7(ch)
+            or stringprep.in_table_c8(ch)
+            or stringprep.in_table_c9(ch)
+        ):
+            raise PgProtocolError("prohibited character in password (SASLprep)")
+    has_ral = any(stringprep.in_table_d1(ch) for ch in out)
+    if has_ral:
+        if any(stringprep.in_table_d2(ch) for ch in out):
+            raise PgProtocolError("mixed bidi categories in password (SASLprep)")
+        if not (
+            stringprep.in_table_d1(out[0]) and stringprep.in_table_d1(out[-1])
+        ):
+            raise PgProtocolError("bidi RandAL string must start/end RandAL")
+    return out
 
 
 class PgCursor:
@@ -222,9 +353,33 @@ class PgConnection:
                     digest = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send(b"p", b"md5" + digest.encode() + b"\0")
                     continue
+                if code == 10:  # AuthenticationSASL: null-terminated mech list
+                    mechs = [m.decode() for m in body[4:].split(b"\0") if m]
+                    if "SCRAM-SHA-256" not in mechs:
+                        raise PgProtocolError(
+                            f"server offers only {mechs} — SCRAM-SHA-256-PLUS "
+                            "needs TLS; use psycopg2/pg8000 over SSL"
+                        )
+                    if password is None:
+                        raise PgProtocolError("server requests a password; none given")
+                    self._scram = _ScramClient(password)
+                    first = self._scram.client_first()
+                    self._send(
+                        b"p",
+                        b"SCRAM-SHA-256\0"
+                        + struct.pack(">i", len(first))
+                        + first,
+                    )
+                    continue
+                if code == 11:  # AuthenticationSASLContinue
+                    self._send(b"p", self._scram.client_final(body[4:]))
+                    continue
+                if code == 12:  # AuthenticationSASLFinal
+                    self._scram.verify_server(body[4:])
+                    continue
                 raise PgProtocolError(
-                    f"unsupported auth method {code} (SCRAM needs a real "
-                    "driver — install psycopg2 or pg8000)"
+                    f"unsupported auth method {code} — install psycopg2 or "
+                    "pg8000"
                 )
             if t == b"S":  # ParameterStatus
                 name, _, rest = body.partition(b"\0")

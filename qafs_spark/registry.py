@@ -259,7 +259,8 @@ class _PostgresDriver:
     sqlite docstring points users at).
 
     Driver resolution: psycopg2 → pg8000 → the built-in minimal wire
-    client (:mod:`qafs_spark.pgwire`, trust/password/md5 auth only).
+    client (:mod:`qafs_spark.pgwire`, trust/password/md5/SCRAM-SHA-256
+    auth — everything except TLS channel binding).
 
     **Writer serialization** mirrors sqlite's BEGIN IMMEDIATE semantics:
     every write transaction opens with ``LOCK TABLE ... IN SHARE ROW
