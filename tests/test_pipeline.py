@@ -725,6 +725,52 @@ def test_resize_smaller_than_target_no_nan(spark):
     assert px == [0.0, 0.0, 100.0, 100.0] * 4
 
 
+def test_codec_probes_import_if_available():
+    """The external-codec hooks degrade exactly as documented when the
+    libs are absent, and light up when present: _split_frames drops a
+    trailing partial frame; without Pillow a JPEG raises the dependency
+    error (with Pillow it decodes — parametrized skip); without ffmpeg
+    frame extraction raises naming both binaries."""
+    import importlib.util
+    import shutil as _sh
+
+    import pytest
+
+    from qafs_spark.pipeline.multimodal import (
+        _ffmpeg_sample,
+        _pillow_decode,
+        _real_decode,
+        _split_frames,
+    )
+
+    frames = _split_frames(b"\x01" * (2 * 2 * 3 * 2 + 5), 2, 2)
+    assert len(frames) == 2 and all(len(f) == 12 for f in frames)
+    assert _split_frames(b"", 2, 2) == []
+
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    has_pillow = importlib.util.find_spec("PIL") is not None
+    if has_pillow:
+        # real JPEG decode exercised only where Pillow exists
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (3, 2), (10, 20, 30)).save(buf, format="JPEG")
+        img = _real_decode(buf.getvalue())
+        assert img.shape == (2, 3, 3)
+    else:
+        assert _pillow_decode(jpeg_magic) is None
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            _real_decode(jpeg_magic)
+
+    if not (_sh.which("ffmpeg") and _sh.which("ffprobe")):
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            _ffmpeg_sample(b"anything", 2, 4)
+    else:
+        pytest.skip("ffmpeg present — covered by the real-extraction path")
+
+
 def test_real_decode_bmp_ppm_wav(spark):
     """engine='real' ACTUALLY decodes uncompressed BMP / P6 PPM / WAV via
     the stdlib — features must match locally computed values exactly; a
