@@ -17,12 +17,14 @@ the accumulated pairs log after N batches equals the batch operator's
 pair set over everything ingested, regardless of how documents were split
 into batches.
 
-Delivery note (same class as :mod:`rollup`): foreachBatch is
-at-least-once — a replayed micro-batch would re-append its index rows and
-pairs. Both outputs carry ``batch_id`` so replays are detectable and
-scrubable; for exactly-once, check ``batch_id`` against the index before
-applying (the standard idempotent-sink recipe) or sink into a MERGE-
-capable table format. The parquet variant keeps the repo dependency-free.
+Delivery: **exactly-once.** foreachBatch itself is at-least-once, but each
+micro-batch commits into its own ``batch_id=N`` partition directory of
+both outputs with ``mode("overwrite")``, the index read excludes the
+in-flight batch's directory, and a batch whose index directory carries a
+``_SUCCESS`` marker (written last) is skipped outright — so a replay is
+either a no-op (completed batch) or a byte-identical re-commit (partially
+written batch). Same recipe as the banded sink below and the
+exactly-once ingest path; no MERGE-capable table format needed.
 
 Caller contract: document ids are unique across the stream's lifetime
 (re-ingestions must be filtered upstream, e.g. with
@@ -38,6 +40,53 @@ from pyspark.sql import DataFrame, functions as F
 from .. import storage as fs_storage
 from ..pipeline.incremental import incremental_minhash_dedup, minhash_index
 from ..pipeline.dedup import DEFAULT_MAX_BAND_SIZE
+
+
+def apply_dedup_batch(
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_band_size: Optional[int] = DEFAULT_MAX_BAND_SIZE,
+) -> bool:
+    """One micro-batch of the flat dedup sink, committed exactly once
+    (module-level so the replay semantics are directly testable).
+
+    Returns False (no-op) when the batch's index directory already has its
+    ``_SUCCESS`` marker. Otherwise both outputs overwrite the batch's own
+    ``batch_id=N`` directory — pairs first, index last, so the marker of
+    the LAST write witnesses a complete commit — and the index read
+    excludes the in-flight batch (a partially-committed previous attempt
+    must not pair the batch against its own rows)."""
+    spark = batch.sparkSession
+    bdir = f"batch_id={int(batch_id)}"
+    if fs_storage.path_exists(
+        spark, fs_storage.join(index_path, bdir, "_SUCCESS")
+    ):
+        return False
+    if fs_storage.path_exists(spark, index_path):
+        index = spark.read.parquet(index_path).filter(
+            F.col("batch_id") != str(int(batch_id))
+        )
+    else:
+        index = minhash_index(
+            batch.limit(0), text_col, id_col, n, num_hashes, seed
+        )
+    pairs, new_rows = incremental_minhash_dedup(
+        batch, index, text_col, id_col,
+        n=n, num_hashes=num_hashes, num_bands=num_bands,
+        threshold=threshold, seed=seed, max_band_size=max_band_size,
+    )
+    pairs.write.mode("overwrite").parquet(fs_storage.join(pairs_path, bdir))
+    new_rows.write.mode("overwrite").parquet(fs_storage.join(index_path, bdir))
+    return True
 
 
 def streaming_minhash_dedup(
@@ -58,37 +107,23 @@ def streaming_minhash_dedup(
     """Start the dedup sink; returns the StreamingQuery.
 
     ``index_path`` accumulates (id, sig, sh) rows — one per document ever
-    ingested; ``pairs_path`` accumulates (id_a, id_b, jaccard, batch_id).
-    Maintenance cost per micro-batch scales with the batch (tokenization)
-    plus one band-derivation map + semi-join-pruned verify over the index
-    — never with the corpus's text.
+    ingested; ``pairs_path`` accumulates (id_a, id_b, jaccard), both
+    partitioned by ``batch_id`` (exactly-once — see the module docstring
+    and :func:`apply_dedup_batch`). Maintenance cost per micro-batch
+    scales with the batch (tokenization) plus one band-derivation map +
+    semi-join-pruned verify over the index — never with the corpus's
+    text. (For an index whose probes are also partition-pruned, use
+    :func:`streaming_banded_dedup`.)
     """
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
         if batch.isEmpty():
             return
-        if fs_storage.path_exists(spark, index_path):
-            index = spark.read.parquet(index_path)
-        else:
-            index = minhash_index(
-                batch.limit(0), text_col, id_col, n, num_hashes, seed
-            )
-        pairs, new_rows = incremental_minhash_dedup(
-            batch, index, text_col, id_col,
-            n=n, num_hashes=num_hashes, num_bands=num_bands,
-            threshold=threshold, seed=seed, max_band_size=max_band_size,
-        )
-        # pairs FIRST: the pairs plan lazily reads index_path, so it must
-        # materialize before the batch's rows are appended there (appending
-        # first would make the batch pair with its own index rows).
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(pairs_path)
-        )
-        (
-            new_rows.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(index_path)
+        apply_dedup_batch(
+            batch, batch_id, index_path, pairs_path,
+            text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes,
+            num_bands=num_bands, threshold=threshold, seed=seed,
+            max_band_size=max_band_size,
         )
 
     writer = (

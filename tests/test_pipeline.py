@@ -2677,6 +2677,47 @@ def test_streaming_minhash_dedup_accumulates_batch_result(spark, tmp_path):
     )
 
 
+def test_flat_streaming_dedup_exactly_once_replay(inc_corpus, tmp_path):
+    """The flat sink's per-batch commit is exactly-once under foreachBatch
+    replay: a completed batch re-applies as a no-op, and a batch whose
+    commit died between the pairs write and the index write (the old
+    at-least-once window) re-commits to identical state — no duplicate
+    pairs or index rows."""
+    import shutil
+
+    from qafs_spark.streaming.dedup_lsh import apply_dedup_batch
+
+    index_path = str(tmp_path / "ix")
+    pairs_path = str(tmp_path / "pairs")
+    spark = inc_corpus.sparkSession
+    b0 = inc_corpus.filter(F.col("doc_id") % 2 == 0)
+    b1 = inc_corpus.filter(F.col("doc_id") % 2 == 1)
+    kw = dict(text_col="text", id_col="doc_id", n=3, num_hashes=32,
+              num_bands=16, threshold=0.3, max_band_size=None)
+    assert apply_dedup_batch(b0, 0, index_path, pairs_path, **kw)
+    assert apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
+
+    def snap():
+        pairs = sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in spark.read.parquet(pairs_path).collect()
+        )
+        ids = sorted(r["id"] for r in spark.read.parquet(index_path).collect())
+        return pairs, ids
+
+    pairs1, ids1 = snap()
+    assert pairs1 and ids1
+
+    # replay of a COMPLETED batch: index _SUCCESS marker present -> no-op
+    assert not apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
+    assert snap() == (pairs1, ids1)
+
+    # replay after a PARTIAL commit: pairs landed, index write died
+    shutil.rmtree(str(tmp_path / "ix" / "batch_id=1"))
+    assert apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
+    assert snap() == (pairs1, ids1)
+
+
 def test_banded_index_matches_incremental(inc_corpus, tmp_path):
     """The band-partitioned index's pair set must be bit-equal to
     incremental_minhash_dedup's — in exact mode AND with the oversized-
