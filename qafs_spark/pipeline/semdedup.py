@@ -46,6 +46,7 @@ def semantic_pairs(
     nlist: Optional[int] = None,
     centroids: Optional[List[List[float]]] = None,
     train_iters: int = 1,
+    nprobe: int = 1,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
@@ -57,6 +58,14 @@ def semantic_pairs(
     published algorithm's deliberate recall trade, certified against the
     exact tier by the ``semantic_dedup_agreement`` catalog query.
 
+    ``nprobe`` > 1 is the recall knob for that trade: each vector lands in
+    its ``nprobe`` nearest cells (multiprobe assignment), so a pair split
+    across a cell boundary is still found whenever the two top-cell lists
+    overlap. The ``nprobe=1`` pair set is always a subset of the
+    ``nprobe=2`` set (the top-1 cell is in every top-2 list); cost grows
+    ~linearly in ``nprobe`` (duplicated (id, vec, cell) rows + pair
+    dedup), the published multiprobe-IVF trade.
+
     Scale shape of the IVF tier: one scan + cell-assign (map-only), one
     shuffle of (id, vec, cell) on the cell id, quadratic work bounded per
     cell. Size ``nlist`` ∝ corpus/target_cell_size so cells stay O(10⁴)
@@ -64,7 +73,7 @@ def semantic_pairs(
     computed once and reused (ReusedExchange), never broadcast-duplicated.
     """
     from .dedup import embedding_dedup_pairs
-    from .similarity import _cell_assigner, cosine, ivf_train
+    from .similarity import _cell_assigner, _probe_cells, cosine, ivf_train
 
     if nlist is None and centroids is None:
         return embedding_dedup_pairs(
@@ -74,14 +83,22 @@ def semantic_pairs(
         centroids = ivf_train(
             df, nlist=nlist, iters=train_iters, data_id=id_col, data_vec=vec_col
         )
-    assign = _cell_assigner(centroids)
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        assign(F.col(vec_col)).alias("cell"),
-    )
+    if nprobe > 1:
+        probes = _probe_cells(centroids, nprobe)
+        v = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(probes(F.col(vec_col))).alias("cell"),
+        )
+    else:
+        assign = _cell_assigner(centroids)
+        v = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            assign(F.col(vec_col)).alias("cell"),
+        )
     a, b = v.alias("a"), v.hint("shuffle_hash").alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
@@ -93,6 +110,11 @@ def semantic_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if nprobe > 1:
+        # a pair sharing several probed cells surfaces once per shared
+        # cell; cosine is deterministic, so the copies are identical
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def semantic_dedup(
@@ -105,6 +127,7 @@ def semantic_dedup(
     centroids: Optional[List[List[float]]] = None,
     train_iters: int = 1,
     converge: bool = False,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Per-row keep/drop decision: (id, cluster, keep) for EVERY input row.
 
@@ -129,7 +152,8 @@ def semantic_dedup(
     from .dedup import cluster_pairs
 
     pairs = semantic_pairs(
-        df, vec_col, id_col, threshold, nlist, centroids, train_iters
+        df, vec_col, id_col, threshold, nlist, centroids, train_iters,
+        nprobe=nprobe,
     )
     labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
     return (

@@ -3669,6 +3669,51 @@ def q_semantic_dedup_agreement(spark, sf_dir):
     return sdd.keep_set_agreement(exact, approx)
 
 
+@register(
+    "semantic_dedup_multiprobe",
+    # certification row (pattern: semantic_dedup_agreement): multiprobe
+    # assignment (nprobe=2) can only ADD cross-cell pairs over nprobe=1 —
+    # recall_monotone verifies that subset property on the actual data,
+    # agreement_ok gates the nprobe=2 keep-set against exact.
+    oracle=f"""
+    WITH {{keeps}}
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_exact,
+           true AS agreement_ok, true AS recall_monotone
+    FROM keeps
+    """.format(keeps=_SQL_SEMDEDUP_KEEPS),
+)
+def q_semantic_dedup_multiprobe(spark, sf_dir):
+    """Pipeline: SemDeDup's cross-cell recall knob — both IVF tiers share
+    one trained quantizer, differing only in nprobe; the nprobe=1 pair set
+    must embed in the nprobe=2 set (anti-join count 0, computed
+    distributed, folded in via a broadcast 1-row crossJoin), and the
+    nprobe=2 keep-set must clear the same exact-tier agreement gate as
+    semantic_dedup_agreement (pipeline/semdedup.py:semantic_pairs)."""
+    from .pipeline.similarity import ivf_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_train(
+        emb, nlist=8, iters=1, data_id="vec_id", data_vec="embedding"
+    )
+    kw = dict(threshold=0.4, centroids=cents)
+    p1 = sdd.semantic_pairs(emb, "embedding", "vec_id", nprobe=1, **kw)
+    p2 = sdd.semantic_pairs(emb, "embedding", "vec_id", nprobe=2, **kw)
+    monotone = (
+        p1.select("id_a", "id_b")
+        .join(p2.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .agg((F.count(F.lit(1)) == 0).alias("recall_monotone"))
+    )
+    exact = sdd.semantic_dedup(emb, "embedding", "vec_id", threshold=0.4, k_iters=3)
+    approx2 = sdd.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, k_iters=3,
+        centroids=cents, nprobe=2,
+    )
+    return sdd.keep_set_agreement(exact, approx2).crossJoin(
+        F.broadcast(monotone)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunking + sequence packing (pipeline/text.py, training-data prep)
 # ---------------------------------------------------------------------------

@@ -2483,6 +2483,64 @@ def test_semantic_pairs_ivf_subset_of_exact(spark):
     assert flood and flood <= set(ivf)
 
 
+def test_semantic_pairs_multiprobe_recovers_boundary_pair(spark):
+    """nprobe=2 recovers a near-dup pair whose two vectors argmax into
+    DIFFERENT cells (the published cross-cell recall trade): with fixed
+    centroids e1/e2, the straddling pair (10, 11) is invisible at
+    nprobe=1 and found at nprobe=2, and the nprobe=1 pair set is always a
+    subset of the nprobe=2 set (top-1 cell is in every top-2 list)."""
+    from qafs_spark.pipeline import semdedup
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        (0, [1.0, 0.05]),
+        (1, [1.0, 0.02]),        # same-cell pair with 0
+        (2, [0.05, 1.0]),
+        (10, [0.72, 0.69]),      # argmax cell 0 ...
+        (11, [0.69, 0.72]),      # ... argmax cell 1; cosine(10,11) ~ 0.998
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def pset(nprobe):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in semdedup.semantic_pairs(
+                df, "embedding", "vec_id", threshold=0.95,
+                centroids=cents, nprobe=nprobe,
+            ).collect()
+        }
+
+    p1, p2 = pset(1), pset(2)
+    assert (10, 11) not in p1 and (0, 1) in p1
+    assert (10, 11) in p2
+    assert p1 <= p2
+    # multiprobe emits each recovered pair exactly once
+    rows2 = semdedup.semantic_pairs(
+        df, "embedding", "vec_id", threshold=0.95, centroids=cents, nprobe=2
+    ).collect()
+    assert len(rows2) == len({(r["id_a"], r["id_b"]) for r in rows2})
+    # exact tier agreement strictly improves with the recovered pair
+    exact = semdedup.semantic_dedup(df, "embedding", "vec_id", threshold=0.95)
+    ag = {
+        n: semdedup.keep_set_agreement(
+            exact,
+            semdedup.semantic_dedup(
+                df, "embedding", "vec_id", threshold=0.95,
+                centroids=cents, nprobe=n,
+            ),
+        ).first()
+        for n in (1, 2)
+    }
+    assert ag[2]["agreement_ok"]
+    kept2 = semdedup.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.95, centroids=cents, nprobe=2
+    ).filter("keep").count()
+    kept1 = semdedup.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.95, centroids=cents, nprobe=1
+    ).filter("keep").count()
+    assert kept2 < kept1  # the recovered pair merges a duplicate group
+
+
 def test_keep_set_agreement_shape(vecs):
     from qafs_spark.pipeline import semdedup
 
