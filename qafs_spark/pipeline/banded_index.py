@@ -99,6 +99,7 @@ class BandedMinHashIndex:
         self.counts_path = j(root, "band_counts")
         self.pairs_path = j(root, "pairs")
         self.meta_path = j(root, "meta")
+        self.watermark_path = j(root, "compacted_through")
         self._persisted: list[DataFrame] = []
 
     # -- config pinning ----------------------------------------------------
@@ -295,10 +296,22 @@ class BandedMinHashIndex:
 
     # -- exactly-once batch application ------------------------------------
 
+    def _compacted_through(self) -> int:
+        """Highest batch id folded into a compaction (-1 if never
+        compacted) — batches at or below it lost their per-batch marker
+        directories but are durably applied."""
+        if not fs_storage.path_exists(self.spark, self.watermark_path):
+            return -1
+        return int(
+            self.spark.read.parquet(self.watermark_path).first()["through"]
+        )
+
     def batch_applied(self, batch_id: int) -> bool:
         """A batch is durably applied iff its LAST-written dataset
         (band_counts) committed — the _SUCCESS marker doubles as the
-        exactly-once watermark, so no separate marker file is needed."""
+        exactly-once watermark — or it was folded into a compaction."""
+        if int(batch_id) <= self._compacted_through():
+            return True
         return fs_storage.path_exists(
             self.spark,
             fs_storage.join(
@@ -325,6 +338,7 @@ class BandedMinHashIndex:
         probe reads exclude it, so a replay after any partial failure
         reproduces identical output.
         """
+        self._recover_compaction()
         if self.batch_applied(batch_id):
             return False
         self._check_meta()
@@ -364,6 +378,89 @@ class BandedMinHashIndex:
         finally:
             self.unpersist_intermediates()
         return True
+
+    # -- compaction --------------------------------------------------------
+
+    def _recover_compaction(self) -> None:
+        """A crash between a compaction's two renames leaves the dataset
+        at ``<ds>.__old__`` and no live directory — restore it (same
+        protocol as the feature-store compaction,
+        sources/feature_dataset.py)."""
+        for path in (self.docs_path, self.bands_path, self.counts_path):
+            old = path.rstrip("/") + ".__old__"
+            if not fs_storage.path_exists(self.spark, path) and (
+                fs_storage.path_exists(self.spark, old)
+            ):
+                fs_storage.rename_path(self.spark, old, path)
+
+    def compact(self) -> int:
+        """Fold every applied batch's directories into one, and collapse
+        band-count deltas to one row per band. Returns the number of
+        batch directories removed (0 = nothing to do).
+
+        Why: each micro-batch adds up to ``num_partitions`` directories
+        per dataset, so a long-lived stream accumulates unbounded
+        partition-listing work and small files; a popular band also
+        accretes one count-delta row per batch. Compaction rewrites
+        docs/bands into a single ``batch_id=<max>`` directory tree (rows
+        unchanged, probes and pair sets bit-identical — parity-tested)
+        and band_counts into one summed row per band.
+
+        **Run quiesced** (stream stopped), like the feature-store
+        compaction: concurrent writers could land a batch in a directory
+        that gets renamed aside. Crash safety: the applied watermark
+        advances FIRST (it only asserts what is already true), each
+        dataset then swaps via the rename-aside protocol
+        (stage → live→.__old__ → stage→live → delete), and
+        :meth:`apply_batch`/:meth:`compact` restore a half-swapped
+        dataset before touching anything. The pairs log is untouched —
+        it is the per-batch OUTPUT record, not probe state.
+        """
+        self._recover_compaction()
+        applied = []
+        for d in fs_storage.list_dirs(self.spark, self.counts_path):
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("batch_id="):
+                applied.append(int(name.split("=", 1)[1]))
+        if len(applied) <= 1:
+            return 0
+        target = max(applied)
+        # watermark first: every batch being folded IS durably applied
+        self.spark.createDataFrame(
+            [(int(target),)], "through long"
+        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+
+        def swap(path: str, df, part_cols: list) -> None:
+            staging = path.rstrip("/") + ".__compact__"
+            old = path.rstrip("/") + ".__old__"
+            fs_storage.delete_path(self.spark, staging)
+            (
+                df.withColumn("batch_id", F.lit(str(target)))
+                .repartition(*[F.col(c) for c in part_cols])
+                .write.partitionBy("batch_id", *part_cols)
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            fs_storage.delete_path(self.spark, old)
+            fs_storage.rename_path(self.spark, path, old)
+            fs_storage.rename_path(self.spark, staging, path)
+            fs_storage.delete_path(self.spark, old)
+
+        docs = self.spark.read.parquet(self.docs_path).select(
+            "id", "sig", "sh", "id_pfx"
+        )
+        swap(self.docs_path, docs, ["id_pfx"])
+        bands = self.spark.read.parquet(self.bands_path).select(
+            "id", "band", "band_pfx"
+        )
+        swap(self.bands_path, bands, ["band_pfx"])
+        counts = (
+            self.spark.read.parquet(self.counts_path)
+            .groupBy("band", "band_pfx")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        swap(self.counts_path, counts, ["band_pfx"])
+        return len(applied) - 1
 
     # -- readers -----------------------------------------------------------
 

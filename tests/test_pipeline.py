@@ -2862,6 +2862,89 @@ def test_banded_index_refuses_config_drift(spark, tmp_path):
         )
 
 
+def test_banded_compaction_preserves_probes(inc_corpus, tmp_path):
+    """Compacting the per-batch directories must not change a single
+    probe result: pair set for a subsequent batch identical before and
+    after, band_counts collapsed to one row per band, old batches still
+    recognized as applied (watermark), and only one batch directory left
+    per dataset."""
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    spark = inc_corpus.sparkSession
+    idx = BandedMinHashIndex(
+        spark, str(tmp_path / "ix"), n=3, num_hashes=32, num_bands=16,
+        num_partitions=8,
+    )
+    kw = dict(text_col="text", id_col="doc_id", threshold=0.3, max_band_size=2)
+    for k in range(3):
+        idx.apply_batch(inc_corpus.filter(F.col("doc_id") % 3 == k), k, **kw)
+    probe = inc_corpus.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+
+    def probe_pairs():
+        pairs, _ = idx.dedup_batch(
+            probe, "text", "doc_id", threshold=0.3, max_band_size=2
+        )
+        out = _pairset(pairs)
+        idx.unpersist_intermediates()
+        return out
+
+    pre = probe_pairs()
+    assert pre
+    pre_counts = (
+        spark.read.parquet(idx.counts_path).groupBy("band")
+        .agg(F.sum("cnt").alias("c")).collect()
+    )
+
+    assert idx.compact() == 2
+    assert probe_pairs() == pre
+    # one batch dir per dataset; counts one row per band, sums preserved
+    import os
+
+    for ds in ("docs", "bands", "band_counts"):
+        dirs = [
+            d for d in os.listdir(str(tmp_path / "ix" / ds))
+            if d.startswith("batch_id=")
+        ]
+        assert len(dirs) == 1, ds
+    post_rows = spark.read.parquet(idx.counts_path).collect()
+    assert len(post_rows) == len(pre_counts)
+    assert {(r["band"], r["cnt"]) for r in post_rows} == {
+        (r["band"], r["c"]) for r in pre_counts
+    }
+    # folded batches stay durably applied: replay is a no-op
+    for k in range(3):
+        assert idx.batch_applied(k)
+        assert not idx.apply_batch(
+            inc_corpus.filter(F.col("doc_id") % 3 == k), k, **kw
+        )
+    # idempotent: nothing left to fold
+    assert idx.compact() == 0
+
+
+def test_banded_compaction_crash_recovery(inc_corpus, tmp_path):
+    """A crash between the swap's two renames leaves a dataset aside as
+    <ds>.__old__ with no live dir; the next apply_batch (or compact)
+    restores it before doing anything."""
+    import os
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    spark = inc_corpus.sparkSession
+    root = str(tmp_path / "ix")
+    idx = BandedMinHashIndex(
+        spark, root, n=3, num_hashes=32, num_bands=16, num_partitions=8
+    )
+    kw = dict(text_col="text", id_col="doc_id", threshold=0.3, max_band_size=None)
+    idx.apply_batch(inc_corpus.filter(F.col("doc_id") % 2 == 0), 0, **kw)
+    docs1 = sorted(r["id"] for r in idx.doc_rows().collect())
+    os.rename(os.path.join(root, "docs"), os.path.join(root, "docs.__old__"))
+    idx.apply_batch(inc_corpus.filter(F.col("doc_id") % 2 == 1), 1, **kw)
+    ids = sorted(r["id"] for r in idx.doc_rows().collect())
+    assert set(docs1) < set(ids)  # batch-0 docs recovered, batch 1 added
+
+
 def test_banded_streaming_equals_batch(spark, tmp_path):
     """streaming_banded_dedup across 3 micro-batches accumulates exactly
     the batch operator's pair set (same invariant as the flat streaming
