@@ -28,7 +28,12 @@ exactly-once ingest path; no MERGE-capable table format needed.
 
 Caller contract: document ids are unique across the stream's lifetime
 (re-ingestions must be filtered upstream, e.g. with
-:func:`stateful.dedup_stream` keyed by id).
+:func:`stateful.dedup_stream` keyed by id), and the CHECKPOINT and the
+index/pairs paths live and die together — starting a FRESH checkpoint
+against an existing index restarts micro-batch ids at 0, which the
+idempotency markers would read as already-applied batches (the standard
+caveat of every batch-id-keyed idempotent sink, e.g. Delta's
+txnAppId/txnVersion). New checkpoint ⇒ new output paths.
 """
 
 from __future__ import annotations
