@@ -20,6 +20,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Representative slice of the catalog: feature-store core (ingest/load
 # semantics), analytic joins/aggs, and the training-data pipeline ops.
+# Heavy certification/continuous-ingestion ops, benched SEPARATELY with
+# `--heavy` (the headline set above stays untouched round-over-round so
+# A/B comparisons stay valid). These are the most expensive operators in
+# the repo; BENCH_NOTES.md tracks this section per round.
+HEAVY = [
+    "semantic_dedup",
+    "semantic_dedup_agreement",
+    "semantic_dedup_multiprobe",
+    "incremental_dedup",
+    "banded_incremental_dedup",
+    "stream_incremental_dedup",
+    "stream_banded_dedup",
+    "dedup_clusters",
+]
+
 HEADLINE = [
     "feature_roundtrip",
     "lww_dedup",
@@ -104,9 +119,11 @@ def main() -> int:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
+    heavy = "--heavy" in args
+    names = HEAVY if heavy else HEADLINE
     timings = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         if name == "feature_roundtrip":
             # attributed segments: ingest (partitioned write + registry)
             # vs load (pruned scan -> LWW -> bin-compressed resample)
@@ -141,7 +158,7 @@ def main() -> int:
         print(f"# {name}: {dt:.2f}s", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "headline-queries-total",
+        "metric": "heavy-ops-total" if heavy else "headline-queries-total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
