@@ -1,0 +1,315 @@
+"""Persisted, cell-partitioned vector index: incremental SEMANTIC dedup
+and ANN serving whose per-batch/per-query cost is partition-pruned.
+
+The semantic twin of :mod:`banded_index`. The batch SemDeDup/ANN operators
+(:mod:`semdedup`, :mod:`similarity`) recompute assignments over the whole
+corpus per run; a continuously-fed embedding store instead persists each
+vector once, under its IVF cell:
+
+- ``vectors/batch_id=N/cell=K/`` — (id, vec) rows partitioned by the
+  vector's nearest-centroid cell. A batch (or a query set) probes only the
+  cell directories its own vectors map to — partition pruning, bounded by
+  ``nlist``, never an index scan.
+- ``centroids/`` — the quantizer, trained on the FIRST batch and frozen
+  (re-training would orphan every stored assignment; the published IVF
+  practice — train once on a sample, assign forever).
+- ``pairs/batch_id=N/`` — each batch's near-dup pairs.
+
+Exactly-once: same recipe as :mod:`banded_index` — per-batch directories
+committed with overwrite semantics, probe reads exclude the in-flight
+batch, the last-written dataset's ``_SUCCESS`` is the applied marker, so
+foreachBatch replays are no-ops or byte-identical re-commits. The same
+checkpoint/index lifecycle caveat applies (see
+:mod:`streaming.dedup_lsh`).
+
+Two dedup tiers, the package's standard pattern:
+
+- ``tier="exact"`` — the batch brute-forces against ALL stored vectors
+  (broadcast batch over one index scan). O(batch x corpus) dot products:
+  the SQL-replayable oracle tier, and the right plan while the corpus is
+  small.
+- ``tier="ivf"`` — the 100 TB path: pairs only where the stored vector's
+  cell is among the batch vector's ``nprobe`` nearest cells, reading only
+  those cell partitions. With shared centroids and ``nprobe=1`` the pair
+  set is bit-equal to :func:`semdedup.semantic_pairs` (IVF tier)
+  restricted to batch-touching pairs — parity-tested; ``nprobe>1`` is the
+  cross-cell recall knob (superset of nprobe=1, like SemDeDup multiprobe).
+
+The reference engine has no vector surface at all; this module is part of
+the mandated LLM-training-data extension alongside semdedup/similarity.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import storage as fs_storage
+
+
+class CellVectorIndex:
+    """Persisted IVF-partitioned vector index rooted at ``root``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        nlist: int = 16,
+        train_iters: int = 1,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.nlist = nlist
+        self.train_iters = train_iters
+        j = fs_storage.join
+        self.vectors_path = j(root, "vectors")
+        self.centroids_path = j(root, "centroids")
+        self.pairs_path = j(root, "pairs")
+        self.meta_path = j(root, "meta")
+        self._persisted: list = []
+
+    # -- quantizer ---------------------------------------------------------
+
+    def _config(self) -> dict:
+        return {"nlist": self.nlist, "train_iters": self.train_iters}
+
+    def centroids(self) -> Optional[List[List[float]]]:
+        if not fs_storage.path_exists(self.spark, self.centroids_path):
+            return None
+        rows = self.spark.read.parquet(self.centroids_path).collect()
+        return [r["centroid"] for r in sorted(rows, key=lambda r: r["cell"])]
+
+    def _ensure_centroids(
+        self, batch: DataFrame, id_col: str, vec_col: str
+    ) -> List[List[float]]:
+        """Load the frozen quantizer, training it on the first batch if
+        absent. Also pins the config row (nlist is immutable — a different
+        modulus would stop matching the stored cell directories)."""
+        cents = self.centroids()
+        if cents is None:
+            from .similarity import ivf_train
+
+            cents = ivf_train(
+                batch, nlist=self.nlist, iters=self.train_iters,
+                data_id=id_col, data_vec=vec_col,
+            )
+            self.spark.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+                "cell int, centroid array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(self.centroids_path)
+            self.spark.createDataFrame(
+                [(json.dumps(self._config()),)], "config string"
+            ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        else:
+            stored = json.loads(
+                self.spark.read.parquet(self.meta_path).first()["config"]
+            )
+            if stored != self._config():
+                raise ValueError(
+                    f"index at {self.root} was built with {stored}, got "
+                    f"{self._config()} — quantizer params are immutable"
+                )
+        return cents
+
+    # -- readers -----------------------------------------------------------
+
+    def _stored(
+        self,
+        cells: Optional[list],
+        exclude_batch_id: Optional[int],
+        empty_like: DataFrame,
+    ) -> DataFrame:
+        """(id, vec, cell) from the cell partitions in ``cells`` (None =
+        all), excluding the in-flight batch. Partition dirs read back as
+        strings; cell is cast back to int for the equi-join."""
+        if not fs_storage.path_exists(self.spark, self.vectors_path) or (
+            cells is not None and not cells
+        ):
+            return empty_like.limit(0)
+        try:
+            df = self.spark.read.parquet(self.vectors_path)
+        except Exception:
+            return empty_like.limit(0)
+        if cells is not None:
+            df = df.filter(F.col("cell").isin([str(c) for c in cells]))
+        if exclude_batch_id is not None:
+            df = df.filter(F.col("batch_id") != str(int(exclude_batch_id)))
+        return df.select("id", "vec", F.col("cell").cast("int").alias("cell"))
+
+    def pairs(self) -> DataFrame:
+        try:
+            df = self.spark.read.parquet(self.pairs_path)
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "id_a long, id_b long, cosine double, batch_id long"
+            )
+        return df.select(
+            "id_a", "id_b", "cosine",
+            F.col("batch_id").cast("long").alias("batch_id"),
+        )
+
+    # -- core --------------------------------------------------------------
+
+    def _assigned(self, batch, id_col, vec_col, cents, nprobe):
+        from .similarity import _probe_cells
+
+        probes = _probe_cells(cents, nprobe)
+        return batch.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            F.explode(probes(F.col(vec_col))).alias("cell"),
+        )
+
+    def dedup_batch(
+        self,
+        new_vecs: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        threshold: float = 0.85,
+        tier: str = "ivf",
+        nprobe: int = 1,
+        exclude_batch_id: Optional[int] = None,
+    ) -> Tuple[DataFrame, DataFrame]:
+        """(pairs, new_rows): near-dup pairs touching the batch (id_a <
+        id_b, cosine >= threshold) + the batch's (id, vec, cell) index
+        rows. Batch ids must be disjoint from stored ids (same contract as
+        the MinHash incremental tier).
+
+        exact tier: one scan of ALL stored vectors with the batch
+        broadcast over it. ivf tier: the batch's probed cell set (<= nlist
+        values, collected driver-side) prunes the scan to matching cell
+        partitions; stored vectors join on their single storage cell, so
+        nprobe=1 replays the batch IVF tier exactly (parity-tested).
+        """
+        from .similarity import cosine
+
+        cents = self._ensure_centroids(new_vecs, id_col, vec_col)
+        assigned = self._assigned(
+            new_vecs, id_col, vec_col, cents, nprobe=1
+        ).persist()  # storage assignment: argmax cell
+        self._persisted.append(assigned)
+        if tier == "exact":
+            probed = assigned
+            stored = self._stored(None, exclude_batch_id, empty_like=assigned)
+            cond = F.col("a.id") != F.col("b.id")
+        else:
+            probed = (
+                assigned if nprobe == 1
+                else self._assigned(new_vecs, id_col, vec_col, cents, nprobe)
+            )
+            cells = [r[0] for r in probed.select("cell").distinct().collect()]
+            stored = self._stored(cells, exclude_batch_id, empty_like=assigned)
+            cond = (F.col("a.cell") == F.col("b.cell")) & (
+                F.col("a.id") != F.col("b.id")
+            )
+        side_a = stored.unionByName(probed)
+        pairs = (
+            side_a.alias("a")
+            .join(F.broadcast(probed.alias("b")), cond)
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+                cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return pairs, assigned
+
+    def unpersist_intermediates(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
+
+    # -- exactly-once batch application ------------------------------------
+
+    def batch_applied(self, batch_id: int) -> bool:
+        return fs_storage.path_exists(
+            self.spark,
+            fs_storage.join(
+                self.vectors_path, f"batch_id={int(batch_id)}", "_SUCCESS"
+            ),
+        )
+
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        threshold: float = 0.85,
+        tier: str = "ivf",
+        nprobe: int = 1,
+    ) -> bool:
+        """Dedup ``batch`` against index + itself and commit, exactly
+        once. Pairs first, vectors last (its _SUCCESS is the applied
+        marker); all writes overwrite the batch's own directory and all
+        reads exclude it."""
+        if self.batch_applied(batch_id):
+            return False
+        j = fs_storage.join
+        bdir = f"batch_id={int(batch_id)}"
+        pairs, assigned = self.dedup_batch(
+            batch, vec_col, id_col, threshold, tier, nprobe,
+            exclude_batch_id=int(batch_id),
+        )
+        try:
+            pairs.write.mode("overwrite").parquet(j(self.pairs_path, bdir))
+            (
+                assigned.repartition(F.col("cell"))
+                .write.partitionBy("cell")
+                .mode("overwrite")
+                .parquet(j(self.vectors_path, bdir))
+            )
+        finally:
+            self.unpersist_intermediates()
+        return True
+
+    # -- ANN serving -------------------------------------------------------
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 1,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """(query_id, neighbor_id, cosine, rank): cosine top-k over the
+        stored vectors, reading ONLY the cell partitions the queries probe
+        (``nprobe = nlist`` reads everything — the exact tier the oracle
+        replays). Self-matches (same id) are excluded. Ties break on
+        neighbor id, the package's ANN convention."""
+        from pyspark.sql import Window
+
+        from .similarity import cosine
+
+        cents = self.centroids()
+        if cents is None:
+            raise ValueError(f"no index at {self.root}")
+        q = self._assigned(queries, id_col, vec_col, cents, nprobe)
+        cells = [r[0] for r in q.select("cell").distinct().collect()]
+        stored = self._stored(cells, None, empty_like=q)
+        scored = (
+            stored.alias("s")
+            .join(
+                F.broadcast(q.alias("q")),
+                (F.col("s.cell") == F.col("q.cell"))
+                & (F.col("s.id") != F.col("q.id")),
+            )
+            .select(
+                F.col("q.id").alias("query_id"),
+                F.col("s.id").alias("neighbor_id"),
+                cosine(F.col("q.vec"), F.col("s.vec")).alias("cosine"),
+            )
+            .dropDuplicates(["query_id", "neighbor_id"])
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )

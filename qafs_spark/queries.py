@@ -1825,6 +1825,108 @@ def q_ivf_ann_recall(spark, sf_dir):
     )
 
 
+@register(
+    "incremental_semantic_dedup",
+    # exact tier of the persisted vector index: brute-force cosine of the
+    # batch against stored + itself — SQL-replayable, restricted to pairs
+    # touching the batch (same contract as incremental_dedup).
+    oracle=f"""
+    SELECT id_a, id_b, cosine_r6 FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_SQL_COSINE}, 6) AS cosine_r6
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine_r6 >= 0.4 AND (id_a % 5 = 0 OR id_b % 5 = 0)
+    """,
+)
+def q_incremental_semantic_dedup(spark, sf_dir):
+    """Pipeline: continuous-ingestion SEMANTIC dedup against the persisted
+    cell-partitioned vector index (pipeline/vector_index.py) — 80% of the
+    embeddings applied as batch 0, the remaining 20% deduped against
+    stored + itself on the exact tier (broadcast batch over one index
+    scan; the IVF tier is certified separately by
+    vector_index_ann_recall + the nprobe parity tests)."""
+    import tempfile
+
+    from .pipeline.vector_index import CellVectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = CellVectorIndex(spark, tempfile.mkdtemp(prefix="qafs_vx_"), nlist=8)
+    idx.apply_batch(
+        emb.filter(F.col("vec_id") % 5 != 0), 0, threshold=0.4, tier="exact"
+    )
+    # threshold=0.0 here, filter on the ROUNDED value below — the package
+    # convention (embedding_neardup) so the >= cut is applied to identical
+    # numbers in both engines
+    pairs, _ = idx.dedup_batch(
+        emb.filter(F.col("vec_id") % 5 == 0), threshold=0.0, tier="exact"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine_r6")
+    ).filter(F.col("cosine_r6") >= 0.4)
+
+
+@register(
+    "vector_index_ann",
+    # search with nprobe = nlist reads every cell partition — exact
+    # brute-force top-k over the stored vectors, so the standard ANN
+    # oracle replays it bit-for-bit.
+    oracle=f"""
+    SELECT query_id, neighbor_id, cosine_r6, rank FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_SQL_COSINE}, 6) AS cosine_r6,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_SQL_COSINE} DESC, b.vec_id ASC
+               ) AS rank
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 10
+    ) WHERE rank <= 5
+    """,
+)
+def q_vector_index_ann(spark, sf_dir):
+    """Pipeline: ANN serving from the persisted cell-partitioned index —
+    full-probe tier (nprobe = nlist = every cell read) equals exact
+    brute-force top-5; the pruned tier (nprobe < nlist) reads only the
+    queries' cell partitions and is certified by vector_index_ann_recall
+    (pipeline/vector_index.py:search)."""
+    import tempfile
+
+    from .pipeline.vector_index import CellVectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    idx = CellVectorIndex(spark, tempfile.mkdtemp(prefix="qafs_vx_"), nlist=8)
+    idx.apply_batch(emb, 0, threshold=0.99)  # index the corpus
+    out = idx.search(emb.filter(F.col("vec_id") < 10), k=5, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine_r6"), "rank",
+    )
+
+
+@register("vector_index_ann_recall", oracle=_SQL_ANN_RECALL_ORACLE)
+def q_vector_index_ann_recall(spark, sf_dir):
+    """Pipeline: certification of the PRUNED vector-index probe — recall@5
+    of nprobe=4 search (reading half the cell partitions, the
+    ivf_ann_recall convention: synthetic embeddings are unclustered so
+    expected recall ~ nprobe/nlist) vs the exact brute-force tier,
+    thresholded at the standard 0.35 gate."""
+    import tempfile
+
+    from .pipeline.vector_index import CellVectorIndex
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(8)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    idx = CellVectorIndex(spark, tempfile.mkdtemp(prefix="qafs_vx_"), nlist=8)
+    idx.apply_batch(emb, 0, threshold=0.99)
+    approx = idx.search(queries, k=5, nprobe=4)
+    return sim.recall_vs_exact(exact, approx).select(
+        "query_id",
+        "n_exact",
+        (F.col("recall") >= F.lit(0.35)).alias("recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Generic as-of join (operators/asof.py) vs DuckDB's native ASOF JOIN
 # ---------------------------------------------------------------------------

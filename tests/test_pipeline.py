@@ -3014,6 +3014,151 @@ def test_banded_streaming_equals_batch(spark, tmp_path):
     assert sorted(idx_ids) == sorted(i for i, t in docs if len(t.split()) >= 3)
 
 
+# ---------------------------------------------------------------------------
+# Persisted cell-partitioned vector index (pipeline/vector_index.py)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def vec_corpus(spark):
+    """60 random 8-dim vectors + a planted clone flood (100-104) + a
+    boundary near-dup pair (200, 201) straddling two cells."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    rows += [
+        (100 + i, [1.0 + rng.gauss(0, 0.01) for _ in range(8)])
+        for i in range(5)
+    ]
+    rows += [
+        (200, [0.72, 0.69] + [0.0] * 6),
+        (201, [0.69, 0.72] + [0.0] * 6),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_vector_index_exact_tier_matches_bruteforce(vec_corpus, tmp_path):
+    """Exact tier: batch-vs-(stored + batch) pairs equal the all-pairs
+    cosine pair set restricted to pairs touching the batch."""
+    from qafs_spark.pipeline import semdedup
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    old = vec_corpus.filter(F.col("vec_id") % 2 == 0)
+    new = vec_corpus.filter(F.col("vec_id") % 2 == 1)
+    idx = CellVectorIndex(vec_corpus.sparkSession, str(tmp_path / "vx"), nlist=4)
+    assert idx.apply_batch(old, 0, threshold=0.5, tier="exact")
+    got, _ = idx.dedup_batch(new, threshold=0.5, tier="exact")
+    want = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in semdedup.semantic_pairs(
+            vec_corpus, "embedding", "vec_id", threshold=0.5
+        ).collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    assert {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in got.collect()
+    } == want
+    assert want
+    idx.unpersist_intermediates()
+
+
+def test_vector_index_ivf_parity_with_semantic_pairs(vec_corpus, tmp_path):
+    """IVF tier at nprobe=1 replays the batch IVF tier bit-for-bit,
+    restricted to batch-touching pairs, under shared centroids."""
+    from qafs_spark.pipeline import semdedup
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    old = vec_corpus.filter(F.col("vec_id") % 2 == 0)
+    new = vec_corpus.filter(F.col("vec_id") % 2 == 1)
+    idx = CellVectorIndex(vec_corpus.sparkSession, str(tmp_path / "vx"), nlist=4)
+    assert idx.apply_batch(old, 0, threshold=0.5, tier="ivf")
+    cents = idx.centroids()
+    got, _ = idx.dedup_batch(new, threshold=0.5, tier="ivf", nprobe=1)
+    want = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in semdedup.semantic_pairs(
+            vec_corpus, "embedding", "vec_id", threshold=0.5, centroids=cents
+        ).collect()
+        if r["id_a"] % 2 == 1 or r["id_b"] % 2 == 1
+    }
+    got_set = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in got.collect()
+    }
+    assert got_set == want and want
+    # nprobe=2 is a superset (cross-cell recall knob)
+    got2, _ = idx.dedup_batch(new, threshold=0.5, tier="ivf", nprobe=2)
+    assert set(got_set) <= {
+        (r["id_a"], r["id_b"]) for r in got2.collect()
+    }
+    idx.unpersist_intermediates()
+
+
+def test_vector_index_exactly_once_and_frozen_quantizer(vec_corpus, tmp_path):
+    """Replay of a completed batch is a no-op; replay after the vectors
+    write died re-commits to identical state; reopening with different
+    quantizer params refuses."""
+    import shutil
+
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    spark = vec_corpus.sparkSession
+    root = str(tmp_path / "vx")
+    idx = CellVectorIndex(spark, root, nlist=4)
+    b0 = vec_corpus.filter(F.col("vec_id") % 2 == 0)
+    b1 = vec_corpus.filter(F.col("vec_id") % 2 == 1)
+    assert idx.apply_batch(b0, 0, threshold=0.5)
+    assert idx.apply_batch(b1, 1, threshold=0.5)
+    pairs1 = sorted(map(tuple, idx.pairs().collect()))
+    assert pairs1
+    assert not idx.apply_batch(b1, 1, threshold=0.5)  # completed -> no-op
+    shutil.rmtree(str(tmp_path / "vx" / "vectors" / "batch_id=1"))
+    assert idx.apply_batch(b1, 1, threshold=0.5)      # partial -> re-commit
+    assert sorted(map(tuple, idx.pairs().collect())) == pairs1
+    with pytest.raises(ValueError, match="immutable"):
+        CellVectorIndex(spark, root, nlist=8).apply_batch(b1, 2, threshold=0.5)
+
+
+def test_vector_index_search_pruned_and_exact_at_full_probe(vec_corpus, tmp_path):
+    """search(nprobe=nlist) reads every cell and must equal brute-force
+    top-k over the stored vectors; search(nprobe=1) touches only the
+    queries' own cell partitions (a strict subset of the index's files)."""
+    from qafs_spark.pipeline import similarity as sim
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    spark = vec_corpus.sparkSession
+    idx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=4)
+    idx.apply_batch(vec_corpus, 0, threshold=0.99)  # index everything
+    queries = vec_corpus.filter(F.col("vec_id") < 4)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in sim.brute_force_topk(vec_corpus, queries, k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in idx.search(queries, k=5, nprobe=4).collect()
+    }
+    assert full == exact and exact
+    # pruned probe: the stored-vector read touches only the probed cell's
+    # partition files — a strict subset of the index's files (checked on
+    # the pre-shuffle scan; input_file_name is empty after the rank
+    # window's exchange)
+    q1 = idx._assigned(
+        queries.limit(1), "vec_id", "embedding", idx.centroids(), nprobe=1
+    )
+    cells = [r[0] for r in q1.select("cell").distinct().collect()]
+    assert len(cells) == 1
+    pruned = idx._stored(cells, None, empty_like=q1)
+    files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    all_files = {
+        r[0]
+        for r in spark.read.parquet(str(tmp_path / "vx" / "vectors"))
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert files and files < all_files
+    assert all(f"/cell={cells[0]}/" in f for f in files)
+
+
 def test_cluster_representative_selection_by_quality(spark):
     """Survivor selection keeps the HIGHEST-quality member of each near-dup
     cluster, tie-breaking on lowest id — the argmax-by-(quality, -id)
