@@ -1903,6 +1903,64 @@ def q_vector_index_ann(spark, sf_dir):
     )
 
 
+@register(
+    "stream_semantic_dedup",
+    # accumulated exact-tier pairs over all micro-batches = the full
+    # cosine pair set (each pair lands once, when its later vector
+    # arrives) — the semantic twin of stream_incremental_dedup's oracle.
+    oracle=f"""
+    SELECT id_a, id_b, cosine_r6 FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_SQL_COSINE}, 6) AS cosine_r6
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE cosine_r6 >= 0.4
+    """,
+)
+def q_stream_semantic_dedup(spark, sf_dir):
+    """Streaming: embeddings arrive as 3 micro-batches through the
+    exactly-once cell-partitioned vector sink
+    (streaming/dedup_lsh.py:streaming_semantic_dedup, exact tier); the
+    accumulated pairs log must equal the all-pairs cosine set."""
+    import os
+    import tempfile
+
+    from .pipeline.vector_index import CellVectorIndex
+    from .streaming.dedup_lsh import streaming_semantic_dedup
+
+    root = tempfile.mkdtemp(prefix="qafs_vstream_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    emb = _t(spark, sf_dir, "embeddings")
+    for k in range(3):
+        staged = os.path.join(root, f"stage{k}")
+        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ix_root = os.path.join(root, "ix")
+    q = streaming_semantic_dedup(
+        stream, ix_root, os.path.join(root, "ckpt"),
+        nlist=8, threshold=0.0, tier="exact",  # filter on ROUNDED below
+    )
+    q.awaitTermination(300)
+    return (
+        CellVectorIndex(spark, ix_root, nlist=8)
+        .pairs()
+        .select(
+            "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine_r6")
+        )
+        .filter(F.col("cosine_r6") >= 0.4)
+    )
+
+
 @register("vector_index_ann_recall", oracle=_SQL_ANN_RECALL_ORACLE)
 def q_vector_index_ann_recall(spark, sf_dir):
     """Pipeline: certification of the PRUNED vector-index probe — recall@5

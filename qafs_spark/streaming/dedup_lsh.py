@@ -141,6 +141,48 @@ def streaming_minhash_dedup(
     return writer.start()
 
 
+def streaming_semantic_dedup(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    threshold: float = 0.85,
+    tier: str = "ivf",
+    nprobe: int = 1,
+    trigger_available_now: bool = True,
+):
+    """Exactly-once streaming SEMANTIC near-dup detection over the
+    persisted cell-partitioned vector index
+    (:class:`pipeline.vector_index.CellVectorIndex`): per micro-batch,
+    the arriving embeddings dedup against stored + themselves (IVF tier
+    reads only the batch's probed cell partitions) and append their
+    vectors under their cells. Quantizer trains on the FIRST micro-batch
+    and freezes — start the stream with a representative batch, the
+    standard IVF practice. Same commit recipe and checkpoint/index
+    lifecycle caveat as the sinks above."""
+    from ..pipeline.vector_index import CellVectorIndex
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        index = CellVectorIndex(batch.sparkSession, root, nlist=nlist)
+        index.apply_batch(
+            batch, batch_id, vec_col=vec_col, id_col=id_col,
+            threshold=threshold, tier=tier, nprobe=nprobe,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_banded_dedup(
     stream: DataFrame,
     root: str,

@@ -3159,6 +3159,57 @@ def test_vector_index_search_pruned_and_exact_at_full_probe(vec_corpus, tmp_path
     assert all(f"/cell={cells[0]}/" in f for f in files)
 
 
+def test_streaming_semantic_dedup_accumulates_batch_result(vec_corpus, tmp_path):
+    """The accumulated semantic pairs log across 3 micro-batches equals
+    the batch all-pairs cosine set (each pair lands once, in the batch
+    where its later vector arrives), and the index stores every vector
+    exactly once under one cell."""
+    import os
+
+    from qafs_spark.pipeline import semdedup
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+    from qafs_spark.streaming.dedup_lsh import streaming_semantic_dedup
+
+    spark = vec_corpus.sparkSession
+    src = tmp_path / "vec_stream_in"
+    src.mkdir()
+    for k in range(3):
+        staged = str(tmp_path / f"vstage{k}")
+        vec_corpus.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(src / f"b{k}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    stream = (
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "vx_stream")
+    q = streaming_semantic_dedup(
+        stream, root, str(tmp_path / "vckpt"),
+        nlist=4, threshold=0.5, tier="exact",
+    )
+    q.awaitTermination(180)
+
+    want = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in semdedup.semantic_pairs(
+            vec_corpus, "embedding", "vec_id", threshold=0.5
+        ).collect()
+    }
+    idx = CellVectorIndex(spark, root, nlist=4)
+    got_rows = idx.pairs().collect()
+    got = {(r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in got_rows}
+    assert got == want and want
+    assert len(got_rows) == len(got)  # exactly once per pair
+    stored = spark.read.parquet(str(tmp_path / "vx_stream" / "vectors"))
+    ids = [r["id"] for r in stored.select("id").collect()]
+    assert sorted(ids) == sorted(r["vec_id"] for r in vec_corpus.collect())
+
+
 def test_cluster_representative_selection_by_quality(spark):
     """Survivor selection keeps the HIGHEST-quality member of each near-dup
     cluster, tie-breaking on lowest id — the argmax-by-(quality, -id)
