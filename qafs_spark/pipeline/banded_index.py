@@ -100,6 +100,7 @@ class BandedMinHashIndex:
         self.pairs_path = j(root, "pairs")
         self.meta_path = j(root, "meta")
         self.watermark_path = j(root, "compacted_through")
+        self.deletes_path = j(root, "deletes")
         self._persisted: list[DataFrame] = []
 
     # -- config pinning ----------------------------------------------------
@@ -169,6 +170,47 @@ class BandedMinHashIndex:
             df = df.filter(F.col("batch_id") != str(exclude_batch_id))
         return df.select(*cols)
 
+    # -- merge-on-read deletes ---------------------------------------------
+
+    def delete_ids(self, ids) -> int:
+        """Tombstone documents (GDPR/maintenance delete) — merge-on-read,
+        the Delta/Iceberg delete-file idiom: appends the ids to a small
+        ``deletes/`` dataset; every probe anti-joins the (broadcast)
+        tombstone set, and :meth:`compact` drops the rows physically and
+        recomputes band counts exactly. Until then, stored band counts
+        still include tombstoned rows — the guard errs conservative (a
+        band can only be skipped EARLIER, never later). The pairs log is
+        an immutable historical record and is not scrubbed.
+
+        ``ids`` is a list of ids or a one-column DataFrame. Returns the
+        number of tombstones appended."""
+        if isinstance(ids, DataFrame):
+            df = ids.toDF("id").distinct()
+        else:
+            if not ids:
+                return 0
+            df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
+        df.coalesce(1).write.mode("append").parquet(self.deletes_path)
+        return df.count()
+
+    def _tombstones(self) -> Optional[DataFrame]:
+        if not fs_storage.path_exists(self.spark, self.deletes_path):
+            return None
+        try:
+            return self.spark.read.parquet(self.deletes_path).select("id")
+        except Exception:
+            return None
+
+    def _minus_deleted(self, df: DataFrame, id_cols=("id",)) -> DataFrame:
+        tomb = self._tombstones()
+        if tomb is None:
+            return df
+        for c in id_cols:
+            df = df.join(
+                F.broadcast(tomb.select(F.col("id").alias(c))), c, "left_anti"
+            )
+        return df
+
     # -- core --------------------------------------------------------------
 
     def dedup_batch(
@@ -207,9 +249,11 @@ class BandedMinHashIndex:
         nb = self._banded(new_rows).withColumn("band_pfx", self._pfx(F.col("band")))
         batch_pfx = [r[0] for r in nb.select("band_pfx").distinct().collect()]
 
-        ob = self._read_pruned(
-            self.bands_path, "band_pfx", batch_pfx, exclude_batch_id,
-            empty_like=nb, cols=["id", "band"],
+        ob = self._minus_deleted(
+            self._read_pruned(
+                self.bands_path, "band_pfx", batch_pfx, exclude_batch_id,
+                empty_like=nb, cols=["id", "band"],
+            )
         )
         nb_g = nb.select("id", "band")
         if max_band_size is not None:
@@ -266,9 +310,11 @@ class BandedMinHashIndex:
             .distinct()
             .collect()
         ]
-        old_sh = self._read_pruned(
-            self.docs_path, "id_pfx", id_pfx, exclude_batch_id,
-            empty_like=new_rows, cols=["id", "sh"],
+        old_sh = self._minus_deleted(
+            self._read_pruned(
+                self.docs_path, "id_pfx", id_pfx, exclude_batch_id,
+                empty_like=new_rows, cols=["id", "sh"],
+            )
         )
         sh_all = old_sh.unionByName(new_rows.select("id", "sh"))
         verif = (
@@ -422,7 +468,10 @@ class BandedMinHashIndex:
             name = d.rstrip("/").rsplit("/", 1)[-1]
             if name.startswith("batch_id="):
                 applied.append(int(name.split("=", 1)[1]))
-        if len(applied) <= 1:
+        has_tombstones = self._tombstones() is not None
+        if len(applied) <= 1 and not has_tombstones:
+            return 0
+        if not applied:
             return 0
         target = max(applied)
         # watermark first: every batch being folded IS durably applied
@@ -446,20 +495,30 @@ class BandedMinHashIndex:
             fs_storage.rename_path(self.spark, staging, path)
             fs_storage.delete_path(self.spark, old)
 
-        docs = self.spark.read.parquet(self.docs_path).select(
-            "id", "sig", "sh", "id_pfx"
+        docs = self._minus_deleted(
+            self.spark.read.parquet(self.docs_path).select(
+                "id", "sig", "sh", "id_pfx"
+            )
         )
         swap(self.docs_path, docs, ["id_pfx"])
-        bands = self.spark.read.parquet(self.bands_path).select(
-            "id", "band", "band_pfx"
+        bands = self._minus_deleted(
+            self.spark.read.parquet(self.bands_path).select(
+                "id", "band", "band_pfx"
+            )
         )
         swap(self.bands_path, bands, ["band_pfx"])
+        # counts RECOMPUTED from the surviving band rows (not summed from
+        # deltas): tombstoned rows leave the counts exactly here
         counts = (
-            self.spark.read.parquet(self.counts_path)
+            self.spark.read.parquet(self.bands_path)
             .groupBy("band", "band_pfx")
-            .agg(F.sum("cnt").alias("cnt"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
         swap(self.counts_path, counts, ["band_pfx"])
+        # tombstones are physically applied now; clearing them LAST keeps
+        # any crash window correct (rows gone + tombstones present is a
+        # harmless no-op anti-join)
+        fs_storage.delete_path(self.spark, self.deletes_path)
         return len(applied) - 1
 
     # -- readers -----------------------------------------------------------
@@ -478,5 +537,8 @@ class BandedMinHashIndex:
         )
 
     def doc_rows(self) -> DataFrame:
-        """All stored (id, sig, sh) rows (full scan — audits only)."""
-        return self.spark.read.parquet(self.docs_path).select("id", "sig", "sh")
+        """All live (id, sig, sh) rows — tombstoned docs excluded (full
+        scan — audits only)."""
+        return self._minus_deleted(
+            self.spark.read.parquet(self.docs_path).select("id", "sig", "sh")
+        )

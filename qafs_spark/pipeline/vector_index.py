@@ -69,6 +69,8 @@ class CellVectorIndex:
         self.centroids_path = j(root, "centroids")
         self.pairs_path = j(root, "pairs")
         self.meta_path = j(root, "meta")
+        self.deletes_path = j(root, "deletes")
+        self.watermark_path = j(root, "compacted_through")
         self._persisted: list = []
 
     # -- quantizer ---------------------------------------------------------
@@ -137,7 +139,89 @@ class CellVectorIndex:
             df = df.filter(F.col("cell").isin([str(c) for c in cells]))
         if exclude_batch_id is not None:
             df = df.filter(F.col("batch_id") != str(int(exclude_batch_id)))
-        return df.select("id", "vec", F.col("cell").cast("int").alias("cell"))
+        out = df.select("id", "vec", F.col("cell").cast("int").alias("cell"))
+        return self._minus_deleted(out)
+
+    # -- merge-on-read deletes ---------------------------------------------
+
+    def delete_ids(self, ids) -> int:
+        """Tombstone vectors (merge-on-read, same idiom as
+        :meth:`banded_index.BandedMinHashIndex.delete_ids`): probes
+        anti-join the broadcast tombstone set immediately; :meth:`compact`
+        removes the rows physically and clears the tombstones."""
+        if isinstance(ids, DataFrame):
+            df = ids.toDF("id").distinct()
+        else:
+            if not ids:
+                return 0
+            df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
+        df.coalesce(1).write.mode("append").parquet(self.deletes_path)
+        return df.count()
+
+    def _minus_deleted(self, df: DataFrame) -> DataFrame:
+        if not fs_storage.path_exists(self.spark, self.deletes_path):
+            return df
+        try:
+            tomb = self.spark.read.parquet(self.deletes_path).select("id")
+        except Exception:
+            return df
+        return df.join(F.broadcast(tomb), "id", "left_anti")
+
+    # -- compaction --------------------------------------------------------
+
+    def _recover_compaction(self) -> None:
+        old = self.vectors_path.rstrip("/") + ".__old__"
+        if not fs_storage.path_exists(self.spark, self.vectors_path) and (
+            fs_storage.path_exists(self.spark, old)
+        ):
+            fs_storage.rename_path(self.spark, old, self.vectors_path)
+
+    def _compacted_through(self) -> int:
+        if not fs_storage.path_exists(self.spark, self.watermark_path):
+            return -1
+        return int(
+            self.spark.read.parquet(self.watermark_path).first()["through"]
+        )
+
+    def compact(self) -> int:
+        """Fold all applied batch directories into one and drop
+        tombstoned vectors physically (rename-aside swap with crash
+        recovery; run quiesced — same protocol and caveats as the banded
+        index's compact). Returns the number of batch directories
+        removed."""
+        self._recover_compaction()
+        applied = []
+        for d in fs_storage.list_dirs(self.spark, self.vectors_path):
+            if d.startswith("batch_id="):
+                applied.append(int(d.split("=", 1)[1]))
+        has_tombstones = fs_storage.path_exists(self.spark, self.deletes_path)
+        if not applied or (len(applied) <= 1 and not has_tombstones):
+            return 0
+        target = max(applied)
+        self.spark.createDataFrame(
+            [(int(target),)], "through long"
+        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        staging = self.vectors_path.rstrip("/") + ".__compact__"
+        old = self.vectors_path.rstrip("/") + ".__old__"
+        fs_storage.delete_path(self.spark, staging)
+        live = self._minus_deleted(
+            self.spark.read.parquet(self.vectors_path).select(
+                "id", "vec", "cell"
+            )
+        )
+        (
+            live.withColumn("batch_id", F.lit(str(target)))
+            .repartition(F.col("cell"))
+            .write.partitionBy("batch_id", "cell")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        fs_storage.delete_path(self.spark, old)
+        fs_storage.rename_path(self.spark, self.vectors_path, old)
+        fs_storage.rename_path(self.spark, staging, self.vectors_path)
+        fs_storage.delete_path(self.spark, old)
+        fs_storage.delete_path(self.spark, self.deletes_path)
+        return len(applied) - 1
 
     def pairs(self) -> DataFrame:
         try:
@@ -227,6 +311,8 @@ class CellVectorIndex:
     # -- exactly-once batch application ------------------------------------
 
     def batch_applied(self, batch_id: int) -> bool:
+        if int(batch_id) <= self._compacted_through():
+            return True
         return fs_storage.path_exists(
             self.spark,
             fs_storage.join(
@@ -248,6 +334,7 @@ class CellVectorIndex:
         once. Pairs first, vectors last (its _SUCCESS is the applied
         marker); all writes overwrite the batch's own directory and all
         reads exclude it."""
+        self._recover_compaction()
         if self.batch_applied(batch_id):
             return False
         j = fs_storage.join

@@ -2945,6 +2945,56 @@ def test_banded_compaction_crash_recovery(inc_corpus, tmp_path):
     assert set(docs1) < set(ids)  # batch-0 docs recovered, batch 1 added
 
 
+def test_banded_index_merge_on_read_deletes(inc_corpus, tmp_path):
+    """Tombstoned documents vanish from probe results immediately
+    (merge-on-read anti-join), and compact() removes them physically,
+    recomputes band counts exactly, and clears the tombstones."""
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    spark = inc_corpus.sparkSession
+    idx = BandedMinHashIndex(
+        spark, str(tmp_path / "ix"), n=3, num_hashes=32, num_bands=16,
+        num_partitions=8,
+    )
+    kw = dict(text_col="text", id_col="doc_id", threshold=0.3, max_band_size=None)
+    idx.apply_batch(inc_corpus.filter(F.col("doc_id") % 2 == 0), 0, **kw)
+    probe = inc_corpus.filter(F.col("doc_id") % 2 == 1)
+
+    def probe_pairs():
+        pairs, _ = idx.dedup_batch(
+            probe, "text", "doc_id", threshold=0.3, max_band_size=None
+        )
+        out = _pairset(pairs)
+        idx.unpersist_intermediates()
+        return out
+
+    before = probe_pairs()
+    victims = sorted({a for a, b in before} | {b for a, b in before})
+    victim = next(v for v in victims if v % 2 == 0)  # a stored doc
+    assert idx.delete_ids([victim]) == 1
+    after = probe_pairs()
+    assert after == {k: v for k, v in before.items() if victim not in k}
+    assert after != before  # the tombstone actually removed pairs
+
+    # compact: physical removal + exact count recompute + tombstone clear
+    idx.compact()
+    assert victim not in {r["id"] for r in idx.doc_rows().collect()}
+    import os
+
+    assert not os.path.exists(str(tmp_path / "ix" / "deletes"))
+    stored_counts = {
+        (r["band"], r["cnt"])
+        for r in spark.read.parquet(idx.counts_path).collect()
+    }
+    true_counts = {
+        (r["band"], r["n"])
+        for r in spark.read.parquet(idx.bands_path)
+        .groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stored_counts == true_counts
+    assert probe_pairs() == after  # results unchanged by the rewrite
+
+
 def test_banded_streaming_equals_batch(spark, tmp_path):
     """streaming_banded_dedup across 3 micro-batches accumulates exactly
     the batch operator's pair set (same invariant as the flat streaming
@@ -3157,6 +3207,51 @@ def test_vector_index_search_pruned_and_exact_at_full_probe(vec_corpus, tmp_path
     }
     assert files and files < all_files
     assert all(f"/cell={cells[0]}/" in f for f in files)
+
+
+def test_vector_index_deletes_and_compaction(vec_corpus, tmp_path):
+    """Tombstoned vectors disappear from dedup probes AND search results
+    immediately; compact() folds batch dirs, removes them physically, and
+    replays of folded batches stay no-ops (watermark)."""
+    import os
+
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    spark = vec_corpus.sparkSession
+    root = str(tmp_path / "vx")
+    idx = CellVectorIndex(spark, root, nlist=4)
+    b0 = vec_corpus.filter(F.col("vec_id") % 2 == 0)
+    b1 = vec_corpus.filter(F.col("vec_id") % 2 == 1)
+    idx.apply_batch(b0, 0, threshold=0.5, tier="exact")
+    idx.apply_batch(b1, 1, threshold=0.5, tier="exact")
+    # clone flood 100-104: delete one stored clone, its pairs must vanish
+    assert idx.delete_ids([100]) == 1
+    probe = vec_corpus.filter(F.col("vec_id") == 102).withColumn(
+        "vec_id", F.lit(999).cast("long")
+    )
+    pairs, _ = idx.dedup_batch(probe, threshold=0.5, tier="exact")
+    ids_hit = {r["id_a"] for r in pairs.collect()} | {
+        r["id_b"] for r in pairs.collect()
+    }
+    assert 100 not in ids_hit and ids_hit  # others still found
+    idx.unpersist_intermediates()
+    got = idx.search(probe, k=20, nprobe=4)
+    assert 100 not in {r["neighbor_id"] for r in got.collect()}
+
+    assert idx.compact() == 1
+    dirs = [
+        d for d in os.listdir(os.path.join(root, "vectors"))
+        if d.startswith("batch_id=")
+    ]
+    assert len(dirs) == 1
+    stored_ids = {
+        r["id"]
+        for r in spark.read.parquet(os.path.join(root, "vectors")).collect()
+    }
+    assert 100 not in stored_ids and 102 in stored_ids
+    assert not os.path.exists(os.path.join(root, "deletes"))
+    # folded batches: replay is still a no-op
+    assert idx.batch_applied(0) and not idx.apply_batch(b0, 0, threshold=0.5)
 
 
 def test_streaming_semantic_dedup_accumulates_batch_result(vec_corpus, tmp_path):
