@@ -584,9 +584,15 @@ def embedding_dedup_pairs(
     the oracle path for small data. Pass ``dim`` explicitly to keep plan
     construction job-free (the ``.first()`` fallback runs a driver job).
     """
-    from .similarity import cosine, hyperplane_bucket
+    from .similarity import cosine_pre, hyperplane_bucket, norm
 
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # norms staged once per ROW (bit-equal to per-pair cosine, ~3x fewer
+    # array aggregates in the quadratic pair stage — see cosine_pre)
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
     if use_lsh:
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
@@ -601,7 +607,9 @@ def embedding_dedup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            cosine_pre(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.__n"), F.col("b.__n")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

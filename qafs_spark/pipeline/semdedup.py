@@ -73,7 +73,7 @@ def semantic_pairs(
     computed once and reused (ReusedExchange), never broadcast-duplicated.
     """
     from .dedup import embedding_dedup_pairs
-    from .similarity import _cell_assigner, _probe_cells, cosine, ivf_train
+    from .similarity import _cell_assigner, _probe_cells, cosine_pre, ivf_train, norm
 
     if nlist is None and centroids is None:
         return embedding_dedup_pairs(
@@ -88,6 +88,7 @@ def semantic_pairs(
         v = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("__n"),
             F.explode(probes(F.col(vec_col))).alias("cell"),
         )
     else:
@@ -95,6 +96,7 @@ def semantic_pairs(
         v = df.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("__n"),
             assign(F.col(vec_col)).alias("cell"),
         )
     a, b = v.alias("a"), v.hint("shuffle_hash").alias("b")
@@ -106,7 +108,9 @@ def semantic_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            cosine_pre(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.__n"), F.col("b.__n")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -52,6 +52,17 @@ def cosine(u: Column, v: Column) -> Column:
     return dot(u, v) / (norm(u) * norm(v))
 
 
+def cosine_pre(u: Column, v: Column, nu: Column, nv: Column) -> Column:
+    """Cosine with PRE-STAGED norms: ``dot(u, v) / (nu * nv)`` where
+    ``nu``/``nv`` are :func:`norm` columns computed once per ROW (in the
+    projection before a pair join) instead of once per PAIR. The
+    arithmetic is identical to :func:`cosine` — same dot, same divide by
+    the product of the same norm doubles — so results are bit-equal, but
+    an n×m pair stage runs one array aggregate per pair instead of
+    three."""
+    return dot(u, v) / (nu * nv)
+
+
 def brute_force_topk(
     data: DataFrame,
     queries: DataFrame,
@@ -68,16 +79,24 @@ def brute_force_topk(
     result is total-order deterministic.
     """
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        norm(F.col(query_vec)).alias("__qn"),  # once per query, not per pair
     )
-    d = data.select(F.col(data_id).alias("neighbor_id"), F.col(data_vec).alias("__dv"))
+    d = data.select(
+        F.col(data_id).alias("neighbor_id"),
+        F.col(data_vec).alias("__dv"),
+        norm(F.col(data_vec)).alias("__dn"),   # once per data row
+    )
     joined = d.crossJoin(F.broadcast(q))
     if not include_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__dv")).alias("cosine"),
+        cosine_pre(
+            F.col("__qv"), F.col("__dv"), F.col("__qn"), F.col("__dn")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -135,11 +154,13 @@ def lsh_topk(
     d = data.select(
         F.col(data_id).alias("neighbor_id"),
         F.col(data_vec).alias("__dv"),
+        norm(F.col(data_vec)).alias("__dn"),
         hyperplane_bucket(F.col(data_vec), dim, num_planes, seed).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
+        norm(F.col(query_vec)).alias("__qn"),
         hyperplane_bucket(F.col(query_vec), dim, num_planes, seed).alias("qbucket"),
     )
     # expand query buckets for multiprobe
@@ -158,7 +179,11 @@ def lsh_topk(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__dv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_pre(
+            F.col("__qv"), F.col("__dv"), F.col("__qn"), F.col("__dn")
+        ).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -280,18 +305,24 @@ def ivf_topk(
     d = data.select(
         F.col(data_id).alias("neighbor_id"),
         F.col(data_vec).alias("__dv"),
+        norm(F.col(data_vec)).alias("__dn"),
         assign(F.col(data_vec)).alias("cell"),
     )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
+        norm(F.col(query_vec)).alias("__qn"),
         F.explode(probe(F.col(query_vec))).alias("cell"),
     )
     joined = d.join(F.broadcast(q), on="cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     scored = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__dv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_pre(
+            F.col("__qv"), F.col("__dv"), F.col("__qn"), F.col("__dn")
+        ).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -139,7 +139,9 @@ class CellVectorIndex:
             df = df.filter(F.col("cell").isin([str(c) for c in cells]))
         if exclude_batch_id is not None:
             df = df.filter(F.col("batch_id") != str(int(exclude_batch_id)))
-        out = df.select("id", "vec", F.col("cell").cast("int").alias("cell"))
+        out = df.select(
+            "id", "vec", "__n", F.col("cell").cast("int").alias("cell")
+        )
         return self._minus_deleted(out)
 
     # -- merge-on-read deletes ---------------------------------------------
@@ -206,7 +208,7 @@ class CellVectorIndex:
         fs_storage.delete_path(self.spark, staging)
         live = self._minus_deleted(
             self.spark.read.parquet(self.vectors_path).select(
-                "id", "vec", "cell"
+                "id", "vec", "__n", "cell"
             )
         )
         (
@@ -238,12 +240,15 @@ class CellVectorIndex:
     # -- core --------------------------------------------------------------
 
     def _assigned(self, batch, id_col, vec_col, cents, nprobe):
-        from .similarity import _probe_cells
+        from .similarity import _probe_cells, norm
 
         probes = _probe_cells(cents, nprobe)
+        # __n: the vector's norm, staged once per row and PERSISTED with
+        # it — probe-time cosines never recompute norms (cosine_pre)
         return batch.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("__n"),
             F.explode(probes(F.col(vec_col))).alias("cell"),
         )
 
@@ -268,7 +273,7 @@ class CellVectorIndex:
         partitions; stored vectors join on their single storage cell, so
         nprobe=1 replays the batch IVF tier exactly (parity-tested).
         """
-        from .similarity import cosine
+        from .similarity import cosine_pre
 
         cents = self._ensure_centroids(new_vecs, id_col, vec_col)
         assigned = self._assigned(
@@ -296,7 +301,10 @@ class CellVectorIndex:
             .select(
                 F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
                 F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-                cosine(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+                cosine_pre(
+                    F.col("a.vec"), F.col("b.vec"),
+                    F.col("a.__n"), F.col("b.__n"),
+                ).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
             .dropDuplicates(["id_a", "id_b"])
@@ -372,7 +380,7 @@ class CellVectorIndex:
         neighbor id, the package's ANN convention."""
         from pyspark.sql import Window
 
-        from .similarity import cosine
+        from .similarity import cosine_pre
 
         cents = self.centroids()
         if cents is None:
@@ -390,7 +398,10 @@ class CellVectorIndex:
             .select(
                 F.col("q.id").alias("query_id"),
                 F.col("s.id").alias("neighbor_id"),
-                cosine(F.col("q.vec"), F.col("s.vec")).alias("cosine"),
+                cosine_pre(
+                    F.col("q.vec"), F.col("s.vec"),
+                    F.col("q.__n"), F.col("s.__n"),
+                ).alias("cosine"),
             )
             .dropDuplicates(["query_id", "neighbor_id"])
         )
