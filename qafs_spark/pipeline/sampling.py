@@ -79,6 +79,51 @@ def train_test_split(
     return df.withColumn("split", F.when(is_test, F.lit("test")).otherwise(F.lit("train")))
 
 
+def leakage_free_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_fraction: float = 0.1,
+    seed: int = 42,
+    k_iters: int = 3,
+) -> DataFrame:
+    """Train/test split with NO near-duplicate leakage across the
+    boundary: (id, cluster, split) for every input row, where the split
+    is keyed on the near-dup CLUSTER label, so an entire duplicate group
+    lands on one side atomically.
+
+    The op :func:`train_test_split` warns about — a plain row-hash split
+    puts near-identical documents on both sides, inflating eval scores
+    (the contamination mechanism the dedup literature measures). Here
+    ``pairs`` (any (id_a, id_b, ...) near-dup pair frame — n-gram
+    Jaccard, MinHash, SemDeDup) feeds :func:`dedup.cluster_pairs`
+    min-label propagation; rows without a near-dup keep their own id as
+    the cluster, reproducing the row-hash split for them. Same md5
+    bucket math as :func:`hash_sample`, so membership is auditable in
+    SQL and the test set nests across fractions at a fixed seed.
+
+    Scale shape: label propagation is the pair graph's cost (tiny next
+    to the corpus); the label join back hash-shuffles ids once; the
+    split itself is a narrow map.
+    """
+    from .dedup import cluster_pairs
+
+    labels = cluster_pairs(pairs, k_iters=k_iters)
+    clustered = (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id", F.coalesce(F.col("cluster"), F.col("id")).alias("cluster")
+        )
+    )
+    is_test = hash_bucket(F.col("cluster"), seed) < int(test_fraction * BUCKETS)
+    return clustered.select(
+        F.col("id").alias(id_col),
+        "cluster",
+        F.when(is_test, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -3736,6 +3736,37 @@ def q_cluster_representatives(spark, sf_dir):
     )
 
 
+@register(
+    "leakage_free_split",
+    # same label CTEs as dedup_clusters; the split is keyed on the
+    # CLUSTER (coalesced to own id for singletons) with the hash_sample
+    # md5 bucket math, so both engines compute identical membership.
+    oracle=f"""
+    WITH {{ctes}}
+    SELECT d.doc_id,
+           CAST(coalesce(l3.cluster, d.doc_id) AS BIGINT) AS cluster,
+           CASE WHEN {{bucket}} < 1000 THEN 'test' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN l3 ON l3.id = d.doc_id
+    """.format(
+        ctes=_SQL_NEARDUP_LABEL_CTES,
+        bucket=sp.sql_hash_bucket("coalesce(l3.cluster, d.doc_id)"),
+    ),
+)
+def q_leakage_free_split(spark, sf_dir):
+    """Pipeline: train/test split with NO near-duplicate leakage — the
+    near-dup cluster (n-gram Jaccard >= 0.5 pairs → 3-round min-label
+    propagation, as dedup_clusters) is the split key, so an entire
+    duplicate group lands on one side atomically; singletons reproduce
+    the plain row-hash split (pipeline/sampling.py:leakage_free_split).
+    The mechanism behind dedup-aware eval splits in the contamination
+    literature."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_doc_frac=None,
+    )
+    return sp.leakage_free_split(docs, pairs, "doc_id", test_fraction=0.10)
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-style semantic dedup (pipeline/semdedup.py)
 # ---------------------------------------------------------------------------

@@ -3305,6 +3305,50 @@ def test_streaming_semantic_dedup_accumulates_batch_result(vec_corpus, tmp_path)
     assert sorted(ids) == sorted(r["vec_id"] for r in vec_corpus.collect())
 
 
+def test_leakage_free_split_keeps_clusters_together(spark):
+    """Every near-dup cluster lands entirely on one side; a naive
+    row-hash split demonstrably splits at least one of the planted
+    clusters (the leakage the operator exists to prevent); singletons
+    match the plain row-hash split exactly."""
+    import random
+
+    from qafs_spark.pipeline import dedup, sampling as sp
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    # 40 planted near-dup pairs (80 docs) + 40 singletons
+    for g in range(40):
+        base = " ".join(rng.choice(vocab) for _ in range(20))
+        rows.append((2 * g, base))
+        rows.append((2 * g + 1, base + " tail"))
+    for s in range(40):
+        rows.append((1000 + s, " ".join(rng.choice(vocab) for _ in range(20))))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_doc_frac=None
+    )
+    out = sp.leakage_free_split(docs, pairs, "doc_id", test_fraction=0.3)
+    got = {r["doc_id"]: (r["cluster"], r["split"]) for r in out.collect()}
+    assert len(got) == 120
+    # atomicity: one split value per cluster
+    by_cluster = {}
+    for did, (cl, split) in got.items():
+        by_cluster.setdefault(cl, set()).add(split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the planted pairs are really clustered (cluster != own id for odd)
+    assert all(got[2 * g + 1][0] == 2 * g for g in range(40))
+    # a NAIVE row split would break >= 1 planted cluster at this fraction
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in sp.train_test_split(docs, "doc_id", 0.3).collect()
+    }
+    assert any(naive[2 * g] != naive[2 * g + 1] for g in range(40))
+    # singletons: identical to the naive row-hash split (same key, seed)
+    assert all(naive[1000 + s] == got[1000 + s][1] for s in range(40))
+    assert {s for _, s in got.values()} == {"train", "test"}
+
+
 def test_cluster_representative_selection_by_quality(spark):
     """Survivor selection keeps the HIGHEST-quality member of each near-dup
     cluster, tie-breaking on lowest id — the argmax-by-(quality, -id)
