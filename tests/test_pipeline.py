@@ -2995,6 +2995,67 @@ def test_banded_index_merge_on_read_deletes(inc_corpus, tmp_path):
     assert probe_pairs() == after  # results unchanged by the rewrite
 
 
+def test_banded_matches_flat_property_random(spark, tmp_path):
+    """Property: the band-partitioned index's pair set ≡ the flat
+    incremental path's on randomized corpora — random vocab (controls
+    dup density), doc counts, band counts, guard caps (None and tight),
+    and old/new splits. The partition-pruned probes and persisted counts
+    must never change a single pair."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qafs_spark.pipeline import incremental
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        vocab=st.integers(4, 25),
+        n_docs=st.integers(8, 30),
+        num_bands=st.sampled_from([8, 16]),
+        cap=st.sampled_from([None, 2, 5]),
+        mod=st.integers(2, 4),
+    )
+    def run(seed, vocab, n_docs, num_bands, cap, mod):
+        import random as _r
+
+        rng = _r.Random(seed)
+        rows = [
+            (i, " ".join(f"w{rng.randrange(vocab)}"
+                         for _ in range(rng.randrange(0, 12))))
+            for i in range(n_docs)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        old = docs.filter(F.col("doc_id") % mod != 0)
+        new = docs.filter(F.col("doc_id") % mod == 0)
+        counter["n"] += 1
+        idx = BandedMinHashIndex(
+            spark, str(tmp_path / f"p{counter['n']}"),
+            n=3, num_hashes=32, num_bands=num_bands, num_partitions=8,
+        )
+        idx.apply_batch(
+            old, 0, text_col="text", id_col="doc_id",
+            threshold=0.2, max_band_size=cap,
+        )
+        got, _ = idx.dedup_batch(
+            new, "text", "doc_id", threshold=0.2, max_band_size=cap
+        )
+        flat = incremental.minhash_index(old, "text", "doc_id", n=3, num_hashes=32)
+        want, _ = incremental.incremental_minhash_dedup(
+            new, flat, "text", "doc_id", n=3, num_hashes=32,
+            num_bands=num_bands, threshold=0.2, max_band_size=cap,
+        )
+        assert _pairset(got) == _pairset(want)
+        idx.unpersist_intermediates()
+
+    run()
+
+
 def test_banded_streaming_equals_batch(spark, tmp_path):
     """streaming_banded_dedup across 3 micro-batches accumulates exactly
     the batch operator's pair set (same invariant as the flat streaming
