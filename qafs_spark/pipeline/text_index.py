@@ -1,0 +1,290 @@
+"""Persisted inverted index: BM25 retrieval whose per-query cost is a
+partition-pruned postings probe, with incremental exactly-once ingestion.
+
+The lexical member of the persisted-index trio (:mod:`banded_index` for
+MinHash, :mod:`vector_index` for embeddings). :func:`text.bm25_topk`
+re-tokenizes the corpus per query — right for one-off audits, wrong for a
+retrieval service over a continuously-fed corpus. Here each document is
+tokenized ONCE, at ingest:
+
+- ``postings/batch_id=N/term_pfx=K/`` — (term, id, tf) rows partitioned
+  by a term-hash prefix. A query's terms map to a bounded prefix set, so
+  the probe reads only matching partition directories — the classic
+  inverted-index seek expressed as parquet partition pruning.
+- ``doclens/batch_id=N/`` — (id, dl) rows; corpus scalars (N, avgdl) are
+  one narrow aggregate over this two-column table at query time, so they
+  are always exact — including after merge-on-read deletes.
+
+Scoring is byte-identical to :func:`text.bm25_topk` (same expression
+shapes, same micro-unit freeze), so a full-corpus index query replays the
+same DuckDB oracle — asserted by the ``bm25_index_topk`` catalog row and
+a bit-equality pytest against the on-the-fly operator.
+
+Exactly-once ingestion, merge-on-read deletes, and compaction use the
+same recipes as the sibling indexes (per-batch overwrite directories;
+``doclens``'s _SUCCESS as the applied marker, written last; broadcast
+tombstone anti-joins; rename-aside compaction swap). Same
+checkpoint/index lifecycle caveat as :mod:`streaming.dedup_lsh`.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import storage as fs_storage
+from .text import tokens
+
+
+class InvertedIndex:
+    """Persisted BM25 index rooted at ``root``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_partitions: int = 64,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.num_partitions = num_partitions
+        j = fs_storage.join
+        self.postings_path = j(root, "postings")
+        self.doclens_path = j(root, "doclens")
+        self.meta_path = j(root, "meta")
+        self.deletes_path = j(root, "deletes")
+        self.watermark_path = j(root, "compacted_through")
+
+    def _pfx(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.num_partitions))
+
+    def _check_meta(self) -> None:
+        cfg = {"num_partitions": self.num_partitions}
+        if fs_storage.path_exists(self.spark, self.meta_path):
+            stored = json.loads(
+                self.spark.read.parquet(self.meta_path).first()["config"]
+            )
+            if stored != cfg:
+                raise ValueError(
+                    f"index at {self.root} was built with {stored}, got "
+                    f"{cfg} — the prefix modulus is immutable"
+                )
+        else:
+            self.spark.createDataFrame(
+                [(json.dumps(cfg),)], "config string"
+            ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+
+    # -- merge-on-read deletes ---------------------------------------------
+
+    def delete_ids(self, ids) -> int:
+        """Tombstone documents; probes and corpus scalars exclude them
+        immediately, :meth:`compact` drops their rows physically."""
+        if isinstance(ids, DataFrame):
+            df = ids.toDF("id").distinct()
+        else:
+            if not ids:
+                return 0
+            df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
+        df.coalesce(1).write.mode("append").parquet(self.deletes_path)
+        return df.count()
+
+    def _minus_deleted(self, df: DataFrame) -> DataFrame:
+        if not fs_storage.path_exists(self.spark, self.deletes_path):
+            return df
+        try:
+            tomb = self.spark.read.parquet(self.deletes_path).select("id")
+        except Exception:
+            return df
+        return df.join(F.broadcast(tomb), "id", "left_anti")
+
+    # -- exactly-once ingestion --------------------------------------------
+
+    def _compacted_through(self) -> int:
+        if not fs_storage.path_exists(self.spark, self.watermark_path):
+            return -1
+        return int(
+            self.spark.read.parquet(self.watermark_path).first()["through"]
+        )
+
+    def batch_applied(self, batch_id: int) -> bool:
+        if int(batch_id) <= self._compacted_through():
+            return True
+        return fs_storage.path_exists(
+            self.spark,
+            fs_storage.join(
+                self.doclens_path, f"batch_id={int(batch_id)}", "_SUCCESS"
+            ),
+        )
+
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> bool:
+        """Tokenize the batch ONCE and commit its postings + doc lengths,
+        exactly once (doclens last — its _SUCCESS is the applied marker).
+        Ids must be disjoint from stored ids. Zero-token documents
+        contribute no rows (same contract as bm25_topk's token stream)."""
+        self._recover_compaction()
+        if self.batch_applied(batch_id):
+            return False
+        self._check_meta()
+        j = fs_storage.join
+        bdir = f"batch_id={int(batch_id)}"
+        tok = batch.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        tf = (
+            tok.groupBy("id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("term_pfx", self._pfx(F.col("term")))
+        )
+        (
+            tf.repartition(F.col("term_pfx"))
+            .sortWithinPartitions("term")  # row-group locality for probes
+            .write.partitionBy("term_pfx")
+            .mode("overwrite")
+            .parquet(j(self.postings_path, bdir))
+        )
+        dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+        dl.write.mode("overwrite").parquet(j(self.doclens_path, bdir))
+        return True
+
+    # -- retrieval ---------------------------------------------------------
+
+    def search(
+        self,
+        query_terms: List[str],
+        k: int = 20,
+        k1: float = 1.2,
+        b: float = 0.75,
+    ) -> DataFrame:
+        """(doc, score_micro, rank): Okapi BM25 top-k over the live
+        corpus, byte-identical scoring to :func:`text.bm25_topk`.
+
+        The postings read is pruned to the query terms' prefix partitions
+        (bounded by ``min(len(terms), num_partitions)`` directories);
+        corpus scalars come from one narrow aggregate over the two-column
+        ``doclens`` table, so they stay exact under tombstones. Global
+        top-k plans as TakeOrderedAndProject, ranks are a window over
+        <= k rows."""
+        from pyspark.sql import Window
+
+        terms = sorted(set(query_terms))
+        pfxs = {
+            r[0]
+            for r in self.spark.createDataFrame(
+                [(t,) for t in terms], ["term"]
+            ).select(self._pfx(F.col("term"))).collect()
+        }
+        post = self.spark.read.parquet(self.postings_path).filter(
+            F.col("term_pfx").isin([str(p) for p in sorted(pfxs)])
+        )
+        tf = self._minus_deleted(
+            post.filter(F.col("term").isin(terms)).select("id", "term", "tf")
+        )
+        dl = self._minus_deleted(
+            self.spark.read.parquet(self.doclens_path).select("id", "dl")
+        )
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_tokens"),
+        )
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        joined = (
+            tf.join(F.broadcast(dfreq), "term")
+            .join(dl, "id")
+            .crossJoin(F.broadcast(stats))
+        )
+        nd = F.col("n_docs").cast("double")
+        dfd = F.col("df").cast("double")
+        tfd = F.col("tf").cast("double")
+        dld = F.col("dl").cast("double")
+        avgdl = F.col("total_tokens").cast("double") / nd
+        idf = F.log(F.lit(1.0) + (nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+        denom = tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (dld / avgdl))
+        part = idf * (tfd * F.lit(k1 + 1.0)) / denom
+        per_doc = (
+            joined.select(
+                F.col("id").alias("doc"),
+                F.round(part * F.lit(1_000_000)).cast("long").alias("s_micro"),
+            )
+            .groupBy("doc")
+            .agg(F.sum("s_micro").alias("score_micro"))
+        )
+        topk = per_doc.orderBy(
+            F.col("score_micro").desc(), F.col("doc").asc()
+        ).limit(k)
+        w = Window.orderBy(F.col("score_micro").desc(), F.col("doc").asc())
+        return topk.withColumn("rank", F.row_number().over(w))
+
+    # -- compaction --------------------------------------------------------
+
+    def _recover_compaction(self) -> None:
+        for path in (self.postings_path, self.doclens_path):
+            old = path.rstrip("/") + ".__old__"
+            if not fs_storage.path_exists(self.spark, path) and (
+                fs_storage.path_exists(self.spark, old)
+            ):
+                fs_storage.rename_path(self.spark, old, path)
+
+    def compact(self) -> int:
+        """Fold applied batch directories into one and drop tombstoned
+        documents physically (rename-aside swap, crash-recoverable; run
+        quiesced — same protocol as the sibling indexes)."""
+        self._recover_compaction()
+        applied = []
+        for d in fs_storage.list_dirs(self.spark, self.doclens_path):
+            if d.startswith("batch_id="):
+                applied.append(int(d.split("=", 1)[1]))
+        has_tombstones = fs_storage.path_exists(self.spark, self.deletes_path)
+        if not applied or (len(applied) <= 1 and not has_tombstones):
+            return 0
+        target = max(applied)
+        self.spark.createDataFrame(
+            [(int(target),)], "through long"
+        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+
+        def swap(path: str, df, part_cols: list) -> None:
+            staging = path.rstrip("/") + ".__compact__"
+            old = path.rstrip("/") + ".__old__"
+            fs_storage.delete_path(self.spark, staging)
+            out = df.withColumn("batch_id", F.lit(str(target)))
+            if part_cols:
+                out = out.repartition(*[F.col(c) for c in part_cols])
+            else:
+                out = out.coalesce(1)
+            (
+                out.write.partitionBy("batch_id", *part_cols)
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            fs_storage.delete_path(self.spark, old)
+            fs_storage.rename_path(self.spark, path, old)
+            fs_storage.rename_path(self.spark, staging, path)
+            fs_storage.delete_path(self.spark, old)
+
+        swap(
+            self.postings_path,
+            self._minus_deleted(
+                self.spark.read.parquet(self.postings_path).select(
+                    "id", "term", "tf", "term_pfx"
+                )
+            ),
+            ["term_pfx"],
+        )
+        swap(
+            self.doclens_path,
+            self._minus_deleted(
+                self.spark.read.parquet(self.doclens_path).select("id", "dl")
+            ),
+            [],
+        )
+        fs_storage.delete_path(self.spark, self.deletes_path)
+        return len(applied) - 1

@@ -4269,6 +4269,66 @@ def q_bm25_topk(spark, sf_dir):
     return tx.bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=20)
 
 
+@register(
+    "bm25_index_topk",
+    # identical oracle to bm25_topk: the persisted index's scoring is
+    # byte-identical (same expression shapes, same micro freeze), so a
+    # full-corpus index query replays the same SQL.
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+    tf AS (SELECT doc, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'join', 'window', 'vector')
+           GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc,
+               CAST(round(
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                               / (CAST(total_tokens AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))))
+                   * 1000000) AS BIGINT) AS s_micro
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN stats
+    ),
+    per_doc AS (SELECT doc, sum(s_micro) AS score_micro FROM scored GROUP BY doc)
+    SELECT doc AS doc_id, CAST(score_micro AS BIGINT) AS score_micro, rank
+    FROM (
+        SELECT doc, score_micro,
+               row_number() OVER (ORDER BY score_micro DESC, doc ASC) AS rank
+        FROM per_doc
+    ) WHERE rank <= 20
+    """,
+)
+def q_bm25_index_topk(spark, sf_dir):
+    """Pipeline: BM25 retrieval from the PERSISTED inverted index
+    (pipeline/text_index.py) — the corpus is ingested as 3 exactly-once
+    batches (each document tokenized once, at ingest), then the query
+    probes only its terms' prefix partitions; scoring byte-identical to
+    the on-the-fly bm25_topk, so the same oracle replays it."""
+    import tempfile
+
+    from .pipeline.text_index import InvertedIndex
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    ix = InvertedIndex(
+        spark, tempfile.mkdtemp(prefix="qafs_invix_"), num_partitions=32
+    )
+    for kb in range(3):
+        ix.apply_batch(docs.filter(F.col("doc_id") % 3 == kb), kb)
+    return ix.search(list(_BM25_TERMS), k=20).select(
+        F.col("doc").alias("doc_id"), "score_micro", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Linear-interpolation resample — operators/resample.py
 # ---------------------------------------------------------------------------

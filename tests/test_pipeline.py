@@ -3410,6 +3410,120 @@ def test_leakage_free_split_keeps_clusters_together(spark):
     assert {s for _, s in got.values()} == {"train", "test"}
 
 
+# ---------------------------------------------------------------------------
+# Persisted inverted (BM25) index (pipeline/text_index.py)
+# ---------------------------------------------------------------------------
+def test_inverted_index_matches_bm25_topk(spark, tmp_path):
+    """A full-corpus index query is BIT-EQUAL to the on-the-fly bm25_topk
+    (same expression shapes, same micro freeze), whether the corpus
+    arrived as one batch or three; replay of a committed batch is a
+    no-op; tombstoned docs drop out of rankings AND corpus scalars
+    immediately, and compaction preserves results."""
+    import random
+
+    from qafs_spark.pipeline import text as tx
+    from qafs_spark.pipeline.text_index import InvertedIndex
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)] + ["spark", "join", "window"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 25))))
+            for i in range(60)
+        ],
+        ["doc_id", "text"],
+    )
+    terms = ["spark", "join", "window"]
+    want = [
+        (r["doc_id"], r["score_micro"], r["rank"])
+        for r in tx.bm25_topk(docs, "text", "doc_id", terms, k=10).collect()
+    ]
+    assert want
+
+    # three-batch ingest == one-shot corpus
+    ix = InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=16)
+    for kb in range(3):
+        assert ix.apply_batch(docs.filter(F.col("doc_id") % 3 == kb), kb)
+    got = [
+        (r["doc"], r["score_micro"], r["rank"])
+        for r in ix.search(terms, k=10).collect()
+    ]
+    assert got == want
+    # exactly-once: replay no-op, results unchanged
+    assert not ix.apply_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    assert [
+        (r["doc"], r["score_micro"], r["rank"])
+        for r in ix.search(terms, k=10).collect()
+    ] == want
+
+    # delete the top doc: it leaves the ranking, and scores equal a fresh
+    # bm25 over the reduced corpus (scalars exclude the tombstone)
+    top = want[0][0]
+    assert ix.delete_ids([top]) == 1
+    reduced = docs.filter(F.col("doc_id") != top)
+    want2 = [
+        (r["doc_id"], r["score_micro"], r["rank"])
+        for r in tx.bm25_topk(reduced, "text", "doc_id", terms, k=10).collect()
+    ]
+    got2 = [
+        (r["doc"], r["score_micro"], r["rank"])
+        for r in ix.search(terms, k=10).collect()
+    ]
+    assert got2 == want2 and top not in {d for d, _, _ in got2}
+
+    # compaction: physical removal, results identical, one dir per dataset
+    import os
+
+    assert ix.compact() == 2
+    assert [
+        (r["doc"], r["score_micro"], r["rank"])
+        for r in ix.search(terms, k=10).collect()
+    ] == want2
+    for ds in ("postings", "doclens"):
+        dirs = [
+            d for d in os.listdir(str(tmp_path / "ix" / ds))
+            if d.startswith("batch_id=")
+        ]
+        assert len(dirs) == 1, ds
+    stored = spark.read.parquet(str(tmp_path / "ix" / "doclens"))
+    assert top not in {r["id"] for r in stored.collect()}
+
+
+def test_inverted_index_probe_prunes_term_partitions(spark, tmp_path):
+    """The postings probe reads only the query terms' prefix partitions —
+    a strict subset of the index's files."""
+    import random
+
+    from qafs_spark.pipeline.text_index import InvertedIndex
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(200)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(100)],
+        ["doc_id", "text"],
+    )
+    ix = InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=32)
+    ix.apply_batch(docs, 0)
+    pfx = {
+        r[0]
+        for r in spark.createDataFrame([("w0",)], ["term"])
+        .select(ix._pfx(F.col("term"))).collect()
+    }
+    pruned = spark.read.parquet(ix.postings_path).filter(
+        F.col("term_pfx").isin([str(p) for p in pfx])
+    )
+    files = {
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    }
+    all_files = {
+        r[0]
+        for r in spark.read.parquet(ix.postings_path)
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert files and files < all_files
+    assert all(f"term_pfx={next(iter(pfx))}/" in f for f in files)
+
+
 def test_cluster_representative_selection_by_quality(spark):
     """Survivor selection keeps the HIGHEST-quality member of each near-dup
     cluster, tie-breaking on lowest id — the argmax-by-(quality, -id)
