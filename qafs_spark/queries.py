@@ -4329,6 +4329,90 @@ def q_bm25_index_topk(spark, sf_dir):
     )
 
 
+@register(
+    "hybrid_retrieval",
+    # RRF over the two already-proven rankings: the bm25 CTE chain (top-30)
+    # fused with the exact ANN ranking for query vector 0 (top-30), each
+    # contribution frozen to round(1e6/(60+rank)) — integer-exact, and no
+    # rank <= 30 sits on a .5 boundary (first at 60+r = 128).
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+    tfq AS (SELECT doc, term, count(*) AS tf FROM tok
+            WHERE term IN ('spark', 'join', 'window', 'vector')
+            GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+    scored AS (
+        SELECT tfq.doc,
+               CAST(round(
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                               / (CAST(total_tokens AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))))
+                   * 1000000) AS BIGINT) AS s_micro
+        FROM tfq JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN stats
+    ),
+    per_doc AS (SELECT doc, sum(s_micro) AS score_micro FROM scored GROUP BY doc),
+    bm AS (
+        SELECT doc AS id, rank FROM (
+            SELECT doc, row_number() OVER (
+                ORDER BY score_micro DESC, doc ASC) AS rank
+            FROM per_doc
+        ) WHERE rank <= 30
+    ),
+    ann AS (
+        SELECT neighbor_id AS id, rank FROM (
+            SELECT b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {_SQL_COSINE} DESC, b.vec_id ASC
+                   ) AS rank
+            FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+            WHERE a.vec_id = 0
+        ) WHERE rank <= 30
+    ),
+    contrib AS (
+        SELECT id, CAST(round(1000000.0 / (60.0 + CAST(rank AS DOUBLE)))
+                   AS BIGINT) AS c FROM bm
+        UNION ALL
+        SELECT id, CAST(round(1000000.0 / (60.0 + CAST(rank AS DOUBLE)))
+                   AS BIGINT) AS c FROM ann
+    ),
+    fused AS (SELECT id, sum(c) AS rrf_micro FROM contrib GROUP BY id)
+    SELECT id AS doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro, rank FROM (
+        SELECT id, rrf_micro,
+               row_number() OVER (ORDER BY rrf_micro DESC, id ASC) AS rank
+        FROM fused
+    ) WHERE rank <= 20
+    """,
+)
+def q_hybrid_retrieval(spark, sf_dir):
+    """Pipeline: HYBRID retrieval — reciprocal-rank fusion
+    (pipeline/retrieval.py:rrf_fuse, Cormack et al. SIGIR'09) of the BM25
+    lexical top-30 and the exact cosine ANN top-30 for query vector 0
+    (documents and embeddings share the id space in these fixtures).
+    Score-free fusion: BM25 micro-units and cosine are incomparable, but
+    ranks always fuse; contributions frozen to integers so the fused
+    total is an exact BIGINT sum both engines replay."""
+    from .pipeline.retrieval import rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    emb = _t(spark, sf_dir, "embeddings")
+    lexical = tx.bm25_topk(docs, "text", "doc_id", list(_BM25_TERMS), k=30)
+    vector = sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=30
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    return rrf_fuse([lexical.select("doc_id", "rank"), vector], k=20)
+
+
 # ---------------------------------------------------------------------------
 # Linear-interpolation resample — operators/resample.py
 # ---------------------------------------------------------------------------

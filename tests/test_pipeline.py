@@ -3524,6 +3524,34 @@ def test_inverted_index_probe_prunes_term_partitions(spark, tmp_path):
     assert all(f"term_pfx={next(iter(pfx))}/" in f for f in files)
 
 
+def test_rrf_fuse_semantics(spark):
+    """RRF fusion: a doc ranked well by BOTH systems beats single-system
+    leaders; absence from a system contributes nothing; ties break on id
+    ascending; contributions are the documented integer freeze."""
+    from qafs_spark.pipeline.retrieval import rrf_fuse
+
+    bm = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"]
+    )
+    ann = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], ["doc_id", "rank"]
+    )
+    out = {
+        r["doc_id"]: (r["rrf_micro"], r["rank"])
+        for r in rrf_fuse([bm, ann], k=10).collect()
+    }
+    c = lambda r: round(1_000_000.0 / (60.0 + r))
+    assert out[20] == (c(2) + c(1), 1)   # strong in both wins
+    assert out[10] == (c(1) + c(3), 2)
+    assert out[40] == (c(2), 3) and out[30] == (c(3), 4)
+    # 40's single rank-2 contribution beats 30's rank-3; a genuine tie
+    # (same ranks) breaks on id
+    t1 = spark.createDataFrame([(7, 1)], ["doc_id", "rank"])
+    t2 = spark.createDataFrame([(5, 1)], ["doc_id", "rank"])
+    tied = [r["doc_id"] for r in rrf_fuse([t1, t2], k=10).collect()]
+    assert tied == [5, 7]
+
+
 def test_cluster_representative_selection_by_quality(spark):
     """Survivor selection keeps the HIGHEST-quality member of each near-dup
     cluster, tie-breaking on lowest id — the argmax-by-(quality, -id)
