@@ -4330,6 +4330,85 @@ def q_bm25_index_topk(spark, sf_dir):
 
 
 @register(
+    "stream_bm25_index",
+    # same oracle as bm25_topk/bm25_index_topk: the streaming sink's index
+    # is byte-identical to the batch-built one (exactly-once ingestion,
+    # identical scoring).
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id AS doc,
+               unnest(string_split_regex(trim(text), '\s+')) AS term
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    dl AS (SELECT doc, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+    tf AS (SELECT doc, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'join', 'window', 'vector')
+           GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc,
+               CAST(round(
+                   ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                            / (CAST(df AS DOUBLE) + 0.5))
+                   * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                   / (CAST(tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                               / (CAST(total_tokens AS DOUBLE)
+                                  / CAST(n_docs AS DOUBLE)))))
+                   * 1000000) AS BIGINT) AS s_micro
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN stats
+    ),
+    per_doc AS (SELECT doc, sum(s_micro) AS score_micro FROM scored GROUP BY doc)
+    SELECT doc AS doc_id, CAST(score_micro AS BIGINT) AS score_micro, rank
+    FROM (
+        SELECT doc, score_micro,
+               row_number() OVER (ORDER BY score_micro DESC, doc ASC) AS rank
+        FROM per_doc
+    ) WHERE rank <= 20
+    """,
+)
+def q_stream_bm25_index(spark, sf_dir):
+    """Streaming: the corpus arrives as 3 micro-batches through the
+    exactly-once inverted-index sink
+    (streaming/dedup_lsh.py:streaming_inverted_index); the resulting
+    index's search is byte-identical to on-the-fly BM25 over everything
+    ingested."""
+    import os
+    import tempfile
+
+    from .pipeline.text_index import InvertedIndex
+    from .streaming.dedup_lsh import streaming_inverted_index
+
+    root = tempfile.mkdtemp(prefix="qafs_bm25stream_")
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+    docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    for k in range(3):
+        staged = os.path.join(root, f"stage{k}")
+        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ix_root = os.path.join(root, "ix")
+    q = streaming_inverted_index(
+        stream, ix_root, os.path.join(root, "ckpt"), num_partitions=32
+    )
+    q.awaitTermination(300)
+    return InvertedIndex(spark, ix_root, num_partitions=32).search(
+        list(_BM25_TERMS), k=20
+    ).select(F.col("doc").alias("doc_id"), "score_micro", "rank")
+
+
+@register(
     "hybrid_retrieval",
     # RRF over the two already-proven rankings: the bm25 CTE chain (top-30)
     # fused with the exact ANN ranking for query vector 0 (top-30), each

@@ -183,6 +183,41 @@ def streaming_semantic_dedup(
     return writer.start()
 
 
+def streaming_inverted_index(
+    stream: DataFrame,
+    root: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Exactly-once streaming ingestion into the persisted BM25 index
+    (:class:`pipeline.text_index.InvertedIndex`): each micro-batch is
+    tokenized once and committed into its own batch directories, so a
+    continuously-fed corpus is searchable (partition-pruned term probes)
+    without any re-tokenization. Same commit recipe and checkpoint/index
+    lifecycle caveat as the dedup sinks above."""
+    from ..pipeline.text_index import InvertedIndex
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        index = InvertedIndex(
+            batch.sparkSession, root, num_partitions=num_partitions
+        )
+        index.apply_batch(batch, batch_id, text_col=text_col, id_col=id_col)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_banded_dedup(
     stream: DataFrame,
     root: str,

@@ -3489,6 +3489,61 @@ def test_inverted_index_matches_bm25_topk(spark, tmp_path):
     assert top not in {r["id"] for r in stored.collect()}
 
 
+def test_streaming_inverted_index_equals_batch(spark, tmp_path):
+    """Streaming ingestion through the exactly-once sink produces an
+    index whose search results are bit-equal to the on-the-fly bm25_topk
+    over everything ingested."""
+    import os
+    import random
+
+    from qafs_spark.pipeline import text as tx
+    from qafs_spark.pipeline.text_index import InvertedIndex
+    from qafs_spark.streaming.dedup_lsh import streaming_inverted_index
+
+    rng = random.Random(29)
+    vocab = [f"w{i}" for i in range(30)] + ["spark", "join"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 20))))
+            for i in range(30)
+        ],
+        ["doc_id", "text"],
+    )
+    src = tmp_path / "bm25_stream_in"
+    src.mkdir()
+    for kb in range(3):
+        staged = str(tmp_path / f"bstage{kb}")
+        docs.filter(F.col("doc_id") % 3 == kb).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staged)
+        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
+        dst = str(src / f"b{kb}.parquet")
+        os.rename(os.path.join(staged, part), dst)
+        os.utime(dst, (1_700_000_000 + kb, 1_700_000_000 + kb))
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "bm25_ix")
+    q = streaming_inverted_index(
+        stream, root, str(tmp_path / "bckpt"), num_partitions=16
+    )
+    q.awaitTermination(180)
+
+    terms = ["spark", "join"]
+    want = [
+        (r["doc_id"], r["score_micro"], r["rank"])
+        for r in tx.bm25_topk(docs, "text", "doc_id", terms, k=10).collect()
+    ]
+    ix = InvertedIndex(spark, root, num_partitions=16)
+    got = [
+        (r["doc"], r["score_micro"], r["rank"])
+        for r in ix.search(terms, k=10).collect()
+    ]
+    assert got == want and want
+
+
 def test_inverted_index_probe_prunes_term_partitions(spark, tmp_path):
     """The postings probe reads only the query terms' prefix partitions —
     a strict subset of the index's files."""
