@@ -62,6 +62,23 @@ def main() -> int:
     # ANN serving straight from the same store, reading only probed cells
     queries = emb.limit(3)
     vec_ix.search(queries, k=5, nprobe=2).show(15, truncate=False)
+
+    # ---- lexical: persisted BM25 index + hybrid fusion -----------------
+    from qafs_spark.pipeline.retrieval import rrf_fuse
+    from qafs_spark.pipeline.text_index import InvertedIndex
+
+    troot = tempfile.mkdtemp(prefix="ix_bm25_")
+    bm_ix = InvertedIndex(spark, troot, num_partitions=16)
+    for day in range(3):
+        bm_ix.apply_batch(docs.filter(F.col("doc_id") % 3 == day), day)
+    lexical = bm_ix.search(["data", "model"], k=10).select(
+        F.col("doc").alias("doc_id"), "rank"
+    )
+    vector = vec_ix.search(emb.limit(1), k=10, nprobe=2).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    print("hybrid top-5 (RRF over BM25 + ANN):")
+    rrf_fuse([lexical, vector], k=5).show(truncate=False)
     return 0
 
 
