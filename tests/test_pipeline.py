@@ -3544,6 +3544,63 @@ def test_streaming_inverted_index_equals_batch(spark, tmp_path):
     assert got == want and want
 
 
+def test_inverted_index_matches_bm25_property_random(spark, tmp_path):
+    """Property: index search ≡ on-the-fly bm25_topk on randomized
+    corpora — random vocab sizes (controls df skew), doc counts, query
+    terms (including absent ones), prefix moduli, and batch splits."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from qafs_spark.pipeline import text as tx
+    from qafs_spark.pipeline.text_index import InvertedIndex
+
+    counter = {"n": 0}
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        vocab=st.integers(3, 30),
+        n_docs=st.integers(5, 40),
+        npart=st.sampled_from([4, 16, 64]),
+        mod=st.integers(1, 3),
+        n_terms=st.integers(1, 4),
+    )
+    def run(seed, vocab, n_docs, npart, mod, n_terms):
+        import random as _r
+
+        rng = _r.Random(seed)
+        docs = spark.createDataFrame(
+            [
+                (i, " ".join(f"w{rng.randrange(vocab)}"
+                             for _ in range(rng.randrange(1, 20))))
+                for i in range(n_docs)
+            ],
+            ["doc_id", "text"],
+        )
+        # mix of present and definitely-absent terms
+        terms = [f"w{rng.randrange(vocab)}" for _ in range(n_terms)] + ["zzz_absent"]
+        counter["n"] += 1
+        ix = InvertedIndex(
+            spark, str(tmp_path / f"q{counter['n']}"), num_partitions=npart
+        )
+        for kb in range(mod):
+            ix.apply_batch(docs.filter(F.col("doc_id") % mod == kb), kb)
+        got = [
+            (r["doc"], r["score_micro"], r["rank"])
+            for r in ix.search(terms, k=8).collect()
+        ]
+        want = [
+            (r["doc_id"], r["score_micro"], r["rank"])
+            for r in tx.bm25_topk(docs, "text", "doc_id", terms, k=8).collect()
+        ]
+        assert got == want
+
+    run()
+
+
 def test_inverted_index_probe_prunes_term_partitions(spark, tmp_path):
     """The postings probe reads only the query terms' prefix partitions —
     a strict subset of the index's files."""
