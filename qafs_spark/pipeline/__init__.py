@@ -14,6 +14,12 @@ Beyond reference parity, the operators a 100 TB LLM-data pipeline needs:
 * :mod:`incremental` — continuous-ingestion dedup: persisted MinHash
   index, per-batch candidate join (new side broadcast, corpus never
   re-tokenized or shuffled).
+* :mod:`banded_index` / :mod:`vector_index` / :mod:`text_index` — the
+  persisted-index trio (MinHash bands, IVF cells, BM25 postings):
+  partition-pruned probes, exactly-once batch + streaming ingestion,
+  merge-on-read deletes, rename-aside compaction.
+* :mod:`retrieval` — reciprocal-rank fusion over any (id, rank)
+  frames (hybrid lexical + vector retrieval).
 * :mod:`multimodal` — opaque binary columns with typed metadata; decode /
   resize / frame-sample plumbing as Arrow-batched Pandas UDFs (decoders
   stubbed — codec libs are not in this container).
