@@ -283,7 +283,8 @@ class CellVectorIndex:
         if tier == "exact":
             probed = assigned
             stored = self._stored(None, exclude_batch_id, empty_like=assigned)
-            cond = F.col("a.id") != F.col("b.id")
+            old_cond = F.col("a.id") != F.col("b.id")
+            new_cond = F.col("a.id") < F.col("b.id")
         else:
             probed = (
                 assigned if nprobe == 1
@@ -291,25 +292,34 @@ class CellVectorIndex:
             )
             cells = [r[0] for r in probed.select("cell").distinct().collect()]
             stored = self._stored(cells, exclude_batch_id, empty_like=assigned)
-            cond = (F.col("a.cell") == F.col("b.cell")) & (
-                F.col("a.id") != F.col("b.id")
-            )
-        side_a = stored.unionByName(probed)
-        pairs = (
-            side_a.alias("a")
-            .join(F.broadcast(probed.alias("b")), cond)
-            .select(
+            same_cell = F.col("a.cell") == F.col("b.cell")
+            old_cond = same_cell & (F.col("a.id") != F.col("b.id"))
+            new_cond = same_cell & (F.col("a.id") < F.col("b.id"))
+
+        def score(joined):
+            return joined.select(
                 F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
                 F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
                 cosine_pre(
                     F.col("a.vec"), F.col("b.vec"),
                     F.col("a.__n"), F.col("b.__n"),
                 ).alias("cosine"),
-            )
-            .filter(F.col("cosine") >= threshold)
-            .dropDuplicates(["id_a", "id_b"])
+            ).filter(F.col("cosine") >= threshold)
+
+        # stored-batch: stored rows are single-cell and only on the left,
+        # so each pair joins exactly once — NO dedup shuffle on the big
+        # stream; batch-batch: a.id < b.id kills the orientation mirror,
+        # and only multiprobe (both sides multi-cell) can still duplicate
+        # a pair through a second shared cell
+        old_pairs = score(
+            stored.alias("a").join(F.broadcast(probed.alias("b")), old_cond)
         )
-        return pairs, assigned
+        new_pairs = score(
+            probed.alias("a").join(F.broadcast(probed.alias("b")), new_cond)
+        )
+        if tier != "exact" and nprobe > 1:
+            new_pairs = new_pairs.dropDuplicates(["id_a", "id_b"])
+        return old_pairs.unionByName(new_pairs), assigned
 
     def unpersist_intermediates(self) -> None:
         for df in self._persisted:
@@ -403,7 +413,8 @@ class CellVectorIndex:
                     F.col("q.__n"), F.col("s.__n"),
                 ).alias("cosine"),
             )
-            .dropDuplicates(["query_id", "neighbor_id"])
+            # stored vectors are single-cell, so each (query, neighbor)
+            # joins exactly once even at nprobe = nlist — no dedup shuffle
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()
