@@ -601,3 +601,30 @@ def test_banded_probe_prunes_band_partitions(spark, tmp_path):
     ]
     assert len(files) < len(all_files)
     idx.unpersist_intermediates()
+
+
+def test_inverted_index_search_plan_shape(spark, tmp_path):
+    """The persisted-index BM25 probe must show its scale properties in
+    the physical plan: the query-term In filter pushed into the postings
+    scan, the term-prefix partition filter pruning directories, and the
+    global top-k planned as TakeOrderedAndProject (never a global sort
+    of per-doc scores)."""
+    import random
+
+    from qafs_spark.pipeline.text_index import InvertedIndex
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(100)] + ["spark", "join"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(15))) for i in range(80)],
+        ["doc_id", "text"],
+    )
+    ix = InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=32)
+    ix.apply_batch(docs, 0)
+    out = ix.search(["spark", "join"], k=5)
+    plan = _physical(out)
+    assert "TakeOrderedAndProject" in plan
+    pushed = ", ".join(pushed_filters(out))
+    assert "In(term" in pushed or "EqualTo(term" in pushed
+    pf = ", ".join(partition_filters(out))
+    assert "term_pfx" in pf
