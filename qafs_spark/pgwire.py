@@ -287,6 +287,7 @@ class PgConnection:
         self._sock.settimeout(None)
         self._params: Dict[str, str] = {}
         self._closed = False
+        self._scram: Optional[_ScramClient] = None
         try:
             self._startup(user, database, password)
         except BaseException:
@@ -372,9 +373,17 @@ class PgConnection:
                     )
                     continue
                 if code == 11:  # AuthenticationSASLContinue
+                    if self._scram is None:
+                        raise PgProtocolError(
+                            "SASL continue before SASL start"
+                        )
                     self._send(b"p", self._scram.client_final(body[4:]))
                     continue
                 if code == 12:  # AuthenticationSASLFinal
+                    if self._scram is None:
+                        raise PgProtocolError(
+                            "SASL final before SASL start"
+                        )
                     self._scram.verify_server(body[4:])
                     continue
                 raise PgProtocolError(

@@ -269,7 +269,13 @@ def _probe_cells(centroids: List[List[float]], nprobe: int):
         M = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         sims = M @ Cn.T
-        order = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        # stable sort so exact-cosine ties break on the FIRST max index,
+        # matching _cell_assigner's argmax — nprobe=1 must reproduce the
+        # storage assignment bit-for-bit (duplicate centroids are easy to
+        # hit when ivf_train samples duplicate rows)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(
+            "int32"
+        )
         return pd.Series(list(order))
 
     return probes

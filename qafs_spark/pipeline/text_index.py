@@ -119,6 +119,26 @@ class InvertedIndex:
             ),
         )
 
+    def _applied_batch_ids(self) -> List[str]:
+        """Batch ids (as the strings partition dirs read back as) whose
+        ingestion durably committed: folded into a compaction, or carrying
+        the last-written dataset's (doclens) _SUCCESS marker. Search reads
+        filter to this set so a concurrent or crashed apply_batch — whose
+        postings land BEFORE its doclens — can never skew n_docs/avgdl or
+        surface partial postings."""
+        through = self._compacted_through()
+        out = []
+        for d in fs_storage.list_dirs(self.spark, self.doclens_path):
+            if not d.startswith("batch_id="):
+                continue
+            bid = int(d.split("=", 1)[1])
+            if bid <= through or fs_storage.path_exists(
+                self.spark,
+                fs_storage.join(self.doclens_path, d, "_SUCCESS"),
+            ):
+                out.append(str(bid))
+        return sorted(out)
+
     def apply_batch(
         self,
         batch: DataFrame,
@@ -140,20 +160,28 @@ class InvertedIndex:
             F.col(id_col).alias("id"),
             F.explode(tokens(F.col(text_col))).alias("term"),
         )
+        # tf is persisted across the two writes so the batch is tokenized
+        # exactly once: dl is by definition the per-doc sum of tf, so the
+        # doclens write folds the materialized tf instead of re-deriving
+        # the token stream from the batch lineage a second time
         tf = (
             tok.groupBy("id", "term")
             .agg(F.count(F.lit(1)).alias("tf"))
             .withColumn("term_pfx", self._pfx(F.col("term")))
+            .persist()
         )
-        (
-            tf.repartition(F.col("term_pfx"))
-            .sortWithinPartitions("term")  # row-group locality for probes
-            .write.partitionBy("term_pfx")
-            .mode("overwrite")
-            .parquet(j(self.postings_path, bdir))
-        )
-        dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-        dl.write.mode("overwrite").parquet(j(self.doclens_path, bdir))
+        try:
+            (
+                tf.repartition(F.col("term_pfx"))
+                .sortWithinPartitions("term")  # row-group locality for probes
+                .write.partitionBy("term_pfx")
+                .mode("overwrite")
+                .parquet(j(self.postings_path, bdir))
+            )
+            dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+            dl.write.mode("overwrite").parquet(j(self.doclens_path, bdir))
+        finally:
+            tf.unpersist()
         return True
 
     # -- retrieval ---------------------------------------------------------
@@ -176,21 +204,40 @@ class InvertedIndex:
         <= k rows."""
         from pyspark.sql import Window
 
+        if not (
+            fs_storage.path_exists(self.spark, self.postings_path)
+            and fs_storage.path_exists(self.spark, self.doclens_path)
+        ):
+            raise ValueError(f"no index at {self.root}")
+        applied = self._applied_batch_ids()
+        dl = self._minus_deleted(
+            self.spark.read.parquet(self.doclens_path)
+            .filter(F.col("batch_id").isin(applied))
+            .select("id", "dl")
+        )
         terms = sorted(set(query_terms))
+        if not terms:
+            # zero-term query: BM25 over no postings is an empty ranking,
+            # typed like a populated one (createDataFrame can't infer an
+            # empty frame's schema, so derive it from doclens)
+            return dl.select(
+                F.col("id").alias("doc"),
+                F.lit(0).cast("long").alias("score_micro"),
+                F.lit(0).cast("int").alias("rank"),
+            ).limit(0)
         pfxs = {
             r[0]
             for r in self.spark.createDataFrame(
                 [(t,) for t in terms], ["term"]
             ).select(self._pfx(F.col("term"))).collect()
         }
-        post = self.spark.read.parquet(self.postings_path).filter(
-            F.col("term_pfx").isin([str(p) for p in sorted(pfxs)])
+        post = (
+            self.spark.read.parquet(self.postings_path)
+            .filter(F.col("batch_id").isin(applied))
+            .filter(F.col("term_pfx").isin([str(p) for p in sorted(pfxs)]))
         )
         tf = self._minus_deleted(
             post.filter(F.col("term").isin(terms)).select("id", "term", "tf")
-        )
-        dl = self._minus_deleted(
-            self.spark.read.parquet(self.doclens_path).select("id", "dl")
         )
         stats = dl.agg(
             F.count(F.lit(1)).alias("n_docs"),

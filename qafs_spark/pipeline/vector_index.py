@@ -118,11 +118,31 @@ class CellVectorIndex:
 
     # -- readers -----------------------------------------------------------
 
+    def _applied_batch_ids(self) -> List[str]:
+        """Batch ids (partition-dir strings) that durably committed:
+        folded into a compaction or carrying the vectors dataset's own
+        _SUCCESS marker (vectors are written last, so their marker IS the
+        applied marker). Search reads filter to this set so a concurrent
+        or crashed apply_batch can never surface partial vectors."""
+        through = self._compacted_through()
+        out = []
+        for d in fs_storage.list_dirs(self.spark, self.vectors_path):
+            if not d.startswith("batch_id="):
+                continue
+            bid = int(d.split("=", 1)[1])
+            if bid <= through or fs_storage.path_exists(
+                self.spark,
+                fs_storage.join(self.vectors_path, d, "_SUCCESS"),
+            ):
+                out.append(str(bid))
+        return sorted(out)
+
     def _stored(
         self,
         cells: Optional[list],
         exclude_batch_id: Optional[int],
         empty_like: DataFrame,
+        applied_only: bool = False,
     ) -> DataFrame:
         """(id, vec, cell) from the cell partitions in ``cells`` (None =
         all), excluding the in-flight batch. Partition dirs read back as
@@ -139,6 +159,8 @@ class CellVectorIndex:
             df = df.filter(F.col("cell").isin([str(c) for c in cells]))
         if exclude_batch_id is not None:
             df = df.filter(F.col("batch_id") != str(int(exclude_batch_id)))
+        if applied_only:
+            df = df.filter(F.col("batch_id").isin(self._applied_batch_ids()))
         out = df.select(
             "id", "vec", "__n", F.col("cell").cast("int").alias("cell")
         )
@@ -397,7 +419,7 @@ class CellVectorIndex:
             raise ValueError(f"no index at {self.root}")
         q = self._assigned(queries, id_col, vec_col, cents, nprobe)
         cells = [r[0] for r in q.select("cell").distinct().collect()]
-        stored = self._stored(cells, None, empty_like=q)
+        stored = self._stored(cells, None, empty_like=q, applied_only=True)
         scored = (
             stored.alias("s")
             .join(

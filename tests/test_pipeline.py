@@ -3710,3 +3710,98 @@ def test_cluster_representative_selection_by_quality(spark):
     assert rows[1]["rep_doc_id"] == 2 and rows[1]["n_members"] == 3
     assert rows[1]["rep_quality"] == pytest.approx(0.9)
     assert rows[10]["rep_doc_id"] == 10 and rows[10]["n_members"] == 2
+
+
+def test_index_search_excludes_unapplied_batches(spark, tmp_path):
+    """A crashed or in-flight apply_batch must be INVISIBLE to search.
+    Text-index postings commit BEFORE doclens and the vector index's
+    vectors commit last, so a batch directory without its applied marker
+    (_SUCCESS of the last-written dataset) must contribute neither
+    postings, corpus scalars (n_docs/avgdl), nor ANN neighbors — the
+    same exclusion the dedup probes already enforce via
+    exclude_batch_id."""
+    import os
+    import random
+
+    from qafs_spark.pipeline.text_index import InvertedIndex
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(25)] + ["spark", "join"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(30)]
+        + [(100, "spark join spark join spark")],  # batch-1 ranking mover
+        ["doc_id", "text"],
+    )
+    terms = ["spark", "join"]
+    ix = InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=8)
+    assert ix.apply_batch(docs.filter(F.col("doc_id") < 30), 0)
+    before = [tuple(r) for r in ix.search(terms, k=10).collect()]
+    assert before
+    assert ix.apply_batch(docs.filter(F.col("doc_id") >= 30), 1)
+    assert [tuple(r) for r in ix.search(terms, k=10).collect()] != before
+    # simulate the crash window: batch 1 fully on disk but its applied
+    # marker gone — search must fall back to exactly the applied corpus
+    os.remove(str(tmp_path / "ix" / "doclens" / "batch_id=1" / "_SUCCESS"))
+    assert [tuple(r) for r in ix.search(terms, k=10).collect()] == before
+    assert not ix.batch_applied(1)  # so a replay re-commits it
+
+    vrows = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(20)]
+    old = spark.createDataFrame(vrows, ["vec_id", "embedding"])
+    qvec = spark.createDataFrame([(900, vrows[3][1])], ["vec_id", "embedding"])
+    clone = spark.createDataFrame(
+        [(500, [x + 1e-6 for x in vrows[3][1]])], ["vec_id", "embedding"]
+    )
+    vx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
+    assert vx.apply_batch(old, 0, threshold=0.99)
+    vbefore = [tuple(r) for r in vx.search(qvec, k=3, nprobe=2).collect()]
+    assert vbefore
+    assert vx.apply_batch(clone, 1, threshold=0.99)
+    assert [tuple(r) for r in vx.search(qvec, k=3, nprobe=2).collect()] != vbefore
+    os.remove(str(tmp_path / "vx" / "vectors" / "batch_id=1" / "_SUCCESS"))
+    assert [tuple(r) for r in vx.search(qvec, k=3, nprobe=2).collect()] == vbefore
+    assert not vx.batch_applied(1)
+
+
+def test_inverted_index_search_edge_cases(spark, tmp_path):
+    """search() on a never-ingested root raises a clean ValueError (not a
+    raw AnalysisException), and an empty query-term list returns an empty
+    but correctly-typed (doc, score_micro, rank) frame."""
+    from qafs_spark.pipeline.text_index import InvertedIndex
+
+    ix = InvertedIndex(spark, str(tmp_path / "noix"))
+    with pytest.raises(ValueError, match="no index"):
+        ix.search(["spark"])
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], ["doc_id", "text"]
+    )
+    ix2 = InvertedIndex(spark, str(tmp_path / "ix2"), num_partitions=4)
+    assert ix2.apply_batch(docs, 0)
+    out = ix2.search([], k=5)
+    assert out.columns == ["doc", "score_micro", "rank"]
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "bigint", "int",
+    ]
+    assert out.count() == 0
+
+
+def test_probe_cells_tie_break_matches_assigner(spark):
+    """On exact cosine ties (duplicate centroids — easy to hit when
+    ivf_train samples duplicate rows), nprobe=1 probing must pick the
+    same cell as _cell_assigner's argmax (first-max index), keeping the
+    CellVectorIndex storage assignment deterministic and bit-parity with
+    the batch IVF tier intact."""
+    from qafs_spark.pipeline.similarity import _cell_assigner, _probe_cells
+
+    cents = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [0.0, 1.0]]
+    vecs = (
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0]), (3, [0.0, 0.0])]
+        + [(10 + i, [float(i % 3) + 0.1, float((i + 1) % 2)]) for i in range(20)]
+    )
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    got = df.select(
+        _cell_assigner(cents)(F.col("embedding")).alias("a"),
+        _probe_cells(cents, 1)(F.col("embedding"))[0].alias("p"),
+    ).collect()
+    assert got and all(r["a"] == r["p"] for r in got)

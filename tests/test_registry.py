@@ -460,3 +460,39 @@ def test_pgwire_scram_against_live_server(pg_scram_server):
     assert r.get_namespace("scram_ns")["description"] == "over scram auth"
     r.delete_namespace("scram_ns")
     r.close()
+
+
+def test_pgwire_sasl_out_of_order_is_protocol_error():
+    """A protocol-violating server that sends AuthenticationSASLContinue
+    (code 11) without a preceding AuthenticationSASL (code 10) must fail
+    with a clean PgProtocolError, never an AttributeError on the missing
+    SCRAM state."""
+    import socket
+    import struct
+    import threading
+
+    from qafs_spark.pgwire import PgConnection, PgProtocolError
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        head = conn.recv(4)
+        (n,) = struct.unpack(">i", head)
+        while n - 4 > 0:
+            n -= len(conn.recv(n - 4))
+        body = struct.pack(">i", 11) + b"r=bogus,s=QUFBQQ==,i=4096"
+        conn.sendall(b"R" + struct.pack(">i", len(body) + 4) + body)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(PgProtocolError, match="SASL continue before"):
+            PgConnection("127.0.0.1", port, "u", "db", password="pw")
+    finally:
+        srv.close()
+        t.join(timeout=5)
