@@ -102,6 +102,21 @@ class BandedMinHashIndex:
         self.watermark_path = j(root, "compacted_through")
         self.deletes_path = j(root, "deletes")
         self._persisted: list[DataFrame] = []
+        # per-instance metadata caches: the compaction watermark, the
+        # tombstone set, and the meta-row validation are all tiny but
+        # re-read per micro-batch otherwise — at high batch frequency the
+        # fixed per-batch FS reads dominate. Invalidated by the mutating
+        # ops (delete_ids/compact); single-writer per instance is already
+        # this index's contract.
+        self._ct_cache: Optional[int] = None
+        self._tomb_cache = "unset"
+        self._meta_checked = False
+
+    def _invalidate_meta_caches(self) -> None:
+        if isinstance(self._tomb_cache, DataFrame):
+            self._tomb_cache.unpersist()
+        self._tomb_cache = "unset"
+        self._ct_cache = None
 
     # -- config pinning ----------------------------------------------------
 
@@ -115,6 +130,8 @@ class BandedMinHashIndex:
         }
 
     def _check_meta(self) -> None:
+        if self._meta_checked:
+            return
         if fs_storage.path_exists(self.spark, self.meta_path):
             stored = json.loads(
                 self.spark.read.parquet(self.meta_path).first()["config"]
@@ -129,6 +146,7 @@ class BandedMinHashIndex:
             self.spark.createDataFrame(
                 [(json.dumps(self._config()),)], "config string"
             ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        self._meta_checked = True
 
     # -- helpers -----------------------------------------------------------
 
@@ -177,10 +195,12 @@ class BandedMinHashIndex:
         the Delta/Iceberg delete-file idiom: appends the ids to a small
         ``deletes/`` dataset; every probe anti-joins the (broadcast)
         tombstone set, and :meth:`compact` drops the rows physically and
-        recomputes band counts exactly. Until then, stored band counts
-        still include tombstoned rows — the guard errs conservative (a
-        band can only be skipped EARLIER, never later). The pairs log is
-        an immutable historical record and is not scrubbed.
+        recomputes band counts exactly. The oversized-bucket guard is
+        ALSO exact in between: it subtracts tombstoned ids' band rows
+        (read from the same pruned prefix partitions the probe already
+        touches) from the stored count deltas, so the guarded pair set
+        equals a compacted index's bit-for-bit. The pairs log is an
+        immutable historical record and is not scrubbed.
 
         ``ids`` is a list of ids or a one-column DataFrame. Returns the
         number of tombstones appended."""
@@ -191,15 +211,26 @@ class BandedMinHashIndex:
                 return 0
             df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
         df.coalesce(1).write.mode("append").parquet(self.deletes_path)
-        return df.count()
+        n = df.count()
+        self._invalidate_meta_caches()
+        return n
 
     def _tombstones(self) -> Optional[DataFrame]:
+        if self._tomb_cache != "unset":
+            return self._tomb_cache
         if not fs_storage.path_exists(self.spark, self.deletes_path):
+            self._tomb_cache = None
             return None
         try:
-            return self.spark.read.parquet(self.deletes_path).select("id")
+            tomb = self.spark.read.parquet(self.deletes_path).select("id")
+            # materialized once: every probe's anti-join re-reads the
+            # tombstone parquet otherwise — one fixed read per action
+            tomb = tomb.persist()
+            tomb.count()
         except Exception:
-            return None
+            tomb = None
+        self._tomb_cache = tomb
+        return tomb
 
     def _minus_deleted(self, df: DataFrame, id_cols=("id",)) -> DataFrame:
         tomb = self._tombstones()
@@ -260,18 +291,37 @@ class BandedMinHashIndex:
             nb_counts = nb_g.groupBy("band").agg(
                 F.count(F.lit(1)).alias("bn_new")
             )
-            stored = (
-                self._read_pruned(
-                    self.counts_path, "band_pfx", batch_pfx, exclude_batch_id,
-                    empty_like=nb_counts.select(
-                        "band", F.col("bn_new").alias("cnt")
-                    ),
-                    cols=["band", "cnt"],
+            deltas = self._read_pruned(
+                self.counts_path, "band_pfx", batch_pfx, exclude_batch_id,
+                empty_like=nb_counts.select(
+                    "band", F.col("bn_new").alias("cnt")
+                ),
+                cols=["band", "cnt"],
+            ).join(F.broadcast(nb_counts.select("band")), "band", "leftsemi")
+            tomb = self._tombstones()
+            if tomb is not None:
+                # stored count deltas include tombstoned rows until
+                # compact(); their band rows live in the SAME pruned
+                # prefix partitions the candidate probe reads, so
+                # subtracting them here keeps the guard EXACT under
+                # merge-on-read deletes (pair-set parity with a
+                # compacted index, not just conservative)
+                tomb_bands = (
+                    self._read_pruned(
+                        self.bands_path, "band_pfx", batch_pfx,
+                        exclude_batch_id, empty_like=nb,
+                        cols=["id", "band"],
+                    )
+                    .join(F.broadcast(tomb), "id", "leftsemi")
+                    .join(
+                        F.broadcast(nb_counts.select("band")),
+                        "band", "leftsemi",
+                    )
+                    .groupBy("band")
+                    .agg((-F.count(F.lit(1))).alias("cnt"))
                 )
-                .join(F.broadcast(nb_counts.select("band")), "band", "leftsemi")
-                .groupBy("band")
-                .agg(F.sum("cnt").alias("bn_old"))
-            )
+                deltas = deltas.unionByName(tomb_bands)
+            stored = deltas.groupBy("band").agg(F.sum("cnt").alias("bn_old"))
             big = (
                 nb_counts.join(stored, "band", "left")
                 .select(
@@ -345,12 +395,17 @@ class BandedMinHashIndex:
     def _compacted_through(self) -> int:
         """Highest batch id folded into a compaction (-1 if never
         compacted) — batches at or below it lost their per-batch marker
-        directories but are durably applied."""
+        directories but are durably applied. Cached in the instance (it
+        only moves when THIS instance compacts)."""
+        if self._ct_cache is not None:
+            return self._ct_cache
         if not fs_storage.path_exists(self.spark, self.watermark_path):
-            return -1
-        return int(
-            self.spark.read.parquet(self.watermark_path).first()["through"]
-        )
+            self._ct_cache = -1
+        else:
+            self._ct_cache = int(
+                self.spark.read.parquet(self.watermark_path).first()["through"]
+            )
+        return self._ct_cache
 
     def batch_applied(self, batch_id: int) -> bool:
         """A batch is durably applied iff its LAST-written dataset
@@ -519,6 +574,8 @@ class BandedMinHashIndex:
         # any crash window correct (rows gone + tombstones present is a
         # harmless no-op anti-join)
         fs_storage.delete_path(self.spark, self.deletes_path)
+        self._invalidate_meta_caches()
+        self._ct_cache = int(target)
         return len(applied) - 1
 
     # -- readers -----------------------------------------------------------

@@ -57,11 +57,25 @@ class InvertedIndex:
         self.meta_path = j(root, "meta")
         self.deletes_path = j(root, "deletes")
         self.watermark_path = j(root, "compacted_through")
+        # per-instance metadata caches (watermark, tombstones, meta
+        # validation) — see banded_index for the rationale; invalidated
+        # by delete_ids/compact
+        self._ct_cache: Optional[int] = None
+        self._tomb_cache = "unset"
+        self._meta_checked = False
+
+    def _invalidate_meta_caches(self) -> None:
+        if isinstance(self._tomb_cache, DataFrame):
+            self._tomb_cache.unpersist()
+        self._tomb_cache = "unset"
+        self._ct_cache = None
 
     def _pfx(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.num_partitions))
 
     def _check_meta(self) -> None:
+        if self._meta_checked:
+            return
         cfg = {"num_partitions": self.num_partitions}
         if fs_storage.path_exists(self.spark, self.meta_path):
             stored = json.loads(
@@ -76,6 +90,7 @@ class InvertedIndex:
             self.spark.createDataFrame(
                 [(json.dumps(cfg),)], "config string"
             ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        self._meta_checked = True
 
     # -- merge-on-read deletes ---------------------------------------------
 
@@ -89,25 +104,43 @@ class InvertedIndex:
                 return 0
             df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
         df.coalesce(1).write.mode("append").parquet(self.deletes_path)
-        return df.count()
+        n = df.count()
+        self._invalidate_meta_caches()
+        return n
 
-    def _minus_deleted(self, df: DataFrame) -> DataFrame:
+    def _tombstones(self) -> Optional[DataFrame]:
+        if self._tomb_cache != "unset":
+            return self._tomb_cache
         if not fs_storage.path_exists(self.spark, self.deletes_path):
-            return df
+            self._tomb_cache = None
+            return None
         try:
             tomb = self.spark.read.parquet(self.deletes_path).select("id")
+            tomb = tomb.persist()
+            tomb.count()
         except Exception:
+            tomb = None
+        self._tomb_cache = tomb
+        return tomb
+
+    def _minus_deleted(self, df: DataFrame) -> DataFrame:
+        tomb = self._tombstones()
+        if tomb is None:
             return df
         return df.join(F.broadcast(tomb), "id", "left_anti")
 
     # -- exactly-once ingestion --------------------------------------------
 
     def _compacted_through(self) -> int:
+        if self._ct_cache is not None:
+            return self._ct_cache
         if not fs_storage.path_exists(self.spark, self.watermark_path):
-            return -1
-        return int(
-            self.spark.read.parquet(self.watermark_path).first()["through"]
-        )
+            self._ct_cache = -1
+        else:
+            self._ct_cache = int(
+                self.spark.read.parquet(self.watermark_path).first()["through"]
+            )
+        return self._ct_cache
 
     def batch_applied(self, batch_id: int) -> bool:
         if int(batch_id) <= self._compacted_through():
@@ -334,4 +367,6 @@ class InvertedIndex:
             [],
         )
         fs_storage.delete_path(self.spark, self.deletes_path)
+        self._invalidate_meta_caches()
+        self._ct_cache = int(target)
         return len(applied) - 1

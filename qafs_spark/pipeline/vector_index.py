@@ -72,6 +72,20 @@ class CellVectorIndex:
         self.deletes_path = j(root, "deletes")
         self.watermark_path = j(root, "compacted_through")
         self._persisted: list = []
+        # per-instance metadata caches (watermark, tombstones, quantizer,
+        # meta validation): tiny fixed parquet reads otherwise repeated
+        # every micro-batch — see banded_index for the rationale.
+        # Invalidated by delete_ids/compact/retrain.
+        self._ct_cache: Optional[int] = None
+        self._tomb_cache = "unset"
+        self._cents_cache: Optional[List[List[float]]] = None
+        self._meta_checked = False
+
+    def _invalidate_meta_caches(self) -> None:
+        if isinstance(self._tomb_cache, DataFrame):
+            self._tomb_cache.unpersist()
+        self._tomb_cache = "unset"
+        self._ct_cache = None
 
     # -- quantizer ---------------------------------------------------------
 
@@ -79,10 +93,15 @@ class CellVectorIndex:
         return {"nlist": self.nlist, "train_iters": self.train_iters}
 
     def centroids(self) -> Optional[List[List[float]]]:
+        if self._cents_cache is not None:
+            return self._cents_cache
         if not fs_storage.path_exists(self.spark, self.centroids_path):
             return None
         rows = self.spark.read.parquet(self.centroids_path).collect()
-        return [r["centroid"] for r in sorted(rows, key=lambda r: r["cell"])]
+        self._cents_cache = [
+            r["centroid"] for r in sorted(rows, key=lambda r: r["cell"])
+        ]
+        return self._cents_cache
 
     def _ensure_centroids(
         self, batch: DataFrame, id_col: str, vec_col: str
@@ -105,7 +124,8 @@ class CellVectorIndex:
             self.spark.createDataFrame(
                 [(json.dumps(self._config()),)], "config string"
             ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
-        else:
+            self._cents_cache = [[float(x) for x in c] for c in cents]
+        elif not self._meta_checked:
             stored = json.loads(
                 self.spark.read.parquet(self.meta_path).first()["config"]
             )
@@ -114,6 +134,7 @@ class CellVectorIndex:
                     f"index at {self.root} was built with {stored}, got "
                     f"{self._config()} — quantizer params are immutable"
                 )
+            self._meta_checked = True
         return cents
 
     # -- readers -----------------------------------------------------------
@@ -180,14 +201,28 @@ class CellVectorIndex:
                 return 0
             df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
         df.coalesce(1).write.mode("append").parquet(self.deletes_path)
-        return df.count()
+        n = df.count()
+        self._invalidate_meta_caches()
+        return n
 
-    def _minus_deleted(self, df: DataFrame) -> DataFrame:
+    def _tombstones(self) -> Optional[DataFrame]:
+        if self._tomb_cache != "unset":
+            return self._tomb_cache
         if not fs_storage.path_exists(self.spark, self.deletes_path):
-            return df
+            self._tomb_cache = None
+            return None
         try:
             tomb = self.spark.read.parquet(self.deletes_path).select("id")
+            tomb = tomb.persist()
+            tomb.count()
         except Exception:
+            tomb = None
+        self._tomb_cache = tomb
+        return tomb
+
+    def _minus_deleted(self, df: DataFrame) -> DataFrame:
+        tomb = self._tombstones()
+        if tomb is None:
             return df
         return df.join(F.broadcast(tomb), "id", "left_anti")
 
@@ -201,11 +236,15 @@ class CellVectorIndex:
             fs_storage.rename_path(self.spark, old, self.vectors_path)
 
     def _compacted_through(self) -> int:
+        if self._ct_cache is not None:
+            return self._ct_cache
         if not fs_storage.path_exists(self.spark, self.watermark_path):
-            return -1
-        return int(
-            self.spark.read.parquet(self.watermark_path).first()["through"]
-        )
+            self._ct_cache = -1
+        else:
+            self._ct_cache = int(
+                self.spark.read.parquet(self.watermark_path).first()["through"]
+            )
+        return self._ct_cache
 
     def compact(self) -> int:
         """Fold all applied batch directories into one and drop
@@ -245,6 +284,8 @@ class CellVectorIndex:
         fs_storage.rename_path(self.spark, staging, self.vectors_path)
         fs_storage.delete_path(self.spark, old)
         fs_storage.delete_path(self.spark, self.deletes_path)
+        self._invalidate_meta_caches()
+        self._ct_cache = int(target)
         return len(applied) - 1
 
     def pairs(self) -> DataFrame:

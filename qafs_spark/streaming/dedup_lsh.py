@@ -164,11 +164,17 @@ def streaming_semantic_dedup(
     lifecycle caveat as the sinks above."""
     from ..pipeline.vector_index import CellVectorIndex
 
+    # ONE index instance across the stream's micro-batches: its metadata
+    # caches (watermark/tombstones/quantizer/meta) then amortize to zero
+    # per-batch parquet reads instead of a fixed re-read every batch
+    holder: list = []
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        index = CellVectorIndex(batch.sparkSession, root, nlist=nlist)
-        index.apply_batch(
+        if not holder:
+            holder.append(CellVectorIndex(batch.sparkSession, root, nlist=nlist))
+        holder[0].apply_batch(
             batch, batch_id, vec_col=vec_col, id_col=id_col,
             threshold=threshold, tier=tier, nprobe=nprobe,
         )
@@ -200,13 +206,17 @@ def streaming_inverted_index(
     lifecycle caveat as the dedup sinks above."""
     from ..pipeline.text_index import InvertedIndex
 
+    # one instance across micro-batches — see streaming_semantic_dedup
+    holder: list = []
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        index = InvertedIndex(
-            batch.sparkSession, root, num_partitions=num_partitions
-        )
-        index.apply_batch(batch, batch_id, text_col=text_col, id_col=id_col)
+        if not holder:
+            holder.append(InvertedIndex(
+                batch.sparkSession, root, num_partitions=num_partitions
+            ))
+        holder[0].apply_batch(batch, batch_id, text_col=text_col, id_col=id_col)
 
     writer = (
         stream.writeStream.foreachBatch(process)
@@ -254,14 +264,18 @@ def streaming_banded_dedup(
     """
     from ..pipeline.banded_index import BandedMinHashIndex
 
+    # one instance across micro-batches — see streaming_semantic_dedup
+    holder: list = []
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        index = BandedMinHashIndex(
-            batch.sparkSession, root, n=n, num_hashes=num_hashes,
-            num_bands=num_bands, seed=seed, num_partitions=num_partitions,
-        )
-        index.apply_batch(
+        if not holder:
+            holder.append(BandedMinHashIndex(
+                batch.sparkSession, root, n=n, num_hashes=num_hashes,
+                num_bands=num_bands, seed=seed, num_partitions=num_partitions,
+            ))
+        holder[0].apply_batch(
             batch, batch_id, text_col=text_col, id_col=id_col,
             threshold=threshold, max_band_size=max_band_size,
         )

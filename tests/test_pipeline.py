@@ -3805,3 +3805,107 @@ def test_probe_cells_tie_break_matches_assigner(spark):
         _probe_cells(cents, 1)(F.col("embedding"))[0].alias("p"),
     ).collect()
     assert got and all(r["a"] == r["p"] for r in got)
+
+
+def test_banded_guard_tombstone_aware_parity(spark, tmp_path):
+    """The oversized-bucket guard must see LIVE counts under
+    merge-on-read deletes: a band pushed over max_band_size only by rows
+    that have since been tombstoned (but not compacted) is still probed,
+    and the guarded pair set is bit-equal to what a compacted index
+    produces. Construction: 6 exact clones share every band; deleting 2
+    leaves 4 live + 1 probe = 5 = max_band_size, so a stale count (6 + 1
+    = 7 > 5) would skip the band and lose every pair."""
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    clone = "the quick brown fox jumps over the lazy dog again and again"
+    filler = [
+        (50 + i, f"unrelated text number {i} with distinct tokens {i * 7}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        [(i, clone) for i in range(6)] + filler, ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame([(1000, clone)], ["doc_id", "text"])
+
+    def build(root, compact_after_delete):
+        idx = BandedMinHashIndex(
+            spark, root, n=3, num_hashes=32, num_bands=16, num_partitions=8
+        )
+        idx.apply_batch(docs, 0, threshold=0.9, max_band_size=None)
+        assert idx.delete_ids([0, 1]) == 2
+        if compact_after_delete:
+            assert idx.compact() == 0 or True  # single batch + tombstones
+        pairs, _ = idx.dedup_batch(
+            probe, "text", "doc_id", threshold=0.9, max_band_size=5
+        )
+        out = _pairset(pairs)
+        idx.unpersist_intermediates()
+        return out
+
+    live = build(str(tmp_path / "a"), compact_after_delete=False)
+    compacted = build(str(tmp_path / "b"), compact_after_delete=True)
+    assert live == compacted
+    # and the band genuinely straddled the guard: all four surviving
+    # clones pair with the probe at jaccard 1.0
+    assert set(live) == {(i, 1000) for i in range(2, 6)}
+
+
+def test_index_metadata_reads_cached_per_batch(spark, tmp_path, monkeypatch):
+    """apply_batch's fixed metadata reads (compaction watermark, meta
+    row, tombstone set) must be cached in the instance: after one batch
+    primes the caches, subsequent batches issue ZERO parquet reads of
+    those datasets; delete_ids/compact invalidate, so the next batch
+    re-reads each exactly once. (The streaming sinks reuse one instance
+    across micro-batches so this amortization applies there too.)"""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    reads = []
+    orig = DataFrameReader.parquet
+
+    def counting(self, *paths, **kw):
+        reads.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(DataFrameReader, "parquet", counting)
+
+    def meta_reads():
+        return [
+            p for p in reads
+            if "compacted_through" in p
+            or p.rstrip("/").endswith("/meta")
+            or p.rstrip("/").endswith("/deletes")
+        ]
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} tokens {i * 3} more {i * 7}")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    idx = BandedMinHashIndex(
+        spark, str(tmp_path / "ix"), n=3, num_hashes=16, num_bands=4,
+        num_partitions=8,
+    )
+    idx.apply_batch(docs.filter(F.col("doc_id") < 10), 0, threshold=0.3)
+    idx.apply_batch(
+        docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)), 1,
+        threshold=0.3,
+    )
+    # create a watermark + tombstones, both invalidating the caches
+    assert idx.compact() >= 1
+    assert idx.delete_ids([3, 4]) == 2
+    reads.clear()
+    idx.apply_batch(
+        docs.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30)), 2,
+        threshold=0.3,
+    )
+    warm = meta_reads()
+    # cache misses after invalidation: watermark once + deletes once
+    # (meta was validated by this instance already and is immutable)
+    assert len([p for p in warm if "compacted_through" in p]) == 1
+    assert len([p for p in warm if p.rstrip("/").endswith("/deletes")]) == 1
+    assert not [p for p in warm if p.rstrip("/").endswith("/meta")]
+    reads.clear()
+    idx.apply_batch(docs.filter(F.col("doc_id") >= 30), 3, threshold=0.3)
+    assert meta_reads() == []
