@@ -739,8 +739,9 @@ class FeatureStore:
             from .operators.resample import grid_upper_bound, n_steps
 
             _f = _po(freq)
+            _start = _f.anchor_start(from_ts)  # anchored grids roll the start
             scan_to = grid_upper_bound(
-                from_ts, n_steps(from_ts, to_ts, _f), _f
+                _start, n_steps(_start, to_ts, _f), _f
             ) - pd.Timedelta(1, unit="us")
         memo: Dict[Tuple[str, str], DataFrame] = {}
         named = []

@@ -7,20 +7,21 @@ faithful translator onto Spark's two interval families:
 
 * fixed-duration offsets (``d``/``h``/``min``/``s``/...) → DayTimeInterval
   (exact microsecond arithmetic),
-* calendar offsets (``W``/``M``/``Q``/``Y``) → YearMonthInterval months (or
-  7-day weeks), evaluated by Spark's calendar-aware timestamp arithmetic.
-
-Known divergence (documented, not load-bearing for the reference tests):
-anchored offsets ("M" = month *end*, "W-SUN") are treated as unanchored
-periods — the grid starts at ``from_date`` and steps by the period, it does
-not snap to month ends / Sundays, matching ``pd.date_range(from, to, freq)``
-only for unanchored freqs, which is all the reference test-suite uses.
+* calendar offsets (``M``/``Q``/``Y``) → YearMonthInterval months evaluated
+  by Spark's calendar-aware timestamp arithmetic,
+* anchored offsets ("M"/"ME" = month *end*, "MS" = month start, "Q"/"Y"
+  likewise, "W"/"W-SUN"/"W-MON" = weekly on a weekday) carry their pandas
+  DateOffset so grids SNAP exactly like ``pd.date_range``: the first grid
+  point is ``offset.rollforward(from_date)`` (time-of-day preserved), and
+  month-end steps re-snap to each month's last day. Weekly anchors reduce
+  to a fixed 7-day period once the start is rolled — only the anchor
+  moves. Plain durations like "1w"/"7d" remain unanchored fixed periods.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import pandas as pd
 from pyspark.sql import Column
@@ -31,14 +32,38 @@ from .exceptions import FeatureStoreException
 
 @dataclass(frozen=True)
 class Freq:
-    """A parsed offset: exactly one of (months, microseconds) is nonzero."""
+    """A parsed offset: exactly one of (months, microseconds) is nonzero.
+
+    ``anchored`` is "" (unanchored), "month_end", "month_begin", or
+    "week"; anchored freqs keep the originating pandas offset (excluded
+    from equality) so :meth:`anchor_start` can roll a range start onto
+    the anchor exactly like ``pd.date_range`` does."""
 
     months: int = 0
     microseconds: int = 0
+    anchored: str = ""
+    pd_offset: object = field(default=None, compare=False, repr=False)
 
     @property
     def is_calendar(self) -> bool:
         return self.months != 0
+
+    def anchor_start(self, ts: pd.Timestamp) -> pd.Timestamp:
+        """First grid point at-or-after ``ts``: ``ts`` itself when on the
+        anchor (or unanchored), else rolled forward with time-of-day
+        preserved — ``pd.date_range``'s start handling."""
+        if not self.anchored:
+            return ts
+        return pd.Timestamp(self.pd_offset.rollforward(ts))
+
+    def calendar_point(self, start: pd.Timestamp, k: int) -> pd.Timestamp:
+        """Driver-side grid point k for calendar freqs: ``start`` (already
+        anchored) plus k steps, re-snapped to month end when anchored
+        there (a 28-day February start must not drag March to the 28th)."""
+        t = start + pd.DateOffset(months=self.months * k)
+        if self.anchored == "month_end":
+            t = t + pd.offsets.MonthEnd(0)
+        return pd.Timestamp(t)
 
     def interval_sql(self) -> str:
         """Spark SQL interval literal usable as a `sequence()` step."""
@@ -92,14 +117,17 @@ def parse_offset(freq: str) -> Freq:
         raise FeatureStoreException(f"Cannot parse offset {freq!r}") from exc
     n = off.n
     name = type(off).__name__
-    if name.startswith("Week"):
-        return Freq(microseconds=n * 7 * 86_400_000_000)
-    if name.startswith("Month"):
-        return Freq(months=n)
-    if name.startswith("Quarter"):
-        return Freq(months=3 * n)
-    if name.startswith("Year"):
-        return Freq(months=12 * n)
+    months_of = {"Month": 1, "Quarter": 3, "Year": 12}
+    if name == "Week":
+        us = n * 7 * 86_400_000_000
+        if getattr(off, "weekday", None) is None:
+            return Freq(microseconds=us)
+        return Freq(microseconds=us, anchored="week", pd_offset=off)
+    for stem, mpern in months_of.items():
+        if name == stem + "End":
+            return Freq(months=mpern * n, anchored="month_end", pd_offset=off)
+        if name == stem + "Begin":
+            return Freq(months=mpern * n, anchored="month_begin", pd_offset=off)
     try:  # Day/Hour/Minute/... Ticks expose .delta
         return Freq(microseconds=_td_us(pd.Timedelta(off)))
     except (ValueError, TypeError) as exc:

@@ -51,6 +51,9 @@ def time_grid(
     freq — matches ``pd.date_range`` for unanchored offsets."""
     f = parse_offset(freq)
     from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
+    if to_ts < from_ts:
+        return spark.range(0).select(F.lit(None).cast("timestamp").alias(time_col))
+    from_ts = f.anchor_start(from_ts)  # pd.date_range's rolled start
     k_max = n_steps(from_ts, to_ts, f)
     if k_max < 0:
         return spark.range(0).select(F.lit(None).cast("timestamp").alias(time_col))
@@ -61,32 +64,53 @@ def time_grid(
 
 
 def n_steps(from_ts: pd.Timestamp, to_ts: pd.Timestamp, f: Freq) -> int:
-    """Largest k with from_ts + k*freq <= to_ts (-1 if to < from)."""
+    """Largest k with g_k <= to_ts, where g_k steps from ``from_ts``
+    (which must already be anchor-rolled for anchored freqs); -1 if even
+    g_0 = from_ts lies past to_ts."""
     if to_ts < from_ts:
         return -1
     if not f.is_calendar:
         return int((to_ts - from_ts).value // 1000 // f.microseconds)
-    # calendar months: month-count arithmetic, then adjust for day/time parts
+    # calendar months: month-count arithmetic, then adjust for day/time
+    # parts (and month-end re-snapping) via driver-side exact points
     approx = ((to_ts.year - from_ts.year) * 12 + to_ts.month - from_ts.month) // f.months
-    while from_ts + pd.DateOffset(months=f.months * (approx + 1)) <= to_ts:
+    while f.calendar_point(from_ts, approx + 1) <= to_ts:
         approx += 1
-    while approx > 0 and from_ts + pd.DateOffset(months=f.months * approx) > to_ts:
+    while approx > 0 and f.calendar_point(from_ts, approx) > to_ts:
         approx -= 1
     return approx
 
 
 def _grid_time(k_col, anchor: pd.Timestamp, f: Freq):
+    """Grid point g_k as a Spark expression; ``anchor`` is g_0 (already
+    anchor-rolled). Month-end anchors re-snap each step to the month's
+    last day, keeping g_0's time-of-day — matching pd.date_range."""
     if f.is_calendar:
-        return F.lit(anchor).cast("timestamp") + F.make_interval(
+        base = F.lit(anchor).cast("timestamp") + F.make_interval(
             months=(k_col * F.lit(f.months)).cast("int")
         )
+        if f.anchored == "month_end":
+            tod_us = anchor.value // 1000 % 86_400_000_000
+            return F.timestamp_micros(
+                F.unix_micros(F.last_day(base).cast("timestamp"))
+                + F.lit(tod_us)
+            )
+        return base
     anchor_us = anchor.value // 1000
     return F.timestamp_micros(anchor_us + k_col.cast("long") * F.lit(f.microseconds))
 
 
 def _bin_index(time_col, anchor: pd.Timestamp, f: Freq):
-    """k = ceil((time - anchor)/freq): row belongs to bin (g_{k-1}, g_k]."""
+    """k = smallest k with time <= g_k: row belongs to bin (g_{k-1}, g_k]."""
     if f.is_calendar:
+        if f.anchored:
+            # exact anchored binning: ceil of the month-index difference,
+            # then one within-month correction against the true anchored
+            # instant (months_between's 31-day fractions are not exact)
+            k0 = _month_ceil_k(time_col, anchor, f)
+            return F.when(
+                time_col > _grid_time(k0, anchor, f), k0 + 1
+            ).otherwise(k0)
         months = F.months_between(time_col, F.lit(anchor).cast("timestamp"))
         return F.ceil(months / F.lit(float(f.months))).cast("long")
     anchor_us = anchor.value // 1000
@@ -94,6 +118,17 @@ def _bin_index(time_col, anchor: pd.Timestamp, f: Freq):
     # ceil division on longs, exact for any sign: -floor(-d / step)
     step = F.lit(f.microseconds)
     return (-F.floor((-d) / step).cast("long")).cast("long")
+
+
+def _month_diff(time_col, anchor: pd.Timestamp):
+    """Whole-month index difference month(time) - month(anchor)."""
+    mi = F.year(time_col) * F.lit(12) + (F.month(time_col) - F.lit(1))
+    return mi - F.lit(anchor.year * 12 + anchor.month - 1)
+
+
+def _month_ceil_k(time_col, anchor: pd.Timestamp, f: Freq):
+    d = _month_diff(time_col, anchor)
+    return (-F.floor((-d) / F.lit(f.months)).cast("long")).cast("long")
 
 
 def resample_asof(
@@ -123,9 +158,10 @@ def resample_asof(
     f = parse_offset(freq)
     from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
     spark = aligned.sparkSession
-    k_max = n_steps(from_ts, to_ts, f)
-    if k_max < 0:
+    if to_ts < from_ts:
         raise FeatureStoreException("to_date must be >= from_date for resample")
+    from_ts = f.anchor_start(from_ts)  # anchored grids roll the start
+    k_max = n_steps(from_ts, to_ts, f)  # -1 = anchored start past to_ts (empty grid)
 
     binned = (
         aligned.withColumn(_K, _bin_index(F.col("time"), from_ts, f))
@@ -187,9 +223,10 @@ def resample_interpolate(
     f = parse_offset(freq)
     from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
     spark = series.sparkSession
-    k_max = n_steps(from_ts, to_ts, f)
-    if k_max < 0:
+    if to_ts < from_ts:
         raise FeatureStoreException("to_date must be >= from_date for resample")
+    from_ts = f.anchor_start(from_ts)  # anchored grids roll the start
+    k_max = n_steps(from_ts, to_ts, f)  # -1 = anchored start past to_ts (empty grid)
     vt = series.schema[value_col].dataType
     if not isinstance(vt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
                            T.FloatType, T.DoubleType, T.DecimalType)):
@@ -280,9 +317,10 @@ def resample_points_multi(
     if not named:
         raise FeatureStoreException("resample_points_multi needs >= 1 series")
     spark = named[0][1].sparkSession
-    k_max = n_steps(from_ts, to_ts, f)
-    if k_max < 0:
+    if to_ts < from_ts:
         raise FeatureStoreException("to_date must be >= from_date for resample")
+    from_ts = f.anchor_start(from_ts)  # anchored grids roll the start
+    k_max = n_steps(from_ts, to_ts, f)  # -1 = anchored start past to_ts (empty grid)
 
     names = [n for n, _ in named]
     # internal aliases: series names are user strings ("ns/feature")
@@ -434,15 +472,23 @@ def grid_upper_bound(from_ts: pd.Timestamp, k_max: int, f: Freq) -> pd.Timestamp
     """First instant AFTER the last bin: grid_time(k_max + 1), computed
     driver-side (so it can participate in scan pushdown)."""
     if f.is_calendar:
-        return from_ts + pd.DateOffset(months=f.months * (k_max + 1))
+        return f.calendar_point(from_ts, k_max + 1)
     return from_ts + pd.Timedelta(microseconds=f.microseconds * (k_max + 1))
 
 
 def _floor_bin_index(time_col, anchor: pd.Timestamp, f: Freq):
-    """k = floor((time - anchor)/freq): row belongs to bin [g_k, g_{k+1})
+    """k = largest k with g_k <= time: row belongs to bin [g_k, g_{k+1})
     labeled g_k — the pandas ``resample(freq)`` default (closed/label left
     for fixed frequencies), unlike the as-of family's right-closed bins."""
     if f.is_calendar:
+        if f.anchored:
+            # floor of the month-index difference, then one within-month
+            # correction against the true anchored instant
+            d = _month_diff(time_col, anchor)
+            k0 = F.floor(d / F.lit(f.months)).cast("long")
+            return F.when(
+                time_col < _grid_time(k0, anchor, f), k0 - 1
+            ).otherwise(k0)
         months = F.months_between(time_col, F.lit(anchor).cast("timestamp"))
         return F.floor(months / F.lit(float(f.months))).cast("long")
     anchor_us = anchor.value // 1000
@@ -487,9 +533,10 @@ def resample_agg_multi(
                 f"(use one of {_AGG_HOWS})"
             )
     spark = named[0][1].sparkSession
-    k_max = n_steps(from_ts, to_ts, f)
-    if k_max < 0:
+    if to_ts < from_ts:
         raise FeatureStoreException("to_date must be >= from_date for resample")
+    from_ts = f.anchor_start(from_ts)  # anchored grids roll the start
+    k_max = n_steps(from_ts, to_ts, f)  # -1 = anchored start past to_ts (empty grid)
     ids = {n: i for i, n in enumerate(names)}
     # the last bin is labeled to_ts and covers [to_ts, to_ts + freq) —
     # pandas left-closed convention; the exclusive upper bound is driver-
@@ -577,9 +624,10 @@ def resample_nearest(
     f = parse_offset(freq)
     from_ts, to_ts = pd.Timestamp(from_ts), pd.Timestamp(to_ts)
     spark = series.sparkSession
-    k_max = n_steps(from_ts, to_ts, f)
-    if k_max < 0:
+    if to_ts < from_ts:
         raise FeatureStoreException("to_date must be >= from_date for resample")
+    from_ts = f.anchor_start(from_ts)  # anchored grids roll the start
+    k_max = n_steps(from_ts, to_ts, f)  # -1 = anchored start past to_ts (empty grid)
 
     obs = series.filter(F.col(value_col).isNotNull()).select(
         F.col(time_col).alias("__t"), F.col(value_col).alias("__v")

@@ -86,6 +86,7 @@ def leakage_free_split(
     test_fraction: float = 0.1,
     seed: int = 42,
     k_iters: int = 3,
+    converge: bool = True,
 ) -> DataFrame:
     """Train/test split with NO near-duplicate leakage across the
     boundary: (id, cluster, split) for every input row, where the split
@@ -102,13 +103,22 @@ def leakage_free_split(
     bucket math as :func:`hash_sample`, so membership is auditable in
     SQL and the test set nests across fractions at a fixed seed.
 
+    Labels run in ``converge=True`` mode BY DEFAULT: a duplicate chain
+    longer than ``k_iters`` hops would otherwise split into several
+    labels and leak a dup pair across the boundary — the exact failure
+    this operator exists to prevent. The fixed-``k_iters`` mode
+    (``converge=False``) remains for SQL-replayable parity runs; on any
+    graph whose components have diameter <= k_iters the two are
+    bit-identical (the catalog oracle asserts this on the fixture while
+    the long-chain pytest pins the divergence).
+
     Scale shape: label propagation is the pair graph's cost (tiny next
     to the corpus); the label join back hash-shuffles ids once; the
     split itself is a narrow map.
     """
     from .dedup import cluster_pairs
 
-    labels = cluster_pairs(pairs, k_iters=k_iters)
+    labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
     clustered = (
         df.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left")

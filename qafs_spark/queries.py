@@ -200,6 +200,72 @@ def q_resample_asof(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# J2b — ANCHORED calendar resample ("M" = month ends, pd.date_range parity)
+# ---------------------------------------------------------------------------
+_ANCH_FROM = "1995-01-15 00:00:00"
+_ANCH_G0 = "1995-01-31 00:00:00"  # rollforward(_ANCH_FROM) onto month ends
+_ANCH_TO = "1995-12-10 00:00:00"
+_ANCH_KMAX = 10  # Jan 31 (k=0) .. Nov 30 (k=10) <= _ANCH_TO
+
+
+@register(
+    "resample_anchored_month",
+    oracle=f"""
+    WITH series AS (
+        SELECT date_trunc('day', o_orderdate) AS time,
+               CAST(sum({_SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS orders_cents
+        FROM orders GROUP BY 1
+    ),
+    binned AS (
+        SELECT (year(time) * 12 + month(time))
+                 - (year(TIMESTAMP '{_ANCH_G0}') * 12
+                    + month(TIMESTAMP '{_ANCH_G0}'))
+                 + CASE WHEN time > CAST(last_day(CAST(time AS DATE)) AS TIMESTAMP)
+                        THEN 1 ELSE 0 END AS k,
+               arg_max(orders_cents, time) AS orders_cents
+        FROM series
+        WHERE time <= TIMESTAMP '{_ANCH_TO}'
+        GROUP BY 1
+    ),
+    grid AS (SELECT CAST(unnest(range(0, {_ANCH_KMAX + 1})) AS BIGINT) AS k),
+    allk AS (SELECT k FROM grid UNION SELECT k FROM binned),
+    filled AS (
+        SELECT a.k,
+               last_value(b.orders_cents IGNORE NULLS) OVER (
+                   ORDER BY a.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS orders_cents
+        FROM allk a LEFT JOIN binned b USING (k)
+    )
+    SELECT CAST(last_day(CAST(TIMESTAMP '{_ANCH_G0}'
+                 + to_months(CAST(k AS INT)) AS DATE)) AS TIMESTAMP) AS time,
+           orders_cents
+    FROM filled WHERE k BETWEEN 0 AND {_ANCH_KMAX}
+    """,
+)
+def q_resample_anchored_month(spark, sf_dir):
+    """ANCHORED calendar resample: freq="M" means month-END grid points
+    rolled forward from from_date with per-step last-day re-snapping —
+    ``pd.date_range``/``resample("ME")`` parity (reference resamples via
+    pandas, src/qafs/backend/pandas.py:163-172, so anchored aliases are
+    part of its accepted freq surface). Daily order revenue resampled
+    onto the 11 month-ends of 1995 inside [01-15, 12-10], history before
+    the window carrying in through the bin chain."""
+    series = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("time"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("orders_cents"))
+        .filter(F.col("time") <= F.lit(pd.Timestamp(_ANCH_TO)))
+    )
+    return resample_asof(
+        series,
+        ["orders_cents"],
+        pd.Timestamp(_ANCH_FROM),
+        pd.Timestamp(_ANCH_TO),
+        "M",
+    )
+
+
+# ---------------------------------------------------------------------------
 # J1/W1 — multi-series outer alignment + forward fill
 # ---------------------------------------------------------------------------
 @register(
@@ -3754,12 +3820,16 @@ def q_cluster_representatives(spark, sf_dir):
 )
 def q_leakage_free_split(spark, sf_dir):
     """Pipeline: train/test split with NO near-duplicate leakage — the
-    near-dup cluster (n-gram Jaccard >= 0.5 pairs → 3-round min-label
-    propagation, as dedup_clusters) is the split key, so an entire
-    duplicate group lands on one side atomically; singletons reproduce
-    the plain row-hash split (pipeline/sampling.py:leakage_free_split).
-    The mechanism behind dedup-aware eval splits in the contamination
-    literature."""
+    near-dup cluster is the split key, so an entire duplicate group lands
+    on one side atomically; singletons reproduce the plain row-hash split
+    (pipeline/sampling.py:leakage_free_split). Labels run in CONVERGED
+    min-label mode (the operator default): a dup chain longer than 3 hops
+    cannot split across the boundary. The SQL oracle is the 3-round
+    unrolled propagation (as dedup_clusters) — on this fixture the pair
+    graph's components converge within 3 hops, so the oracle match also
+    certifies converged == fixed-3 here; the long-chain pytest pins the
+    case where they differ. The mechanism behind dedup-aware eval splits
+    in the contamination literature."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5, max_doc_frac=None,

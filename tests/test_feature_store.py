@@ -865,13 +865,19 @@ def test_load_features_downsample_dict_and_calendar(spark, fs):
         .toPandas().sort_values("time").set_index("time")
     )
     pdf = pd.DataFrame({"v": vals}, index=dts)
-    # bins [Jan 1, Feb 1), [Feb 1, Mar 1), ... labeled at the left edge
-    exp = pdf.resample("MS")["v"]
-    assert len(out) == 4
-    for ts, m in exp.mean().items():
-        assert abs(out.loc[ts, "dc/a"] - m) < 1e-12
-    for ts, c in exp.count().items():
-        assert out.loc[ts, "dc/b"] == c
+    # anchored "M": the grid is month ENDS rolled forward from from_date
+    # (pd.date_range parity), bins stay left-closed/left-labeled — the
+    # pandas equivalent is resample("ME", closed="left", label="left")
+    # clipped to the anchor points inside [from_date, to_date]
+    exp = pdf.resample("ME", closed="left", label="left")["v"]
+    labels = [
+        t for t in exp.mean().index
+        if pd.Timestamp("2021-01-31") <= t <= pd.Timestamp("2021-04-01")
+    ]
+    assert len(out) == 3 and list(out.index) == labels
+    for ts in labels:
+        assert abs(out.loc[ts, "dc/a"] - exp.mean()[ts]) < 1e-12
+        assert out.loc[ts, "dc/b"] == exp.count()[ts]
 
     with pytest.raises(Exception, match="Unknown downsample"):
         fs.load_features(["dc/a"], freq="M", method={"dc/a": "mode"})
@@ -1143,3 +1149,63 @@ def test_compact_swap_reader_safe(spark, fs):
     assert not fs_storage.path_exists(spark, old)
     assert {r["sw/f"] for r in fs.load_features("sw/f").collect()} == {
         1.0, 2.0, 3.0, 4.0}
+
+
+def test_anchored_offsets_match_pandas(spark):
+    """Anchored offset aliases snap exactly like pandas: the grid equals
+    pd.date_range (month-end "M"/"2M" — including a February start that
+    must re-snap later months to the 31st — month-start "MS", weekly
+    "W"/"W-MON" rolled to the anchor weekday, quarter/year ends), and
+    resample_asof at an anchored freq replays the pandas resample golden
+    with carry-in. Unanchored durations ("10d", "1w") are unchanged."""
+    import warnings
+
+    import numpy as np
+    import pandas as pd
+
+    from qafs_spark.operators.resample import resample_asof, time_grid
+
+    grid_cases = [
+        ("2021-01-15", "2021-06-10", "M", "ME"),
+        ("2021-02-28 06:30:00", "2021-12-31", "M", "ME"),
+        ("2021-01-15", "2022-06-10", "2M", "2ME"),
+        ("2021-01-15", "2021-06-10", "MS", "MS"),
+        ("2021-01-05", "2021-03-10", "W", "W-SUN"),
+        ("2021-01-05 04:00:00", "2021-03-10", "W-MON", "W-MON"),
+        ("2021-01-15", "2024-06-10", "Q", "QE"),
+        ("2019-01-15", "2024-06-10", "Y", "YE"),
+        ("2021-01-15", "2021-01-20", "M", "ME"),  # rolled start past to
+        ("2021-01-15", "2021-06-10", "10d", "10d"),
+        ("2021-01-15", "2021-06-10", "1w", "7d"),  # plain duration, no anchor
+    ]
+    for frm, to, freq, pdfreq in grid_cases:
+        got = sorted(
+            pd.Timestamp(r["time"])
+            for r in time_grid(spark, frm, to, freq).collect()
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", FutureWarning)
+            want = [pd.Timestamp(t) for t in pd.date_range(frm, to, freq=pdfreq)]
+        assert got == want, (freq, frm, to)
+
+    rng = np.random.RandomState(5)
+    dts = pd.to_datetime(sorted(rng.choice(
+        pd.date_range("2020-11-01", "2021-07-01", freq="6h").values,
+        60, replace=False,
+    )))
+    a = pd.Series(rng.randn(60).round(3), index=dts)
+    b = a.iloc[::3] * 2
+    frm, to = pd.Timestamp("2021-01-10"), pd.Timestamp("2021-06-20")
+    joined = pd.concat({"a": a, "b": b}, axis=1, join="outer")
+    for freq, pdfreq in [("M", "ME"), ("W", "W-SUN"), ("MS", "MS")]:
+        golden = joined.resample(pdfreq).ffill().ffill().loc[frm:to]
+        aligned = spark.createDataFrame(joined.rename_axis("time").reset_index())
+        got = (
+            resample_asof(aligned, ["a", "b"], frm, to, freq)
+            .toPandas().sort_values("time").set_index("time")
+        )
+        assert list(got.index) == list(golden.index), freq
+        for c in ("a", "b"):
+            assert np.allclose(
+                got[c].values, golden[c].values, equal_nan=True
+            ), (freq, c)

@@ -3909,3 +3909,25 @@ def test_index_metadata_reads_cached_per_batch(spark, tmp_path, monkeypatch):
     reads.clear()
     idx.apply_batch(docs.filter(F.col("doc_id") >= 30), 3, threshold=0.3)
     assert meta_reads() == []
+
+
+def test_leakage_free_split_long_chain_atomic(spark):
+    """A near-dup CHAIN longer than the default 3 propagation hops must
+    still land on one side atomically: converge-mode labels (the
+    operator's default) give the whole chain one cluster, while fixed
+    3-hop labels demonstrably split it — the cross-boundary leak the
+    operator exists to prevent."""
+    from qafs_spark.pipeline import sampling as sp
+
+    n = 12  # path graph 0-1-2-...-11: diameter 11 >> 3 hops
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    out = sp.leakage_free_split(ids, pairs, "doc_id", test_fraction=0.5).collect()
+    assert {r["cluster"] for r in out} == {0}
+    assert len({r["split"] for r in out}) == 1  # atomic: one side only
+    fixed = sp.leakage_free_split(
+        ids, pairs, "doc_id", test_fraction=0.5, converge=False
+    ).collect()
+    assert len({r["cluster"] for r in fixed}) > 1  # the documented failure
