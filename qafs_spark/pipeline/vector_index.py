@@ -71,6 +71,7 @@ class CellVectorIndex:
         self.meta_path = j(root, "meta")
         self.deletes_path = j(root, "deletes")
         self.watermark_path = j(root, "compacted_through")
+        self.retrain_marker_path = j(root, "retrain_commit")
         self._persisted: list = []
         # per-instance metadata caches (watermark, tombstones, quantizer,
         # meta validation): tiny fixed parquet reads otherwise repeated
@@ -121,14 +122,12 @@ class CellVectorIndex:
                 [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
                 "cell int, centroid array<double>",
             ).coalesce(1).write.mode("overwrite").parquet(self.centroids_path)
-            self.spark.createDataFrame(
-                [(json.dumps(self._config()),)], "config string"
-            ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+            self._write_meta(version=1)
             self._cents_cache = [[float(x) for x in c] for c in cents]
         elif not self._meta_checked:
-            stored = json.loads(
-                self.spark.read.parquet(self.meta_path).first()["config"]
-            )
+            stored = {
+                k: v for k, v in self._read_meta().items() if k != "version"
+            }
             if stored != self._config():
                 raise ValueError(
                     f"index at {self.root} was built with {stored}, got "
@@ -136,6 +135,24 @@ class CellVectorIndex:
                 )
             self._meta_checked = True
         return cents
+
+    def _write_meta(self, version: int) -> None:
+        self.spark.createDataFrame(
+            [(json.dumps({**self._config(), "version": int(version)}),)],
+            "config string",
+        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+
+    def _read_meta(self) -> dict:
+        return json.loads(
+            self.spark.read.parquet(self.meta_path).first()["config"]
+        )
+
+    def version(self) -> int:
+        """Quantizer version: 1 at first train, bumped by each
+        :meth:`retrain` (0 if the index does not exist yet)."""
+        if not fs_storage.path_exists(self.spark, self.meta_path):
+            return 0
+        return int(self._read_meta().get("version", 1))
 
     # -- readers -----------------------------------------------------------
 
@@ -229,11 +246,117 @@ class CellVectorIndex:
     # -- compaction --------------------------------------------------------
 
     def _recover_compaction(self) -> None:
-        old = self.vectors_path.rstrip("/") + ".__old__"
-        if not fs_storage.path_exists(self.spark, self.vectors_path) and (
-            fs_storage.path_exists(self.spark, old)
-        ):
-            fs_storage.rename_path(self.spark, old, self.vectors_path)
+        for path in (self.vectors_path, self.centroids_path):
+            old = path.rstrip("/") + ".__old__"
+            if not fs_storage.path_exists(self.spark, path) and (
+                fs_storage.path_exists(self.spark, old)
+            ):
+                fs_storage.rename_path(self.spark, old, path)
+        self._recover_retrain()
+
+    # -- quantizer retrain (drift remedy) ----------------------------------
+
+    def _swap_in(self, path: str, staging_suffix: str) -> None:
+        """Rename-aside swap of a fully-staged dataset; idempotent (a
+        missing staging dir means the swap already happened)."""
+        staging = path.rstrip("/") + staging_suffix
+        if not fs_storage.path_exists(self.spark, staging):
+            return
+        old = path.rstrip("/") + ".__old__"
+        fs_storage.delete_path(self.spark, old)
+        if fs_storage.path_exists(self.spark, path):
+            fs_storage.rename_path(self.spark, path, old)
+        fs_storage.rename_path(self.spark, staging, path)
+        fs_storage.delete_path(self.spark, old)
+
+    def _recover_retrain(self) -> None:
+        """Finish a retrain whose intent marker committed: the staged
+        vectors/centroids are complete, so the swaps, meta bump, and
+        cleanup below are safe to replay from any crash point."""
+        if not fs_storage.path_exists(self.spark, self.retrain_marker_path):
+            return
+        marker = self.spark.read.parquet(self.retrain_marker_path).first()
+        self._swap_in(self.vectors_path, ".__retrain__")
+        self._swap_in(self.centroids_path, ".__retrain__")
+        self._write_meta(version=int(marker["version"]))
+        fs_storage.delete_path(self.spark, self.deletes_path)
+        fs_storage.delete_path(self.spark, self.retrain_marker_path)
+        self._invalidate_meta_caches()
+        self._cents_cache = None
+        self._meta_checked = False
+
+    def retrain(self) -> int:
+        """Re-train the coarse quantizer on the LIVE stored vectors and
+        reassign every vector to its new cell — the remedy for
+        distribution drift, where recall of the pruned probe decays
+        because frozen first-batch centroids no longer tile the data.
+
+        Mechanics: one scan of the live vectors feeds
+        :func:`similarity.ivf_train` (distributed Lloyd); the reassigned
+        vectors and new centroids are FULLY staged first, then a
+        write-ahead intent marker commits the retrain, then both datasets
+        swap in via the rename-aside protocol, the meta version bumps,
+        and tombstones (already folded out of the staging) clear. A crash
+        before the marker leaves the index untouched; after it, every
+        public entry point replays :meth:`_recover_retrain` to finish the
+        identical swaps — readers never observe mixed centroids/cells.
+        **Run quiesced** (stream stopped), like :meth:`compact` — the
+        batch directories fold into one, so the watermark advances.
+
+        Returns the number of live vectors reassigned."""
+        from .similarity import _cell_assigner, ivf_train
+
+        self._recover_compaction()
+        applied = []
+        for d in fs_storage.list_dirs(self.spark, self.vectors_path):
+            if d.startswith("batch_id="):
+                applied.append(int(d.split("=", 1)[1]))
+        if not applied:
+            raise ValueError(f"no index at {self.root}")
+        target = max(applied)
+        live = self._minus_deleted(
+            self.spark.read.parquet(self.vectors_path).select(
+                "id", "vec", "__n"
+            )
+        ).persist()
+        n_live = live.count()
+        if n_live == 0:
+            live.unpersist()
+            raise ValueError(f"cannot retrain {self.root}: no live vectors")
+        cents = ivf_train(
+            live, nlist=self.nlist, iters=self.train_iters,
+            data_id="id", data_vec="vec",
+        )
+        assign = _cell_assigner(cents)
+        vstage = self.vectors_path.rstrip("/") + ".__retrain__"
+        cstage = self.centroids_path.rstrip("/") + ".__retrain__"
+        fs_storage.delete_path(self.spark, vstage)
+        fs_storage.delete_path(self.spark, cstage)
+        (
+            live.withColumn("cell", assign(F.col("vec")))
+            .withColumn("batch_id", F.lit(str(target)))
+            .repartition(F.col("cell"))
+            .write.partitionBy("batch_id", "cell")
+            .mode("overwrite")
+            .parquet(vstage)
+        )
+        live.unpersist()
+        self.spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(cstage)
+        # watermark first (it only asserts what is already true), then the
+        # intent marker makes the staged retrain the committed state
+        self.spark.createDataFrame(
+            [(int(target),)], "through long"
+        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        new_version = self.version() + 1
+        self.spark.createDataFrame(
+            [(int(new_version),)], "version long"
+        ).coalesce(1).write.mode("overwrite").parquet(self.retrain_marker_path)
+        self._recover_retrain()
+        self._ct_cache = int(target)
+        return n_live
 
     def _compacted_through(self) -> int:
         if self._ct_cache is not None:
@@ -455,6 +578,7 @@ class CellVectorIndex:
 
         from .similarity import cosine_pre
 
+        self._recover_compaction()  # incl. finishing a committed retrain
         cents = self.centroids()
         if cents is None:
             raise ValueError(f"no index at {self.root}")

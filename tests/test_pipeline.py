@@ -3931,3 +3931,119 @@ def test_leakage_free_split_long_chain_atomic(spark):
         ids, pairs, "doc_id", test_fraction=0.5, converge=False
     ).collect()
     assert len({r["cluster"] for r in fixed}) > 1  # the documented failure
+
+
+def _vx_cluster(rng, center, ids, noise=0.005):
+    return [
+        (i, [c + rng.gauss(0, noise) for c in center]) for i in ids
+    ]
+
+
+def test_vector_index_retrain_recovers_recall(spark, tmp_path):
+    """Distribution drift decays the pruned probe's recall under frozen
+    first-batch centroids; retrain() re-clusters the LIVE vectors,
+    reassigns them through the crash-safe swap protocol, and bumps the
+    quantizer version — after it, nprobe=1 recall@5 on the drifted
+    clusters recovers while the exact tier (nprobe=nlist) is unchanged."""
+    import random
+
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(3)
+    batch0 = spark.createDataFrame(
+        _vx_cluster(rng, [1.0, 0, 0, 0], range(0, 20))
+        + _vx_cluster(rng, [0, 1.0, 0, 0], range(20, 40)),
+        ["vec_id", "embedding"],
+    )
+    # drifted: two NEW orthogonal clusters the frozen quantizer never saw
+    batch1 = spark.createDataFrame(
+        _vx_cluster(rng, [0, 0, 1.0, 0], range(100, 120))
+        + _vx_cluster(rng, [0, 0, 0, 1.0], range(120, 140)),
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        _vx_cluster(rng, [0, 0, 1.0, 0], range(900, 905))
+        + _vx_cluster(rng, [0, 0, 0, 1.0], range(905, 910)),
+        ["vec_id", "embedding"],
+    )
+    idx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=4, train_iters=2)
+    assert idx.apply_batch(batch0, 0, threshold=0.999)
+    assert idx.apply_batch(batch1, 1, threshold=0.999)
+
+    def searches():
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in idx.search(queries, k=5, nprobe=4).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in idx.search(queries, k=5, nprobe=1).collect()
+        }
+        return exact, approx
+
+    exact_before, approx_before = searches()
+    before = len(exact_before & approx_before) / len(exact_before)
+    assert before < 0.9  # drift genuinely broke the pruned probe
+    assert idx.version() == 1
+    assert idx.retrain() == 80
+    assert idx.version() == 2
+    exact_after, approx_after = searches()
+    after = len(exact_after & approx_after) / len(exact_after)
+    assert exact_after == exact_before  # same live set, exact unchanged
+    assert after >= 0.95 and after > before
+    # the index keeps ingesting normally after the fold
+    more = spark.createDataFrame(
+        _vx_cluster(rng, [0, 0, 1.0, 0], range(200, 205)),
+        ["vec_id", "embedding"],
+    )
+    assert idx.apply_batch(more, 2, threshold=0.999)
+    assert not idx.apply_batch(more, 2, threshold=0.999)  # exactly-once
+
+
+def test_vector_index_retrain_crash_recovery(spark, tmp_path):
+    """A retrain that crashes AFTER its intent marker commits (staged
+    vectors + centroids on disk, swaps not yet run) is finished by the
+    next reader: a fresh instance's search sees exactly the state a
+    clean retrain produces, version bumped, staging gone."""
+    import os
+    import random
+
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(9)
+    rows = spark.createDataFrame(
+        _vx_cluster(rng, [1.0, 0, 0], range(0, 15))
+        + _vx_cluster(rng, [0, 1.0, 0], range(15, 30)),
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        _vx_cluster(rng, [0, 1.0, 0], range(900, 903)), ["vec_id", "embedding"]
+    )
+
+    def build(root, crash):
+        idx = CellVectorIndex(spark, root, nlist=2, train_iters=2)
+        assert idx.apply_batch(rows, 0, threshold=0.999)
+        if crash:
+            idx._recover_retrain = lambda: None  # die before the swaps
+        idx.retrain()
+        return idx
+
+    clean = build(str(tmp_path / "a"), crash=False)
+    build(str(tmp_path / "b"), crash=True)
+    # the crashed index still holds its marker + staging
+    assert os.path.exists(str(tmp_path / "b" / "retrain_commit"))
+    assert os.path.exists(str(tmp_path / "b" / "vectors.__retrain__"))
+    # a FRESH instance recovers on first search
+    reader = CellVectorIndex(spark, str(tmp_path / "b"), nlist=2, train_iters=2)
+    got = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in reader.search(queries, k=3, nprobe=1).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in clean.search(queries, k=3, nprobe=1).collect()
+    }
+    assert got == want and want
+    assert reader.version() == 2
+    assert not os.path.exists(str(tmp_path / "b" / "retrain_commit"))
+    assert not os.path.exists(str(tmp_path / "b" / "vectors.__retrain__"))
