@@ -265,6 +265,65 @@ def q_resample_anchored_month(spark, sf_dir):
     )
 
 
+@register(
+    "resample_downsample_month",
+    oracle=f"""
+    WITH series AS (
+        SELECT date_trunc('day', o_orderdate) AS time,
+               CAST(sum({_SQL_CENTS.format(x='o_totalprice')}) AS BIGINT) AS v
+        FROM orders GROUP BY 1
+    ),
+    binned AS (
+        SELECT (year(time) * 12 + month(time))
+                 - (year(TIMESTAMP '{_ANCH_G0}') * 12
+                    + month(TIMESTAMP '{_ANCH_G0}'))
+                 - CASE WHEN time < CAST(last_day(CAST(time AS DATE)) AS TIMESTAMP)
+                        THEN 1 ELSE 0 END AS k,
+               CAST(sum(v) AS BIGINT) AS orders_sum_cents,
+               count(v) AS orders_days
+        FROM series
+        WHERE time >= TIMESTAMP '{_ANCH_G0}'
+          AND time < TIMESTAMP '1995-12-31 00:00:00'
+        GROUP BY 1
+    ),
+    grid AS (SELECT CAST(unnest(range(0, {_ANCH_KMAX + 1})) AS BIGINT) AS k)
+    SELECT CAST(last_day(CAST(TIMESTAMP '{_ANCH_G0}'
+                 + to_months(CAST(k AS INT)) AS DATE)) AS TIMESTAMP) AS time,
+           b.orders_sum_cents,
+           COALESCE(b.orders_days, 0) AS orders_days
+    FROM grid g LEFT JOIN binned b USING (k)
+    """,
+)
+def q_resample_downsample_month(spark, sf_dir):
+    """ANCHORED downsample: per-bin aggregates onto the month-END grid —
+    pandas ``resample("ME", closed="left", label="left").agg(...)``
+    semantics with the grid rolled forward from from_date (pd.date_range
+    parity). Bins are [g_k, g_{k+1}) over the 11 month-ends of 1995;
+    sum stays in integer cents and count coalesces to 0 on empty bins,
+    keeping both engines hash-exact. Same one-tall-union groupBy(bin)
+    plan as the fixed-freq downsample; the anchored bin index is integer
+    month arithmetic plus one within-month comparison, and the widened
+    scan bound snaps to the anchored grid's upper edge (still a
+    pushed-down time predicate)."""
+    from qafs_spark.operators.resample import resample_agg_multi
+
+    series = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("time"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("v"))
+    )
+    named = [
+        ("orders_sum_cents", series.select(
+            "time", F.col("v").alias("orders_sum_cents"))),
+        ("orders_days", series.select(
+            "time", F.col("v").alias("orders_days"))),
+    ]
+    return resample_agg_multi(
+        named, pd.Timestamp(_ANCH_FROM), pd.Timestamp(_ANCH_TO), "M",
+        how={"orders_sum_cents": "sum", "orders_days": "count"},
+    )
+
+
 # ---------------------------------------------------------------------------
 # J1/W1 — multi-series outer alignment + forward fill
 # ---------------------------------------------------------------------------

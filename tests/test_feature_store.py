@@ -1209,3 +1209,57 @@ def test_anchored_offsets_match_pandas(spark):
             assert np.allclose(
                 got[c].values, golden[c].values, equal_nan=True
             ), (freq, c)
+
+
+def test_anchored_bin_index_property(spark):
+    """The anchored bin indexes are EXACT: for hundreds of random
+    instants per freq (plus every grid instant and its ±1µs edges),
+    the ceil bin equals the smallest k with t <= g_k and the floor bin
+    the largest with g_k <= t, where g_k is the driver-side pandas grid
+    — no months_between fraction drift anywhere."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from qafs_spark.offsets import parse_offset
+    from qafs_spark.operators.resample import _bin_index, _floor_bin_index
+
+    rng = random.Random(17)
+    cases = [
+        ("M", "2021-03-15 06:30:00"),
+        ("2M", "2020-12-31"),
+        ("MS", "2021-02-01"),
+        ("Q", "2021-01-10"),
+        ("Y", "2019-05-05"),
+    ]
+    for freq, anchor_str in cases:
+        f = parse_offset(freq)
+        g0 = f.anchor_start(pd.Timestamp(anchor_str))
+        ts = []
+        for _ in range(400):
+            base = g0 + pd.DateOffset(months=rng.randint(-36, 36))
+            ts.append(base + pd.Timedelta(seconds=rng.randint(-5_000_000, 5_000_000)))
+        for k in range(-5, 6):
+            gk = f.calendar_point(g0, k)
+            ts += [gk, gk - pd.Timedelta(1, "us"), gk + pd.Timedelta(1, "us")]
+        df = spark.createDataFrame([(t.to_pydatetime(),) for t in ts], "t timestamp")
+        got = df.select(
+            "t",
+            _bin_index(F.col("t"), g0, f).alias("kc"),
+            _floor_bin_index(F.col("t"), g0, f).alias("kf"),
+        ).collect()
+
+        def ceil_k(t):
+            d = (t.year * 12 + t.month) - (g0.year * 12 + g0.month)
+            k = d // f.months - 2
+            while f.calendar_point(g0, k) < t:
+                k += 1
+            return k
+
+        for r in got:
+            t = pd.Timestamp(r["t"])
+            kc = ceil_k(t)
+            kf = kc if f.calendar_point(g0, kc) == t else kc - 1
+            assert r["kc"] == kc, (freq, str(t), r["kc"], kc)
+            assert r["kf"] == kf, (freq, str(t), r["kf"], kf)
