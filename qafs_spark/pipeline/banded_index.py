@@ -580,22 +580,49 @@ class BandedMinHashIndex:
 
     # -- readers -----------------------------------------------------------
 
+    def _applied_cond(self):
+        """Predicate selecting rows of durably-applied batches: batch_id
+        at or below the compaction watermark (those dirs may have been
+        folded, e.g. the pairs log keeps per-batch dirs compaction never
+        rewrites), or carrying band_counts' _SUCCESS (the last-written
+        dataset — its marker IS the applied marker)."""
+        through = self._compacted_through()
+        marked = []
+        for d in fs_storage.list_dirs(self.spark, self.counts_path):
+            if not d.startswith("batch_id="):
+                continue
+            bid = int(d.split("=", 1)[1])
+            if bid > through and fs_storage.path_exists(
+                self.spark,
+                fs_storage.join(self.counts_path, d, "_SUCCESS"),
+            ):
+                marked.append(str(bid))
+        return (F.col("batch_id").cast("long") <= F.lit(through)) | (
+            F.col("batch_id").isin(marked)
+        )
+
     def pairs(self) -> DataFrame:
-        """Accumulated (id_a, id_b, jaccard, batch_id) over all applied
-        batches (empty long-id frame if no batch ever produced a pair)."""
+        """Accumulated (id_a, id_b, jaccard, batch_id) over all APPLIED
+        batches (empty long-id frame if no batch ever produced a pair).
+        Pairs are written before the applied marker, so an in-flight or
+        crashed batch's pairs are filtered out here — they reappear,
+        byte-identical, once its replay commits."""
         try:
             df = self.spark.read.parquet(self.pairs_path)
         except Exception:
             return self.spark.createDataFrame(
                 [], "id_a long, id_b long, jaccard double, batch_id long"
             )
+        df = df.filter(self._applied_cond())
         return df.select(
             "id_a", "id_b", "jaccard", F.col("batch_id").cast("long").alias("batch_id")
         )
 
     def doc_rows(self) -> DataFrame:
-        """All live (id, sig, sh) rows — tombstoned docs excluded (full
-        scan — audits only)."""
+        """All live (id, sig, sh) rows of APPLIED batches — tombstoned
+        docs excluded (full scan — audits only)."""
         return self._minus_deleted(
-            self.spark.read.parquet(self.docs_path).select("id", "sig", "sh")
+            self.spark.read.parquet(self.docs_path)
+            .filter(self._applied_cond())
+            .select("id", "sig", "sh")
         )

@@ -623,6 +623,7 @@ def cluster_pairs(
     cache_edges: bool = True,
     converge: bool = False,
     max_converge_iters: int = 50,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Connected-component labels for near-dup pairs: (id, cluster) with
     cluster = min id reachable within ``k_iters`` hops (min-label
@@ -689,28 +690,52 @@ def cluster_pairs(
         return labels
 
     # fixed-point loop. Lineage MUST be truncated each round with an eager
-    # localCheckpoint: labels appear twice in every round's plan (neighbor
+    # materialization: labels appear twice in every round's plan (neighbor
     # aggregate + outer join), so without truncation the LOGICAL plan grows
     # 2^rounds nodes and analysis itself OOMs the driver around round ~8 —
     # persist alone does not help, cache substitution happens after the
-    # full plan is built. localCheckpoint materializes to executor-local
-    # blocks (not fault-tolerant; on a real cluster prefer a checkpoint
-    # dir + .checkpoint(), or write labels to Parquet between rounds — the
-    # loop shape is identical). Min-labels only ever decrease, so
+    # full plan is built. Default truncation is localCheckpoint
+    # (executor-local blocks — fast, NOT fault-tolerant); passing
+    # ``checkpoint_dir`` writes each round's labels to parquet instead,
+    # the cluster-grade durable form (an executor loss mid-propagation
+    # resumes from storage, and the label table is inspectable) — same
+    # loop, different materialization. Min-labels only ever decrease, so
     # "changed" is exactly `cluster < _prev` and zero changes is the exact
     # connected-components fixed point.
-    prev = labels.localCheckpoint(eager=True)
+    from .. import storage as fs_storage
+
+    spark = pairs.sparkSession
+
+    def materialize(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = fs_storage.join(checkpoint_dir, f"round={rnd}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def release(df: DataFrame, rnd: int) -> None:
+        if checkpoint_dir is None:
+            df.unpersist()
+        else:
+            fs_storage.delete_path(
+                spark, fs_storage.join(checkpoint_dir, f"round={rnd}")
+            )
+
+    prev = materialize(labels, 0)
     labels = prev
-    for _ in range(max_converge_iters):
-        upd = one_round(labels).localCheckpoint(eager=True)
+    prev_rnd = 0
+    for rnd in range(1, max_converge_iters + 1):
+        upd = materialize(one_round(labels), rnd)
         changed = upd.filter(F.col("cluster") < F.col("_prev")).count()
         labels = upd.select("id", "cluster")
-        # upd is eagerly materialized in its own checkpoint blocks, so the
-        # previous round's blocks are dead — free them now rather than
-        # waiting for driver GC (executor block storage would otherwise
-        # grow O(rounds · |V|) across the loop)
-        prev.unpersist()
-        prev = upd
+        # upd is eagerly materialized in its own checkpoint blocks/files,
+        # so the previous round's copy is dead — free it now rather than
+        # waiting for driver GC (storage would otherwise grow
+        # O(rounds · |V|) across the loop). The LAST round's parquet is
+        # the returned frame's backing store; the caller owns
+        # checkpoint_dir's lifecycle.
+        release(prev, prev_rnd)
+        prev, prev_rnd = upd, rnd
         if changed == 0:
             if cache_edges:
                 # the returned labels are checkpoint-backed and no longer

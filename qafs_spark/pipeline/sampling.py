@@ -87,6 +87,7 @@ def leakage_free_split(
     seed: int = 42,
     k_iters: int = 3,
     converge: bool = True,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Train/test split with NO near-duplicate leakage across the
     boundary: (id, cluster, split) for every input row, where the split
@@ -118,7 +119,10 @@ def leakage_free_split(
     """
     from .dedup import cluster_pairs
 
-    labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
+    labels = cluster_pairs(
+        pairs, k_iters=k_iters, converge=converge,
+        checkpoint_dir=checkpoint_dir,
+    )
     clustered = (
         df.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left")

@@ -411,14 +411,38 @@ class CellVectorIndex:
         self._ct_cache = int(target)
         return len(applied) - 1
 
+    def _applied_cond(self):
+        """Predicate selecting rows of durably-applied batches — batch_id
+        at or below the compaction watermark (the pairs log keeps
+        per-batch dirs compaction never rewrites) or carrying the vectors
+        dataset's _SUCCESS marker (vectors are written last)."""
+        through = self._compacted_through()
+        marked = []
+        for d in fs_storage.list_dirs(self.spark, self.vectors_path):
+            if not d.startswith("batch_id="):
+                continue
+            bid = int(d.split("=", 1)[1])
+            if bid > through and fs_storage.path_exists(
+                self.spark,
+                fs_storage.join(self.vectors_path, d, "_SUCCESS"),
+            ):
+                marked.append(str(bid))
+        return (F.col("batch_id").cast("long") <= F.lit(through)) | (
+            F.col("batch_id").isin(marked)
+        )
+
     def pairs(self) -> DataFrame:
+        """Accumulated (id_a, id_b, cosine, batch_id) over all APPLIED
+        batches. Pairs commit before the applied marker, so an in-flight
+        or crashed batch's pairs stay invisible until its replay
+        commits (same isolation rule as search)."""
         try:
             df = self.spark.read.parquet(self.pairs_path)
         except Exception:
             return self.spark.createDataFrame(
                 [], "id_a long, id_b long, cosine double, batch_id long"
             )
-        return df.select(
+        return df.filter(self._applied_cond()).select(
             "id_a", "id_b", "cosine",
             F.col("batch_id").cast("long").alias("batch_id"),
         )

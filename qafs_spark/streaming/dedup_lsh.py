@@ -25,6 +25,11 @@ in-flight batch's directory, and a batch whose index directory carries a
 either a no-op (completed batch) or a byte-identical re-commit (partially
 written batch). Same recipe as the banded sink below and the
 exactly-once ingest path; no MERGE-capable table format needed.
+Pairs land BEFORE the index marker, so a reader of the raw pairs log
+that must not observe an in-flight/crashed batch should filter
+``batch_id`` dirs through the index marker —
+:meth:`pipeline.banded_index.BandedMinHashIndex.pairs` implements
+exactly that rule for the class-based indexes.
 
 Caller contract: document ids are unique across the stream's lifetime
 (re-ingestions must be filtered upstream, e.g. with

@@ -4047,3 +4047,87 @@ def test_vector_index_retrain_crash_recovery(spark, tmp_path):
     assert reader.version() == 2
     assert not os.path.exists(str(tmp_path / "b" / "retrain_commit"))
     assert not os.path.exists(str(tmp_path / "b" / "vectors.__retrain__"))
+
+
+def test_index_pairs_log_applied_only(spark, tmp_path):
+    """The pairs logs commit BEFORE the applied marker, so pairs() must
+    hide an in-flight/crashed batch's pairs until its replay commits —
+    and a compaction (which folds marker directories but never rewrites
+    the pairs log) must NOT hide historical batches' pairs."""
+    import os
+    import random
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows + [(100, rows[4][1])], ["doc_id", "text"]  # batch-1 clone of 4
+    )
+    idx = BandedMinHashIndex(
+        spark, str(tmp_path / "ix"), n=3, num_hashes=16, num_bands=8,
+        num_partitions=8,
+    )
+    assert idx.apply_batch(docs.filter(F.col("doc_id") < 50), 0, threshold=0.5)
+    b1 = docs.filter(F.col("doc_id") >= 50)
+    assert idx.apply_batch(b1, 1, threshold=0.5)
+    all_pairs = {tuple(r) for r in idx.pairs().collect()}
+    assert any(b == 1 for *_, b in all_pairs)  # batch 1 found the clone
+    os.remove(str(tmp_path / "ix" / "band_counts" / "batch_id=1" / "_SUCCESS"))
+    assert {tuple(r) for r in idx.pairs().collect()} == {
+        p for p in all_pairs if p[-1] != 1
+    }
+    assert idx.apply_batch(b1, 1, threshold=0.5)  # replay re-commits
+    assert {tuple(r) for r in idx.pairs().collect()} == all_pairs
+    assert idx.compact() >= 1
+    # watermark now covers every batch; the untouched pairs log must
+    # still surface ALL historical pairs
+    assert {tuple(r) for r in idx.pairs().collect()} == all_pairs
+
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(10)]
+    emb = spark.createDataFrame(
+        vecs + [(100, [x + 1e-7 for x in vecs[2][1]])], ["vec_id", "embedding"]
+    )
+    vx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
+    assert vx.apply_batch(emb.filter(F.col("vec_id") < 50), 0, threshold=0.9)
+    assert vx.apply_batch(emb.filter(F.col("vec_id") >= 50), 1, threshold=0.9)
+    vall = {tuple(r) for r in vx.pairs().collect()}
+    assert any(b == 1 for *_, b in vall)
+    os.remove(str(tmp_path / "vx" / "vectors" / "batch_id=1" / "_SUCCESS"))
+    assert {tuple(r) for r in vx.pairs().collect()} == {
+        p for p in vall if p[-1] != 1
+    }
+    assert vx.apply_batch(emb.filter(F.col("vec_id") >= 50), 1, threshold=0.9)
+    assert vx.compact() >= 1
+    assert {tuple(r) for r in vx.pairs().collect()} == vall
+
+
+def test_cluster_pairs_durable_checkpoint_dir(spark, tmp_path):
+    """converge-mode label propagation with a checkpoint_dir writes each
+    round's labels to parquet (the fault-tolerant cluster form) instead
+    of executor-local blocks: results are identical to localCheckpoint
+    mode, intermediate round files are cleaned as the loop advances, and
+    only the final round's parquet (the returned frame's backing store)
+    remains."""
+    import os
+
+    from qafs_spark.pipeline import dedup as dd
+
+    n = 9  # path graph: needs ~8 rounds, well past plan-blowup territory
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    local = {
+        (r["id"], r["cluster"])
+        for r in dd.cluster_pairs(pairs, converge=True).collect()
+    }
+    ckpt = str(tmp_path / "labels_ckpt")
+    durable_df = dd.cluster_pairs(pairs, converge=True, checkpoint_dir=ckpt)
+    durable = {(r["id"], r["cluster"]) for r in durable_df.collect()}
+    assert durable == local == {(i, 0) for i in range(n)}
+    rounds = [d for d in os.listdir(ckpt) if d.startswith("round=")]
+    assert len(rounds) == 1  # intermediates cleaned, final kept
+    # the returned frame stays readable off its parquet backing store
+    assert durable_df.count() == n
