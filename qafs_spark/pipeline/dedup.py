@@ -615,6 +615,33 @@ def embedding_dedup_pairs(
     )
 
 
+def _round_materializer(spark, checkpoint_dir: Optional[str]):
+    """(materialize, release) pair for iterate-to-fixed-point loops:
+    eager lineage truncation per round via localCheckpoint
+    (executor-local blocks — fast, not fault-tolerant) or, with a
+    ``checkpoint_dir``, durable per-round parquet (the cluster-grade
+    form; an executor loss resumes from storage). The LAST round's copy
+    backs the returned frame — the caller owns the dir's lifecycle."""
+    from .. import storage as fs_storage
+
+    def materialize(df: DataFrame, rnd: int) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = fs_storage.join(checkpoint_dir, f"round={rnd}")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def release(df: DataFrame, rnd: int) -> None:
+        if checkpoint_dir is None:
+            df.unpersist()
+        else:
+            fs_storage.delete_path(
+                spark, fs_storage.join(checkpoint_dir, f"round={rnd}")
+            )
+
+    return materialize, release
+
+
 def cluster_pairs(
     pairs: DataFrame,
     k_iters: int = 3,
@@ -702,25 +729,8 @@ def cluster_pairs(
     # loop, different materialization. Min-labels only ever decrease, so
     # "changed" is exactly `cluster < _prev` and zero changes is the exact
     # connected-components fixed point.
-    from .. import storage as fs_storage
-
     spark = pairs.sparkSession
-
-    def materialize(df: DataFrame, rnd: int) -> DataFrame:
-        if checkpoint_dir is None:
-            return df.localCheckpoint(eager=True)
-        path = fs_storage.join(checkpoint_dir, f"round={rnd}")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
-
-    def release(df: DataFrame, rnd: int) -> None:
-        if checkpoint_dir is None:
-            df.unpersist()
-        else:
-            fs_storage.delete_path(
-                spark, fs_storage.join(checkpoint_dir, f"round={rnd}")
-            )
-
+    materialize, release = _round_materializer(spark, checkpoint_dir)
     prev = materialize(labels, 0)
     labels = prev
     prev_rnd = 0
@@ -745,7 +755,121 @@ def cluster_pairs(
     raise ValueError(
         f"cluster_pairs(converge=True) did not converge in {max_converge_iters} "
         "rounds — the pair graph has a component diameter that large, which "
-        "is not a near-dup cluster shape; raise max_converge_iters to force it"
+        "is not a near-dup cluster shape; raise max_converge_iters to force it "
+        "(or use cluster_pairs_star, whose round count is O(log n) regardless "
+        "of diameter)"
+    )
+
+
+def cluster_pairs_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 40,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Connected-component labels via alternating large-star / small-star
+    rounds — (id, cluster) with cluster = the component's min id,
+    bit-identical to ``cluster_pairs(converge=True)`` but in **O(log n)
+    rounds on ANY graph shape** instead of O(diameter).
+
+    The published MapReduce CC algorithm (Kiveris, Lattanzi, Mirrokni,
+    Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+    Beyond", SoCC'14): each round,
+
+    - **large-star**: every node links its strictly-LARGER neighbors to
+      the minimum of its closed neighborhood;
+    - **small-star**: every node links its not-larger neighbors (and
+      itself) to that minimum.
+
+    Components contract toward a star rooted at their minimum node; a
+    path of length 2^k collapses in ~k rounds, where min-label
+    propagation needs 2^k. Per round: two groupBy-min aggregates, two
+    id-equi joins, and a distinct over a SHRINKING edge set — no window
+    functions, no driver-side data. Round outputs are materialized (see
+    :func:`_round_materializer`) so lineage stays one round deep;
+    stability is detected with a count + order-insensitive hash of the
+    canonically-oriented edge set (one cheap aggregate per round).
+
+    Use this over ``converge=True`` when the pair graph can contain long
+    chains (e.g. transitive near-dup spans across a crawl) — the
+    long-chain case where fixed-k silently splits and converge-mode
+    needs one round per hop.
+    """
+    spark = pairs.sparkSession
+    materialize, release = _round_materializer(spark, checkpoint_dir)
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame):
+        # bit_xor is commutative and can't overflow under ANSI mode; the
+        # edge set is distinct so xor-cancellation can't hide a change
+        # that count doesn't catch
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        und = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            und.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        hi_lo = canon(e)  # u > v for every row
+        m = hi_lo.groupBy("u").agg(F.min("v").alias("m"))  # m < u always
+        return (
+            hi_lo.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    edges = canon(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    )
+    prev = materialize(edges, 0)
+    prev_sig = signature(prev)
+    cur, cur_rnd = prev, 0
+    for rnd in range(1, max_rounds + 1):
+        # small_star's output is already canonically oriented (u > v)
+        # and distinct — no extra normalization shuffle needed
+        nxt = materialize(small_star(large_star(cur)), rnd)
+        sig = signature(nxt)
+        release(cur, cur_rnd)
+        cur, cur_rnd = nxt, rnd
+        if sig == prev_sig:
+            # fixed point: edges are (child, root) stars; emit the roots'
+            # own labels too
+            return cur.select(
+                F.col("u").alias("id"), F.col("v").alias("cluster")
+            ).unionByName(
+                cur.select(F.col("v").alias("id"), F.col("v").alias("cluster"))
+            ).distinct()
+        prev_sig = sig
+    raise ValueError(
+        f"cluster_pairs_star did not stabilize in {max_rounds} rounds — "
+        "rounds needed are O(log n), so this indicates ids beyond any "
+        "realistic corpus size; raise max_rounds"
     )
 
 

@@ -3793,6 +3793,33 @@ def q_dedup_clusters(spark, sf_dir):
 
 
 @register(
+    "dedup_clusters_star",
+    # same 3-hop label CTEs: star labels ARE the exact connected
+    # components, and this fixture's components converge within 3 hops,
+    # so the unrolled-propagation oracle replays them bit-for-bit (the
+    # long-chain case where they differ is pinned by
+    # test_cluster_pairs_star_matches_converge)
+    oracle=f"""
+    WITH {_SQL_NEARDUP_LABEL_CTES}
+    SELECT id AS doc_id, cluster FROM l3
+    """,
+)
+def q_dedup_clusters_star(spark, sf_dir):
+    """Pipeline: near-dup CLUSTER labels via alternating large-star /
+    small-star contraction (Kiveris et al., SoCC'14) — exact connected
+    components in O(log n) rounds regardless of component diameter,
+    where min-label propagation needs O(diameter). The scale path for
+    pair graphs that can contain long transitive chains; same pair
+    generation as dedup_clusters, same labels (cluster = component min
+    id)."""
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5,
+        max_doc_frac=None,
+    )
+    return dd.cluster_pairs_star(pairs).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "cluster_representatives",
     # same label CTEs as dedup_clusters, then the survivor pick: highest
     # quality wins, lowest doc_id breaks ties (both engines compute the

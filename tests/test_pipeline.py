@@ -4131,3 +4131,48 @@ def test_cluster_pairs_durable_checkpoint_dir(spark, tmp_path):
     assert len(rounds) == 1  # intermediates cleaned, final kept
     # the returned frame stays readable off its parquet backing store
     assert durable_df.count() == n
+
+
+def test_cluster_pairs_star_matches_converge(spark, tmp_path):
+    """Large-star/small-star CC labels are bit-identical to converged
+    min-label propagation on random graphs (several seeds, non-contiguous
+    ids), run identically through the durable parquet materializer, and
+    collapse a 200-hop path — the shape where converge-mode needs one
+    round per hop and trips its round guard — in O(log n) rounds."""
+    import random
+
+    from qafs_spark.pipeline import dedup as dd
+
+    for seed in (13, 29, 57):
+        rng = random.Random(seed)
+        nodes = list(range(0, 240, 2))
+        edges = [
+            (a, b)
+            for a, b in {
+                (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+            }
+            if a != b
+        ]
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        want = {
+            (r["id"], r["cluster"])
+            for r in dd.cluster_pairs(pairs, converge=True).collect()
+        }
+        got = {
+            (r["id"], r["cluster"])
+            for r in dd.cluster_pairs_star(pairs).collect()
+        }
+        assert got == want and got, seed
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["id_a", "id_b"]
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        dd.cluster_pairs(chain, converge=True)
+    labels = {
+        (r["id"], r["cluster"])
+        for r in dd.cluster_pairs_star(
+            chain, checkpoint_dir=str(tmp_path / "star_ckpt")
+        ).collect()
+    }
+    assert labels == {(i, 0) for i in range(200)}
