@@ -81,13 +81,14 @@ def train_test_split(
 
 def leakage_free_split(
     df: DataFrame,
-    pairs: DataFrame,
+    pairs: Optional[DataFrame] = None,
     id_col: str = "doc_id",
     test_fraction: float = 0.1,
     seed: int = 42,
     k_iters: int = 3,
     converge: bool = True,
     checkpoint_dir: Optional[str] = None,
+    labels: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Train/test split with NO near-duplicate leakage across the
     boundary: (id, cluster, split) for every input row, where the split
@@ -113,16 +114,27 @@ def leakage_free_split(
     bit-identical (the catalog oracle asserts this on the fixture while
     the long-chain pytest pins the divergence).
 
+    Alternatively pass a MATERIALIZED label table via ``labels`` — any
+    (id, cluster) frame, e.g. :func:`dedup.cluster_pairs_star` output
+    (O(log n) rounds on long-chain graphs) or a parquet table persisted
+    by an earlier pipeline stage — and the propagation here is skipped
+    entirely; ``pairs`` is then not needed.
+
     Scale shape: label propagation is the pair graph's cost (tiny next
     to the corpus); the label join back hash-shuffles ids once; the
     split itself is a narrow map.
     """
     from .dedup import cluster_pairs
 
-    labels = cluster_pairs(
-        pairs, k_iters=k_iters, converge=converge,
-        checkpoint_dir=checkpoint_dir,
-    )
+    if labels is None:
+        if pairs is None:
+            raise ValueError("leakage_free_split needs pairs= or labels=")
+        labels = cluster_pairs(
+            pairs, k_iters=k_iters, converge=converge,
+            checkpoint_dir=checkpoint_dir,
+        )
+    else:
+        labels = labels.select("id", "cluster")
     clustered = (
         df.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left")

@@ -4176,3 +4176,35 @@ def test_cluster_pairs_star_matches_converge(spark, tmp_path):
         ).collect()
     }
     assert labels == {(i, 0) for i in range(200)}
+
+
+def test_leakage_free_split_accepts_label_table(spark):
+    """A materialized (id, cluster) label table — e.g. star-contraction
+    labels persisted by an earlier stage — can feed the split directly,
+    producing exactly the split the in-operator propagation computes,
+    and long chains stay atomic through the star path too."""
+    from qafs_spark.pipeline import dedup as dd
+    from qafs_spark.pipeline import sampling as sp
+
+    n = 30
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"]
+    )
+    via_pairs = {
+        tuple(r)
+        for r in sp.leakage_free_split(
+            ids, pairs, "doc_id", test_fraction=0.5
+        ).collect()
+    }
+    star_labels = dd.cluster_pairs_star(pairs)
+    via_labels = {
+        tuple(r)
+        for r in sp.leakage_free_split(
+            ids, None, "doc_id", test_fraction=0.5, labels=star_labels
+        ).collect()
+    }
+    assert via_labels == via_pairs
+    assert len({s for *_, s in via_labels}) == 1  # one atomic side
+    with pytest.raises(ValueError, match="pairs= or labels="):
+        sp.leakage_free_split(ids, None, "doc_id")
