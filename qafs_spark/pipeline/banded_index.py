@@ -199,8 +199,9 @@ class BandedMinHashIndex:
         ALSO exact in between: it subtracts tombstoned ids' band rows
         (read from the same pruned prefix partitions the probe already
         touches) from the stored count deltas, so the guarded pair set
-        equals a compacted index's bit-for-bit. The pairs log is an
-        immutable historical record and is not scrubbed.
+        equals a compacted index's bit-for-bit. The pairs log is a
+        historical record that delete_ids leaves intact; a
+        right-to-be-forgotten request also needs :meth:`scrub_pairs`.
 
         ``ids`` is a list of ids or a one-column DataFrame. Returns the
         number of tombstones appended."""
@@ -487,7 +488,10 @@ class BandedMinHashIndex:
         at ``<ds>.__old__`` and no live directory — restore it (same
         protocol as the feature-store compaction,
         sources/feature_dataset.py)."""
-        for path in (self.docs_path, self.bands_path, self.counts_path):
+        for path in (
+            self.docs_path, self.bands_path, self.counts_path,
+            self.pairs_path,
+        ):
             old = path.rstrip("/") + ".__old__"
             if not fs_storage.path_exists(self.spark, path) and (
                 fs_storage.path_exists(self.spark, old)
@@ -626,3 +630,57 @@ class BandedMinHashIndex:
             .filter(self._applied_cond())
             .select("id", "sig", "sh")
         )
+
+    def scrub_pairs(self, ids) -> int:
+        """GDPR-complete removal from the pairs LOG: rewrite it dropping
+        every pair touching ``ids`` (a list or one-column DataFrame).
+
+        :meth:`delete_ids` + :meth:`compact` remove a document's index
+        rows, but the pairs log is ordinarily an immutable historical
+        record — a right-to-be-forgotten request must also scrub the
+        pairs that mention the id. One filtered rewrite preserving the
+        per-batch directory layout, swapped in with the rename-aside
+        protocol (crash-recoverable; run quiesced, like compact).
+        Returns the number of pair rows dropped."""
+        if isinstance(ids, DataFrame):
+            tomb = ids.toDF("id").distinct()
+        else:
+            if not ids:
+                return 0
+            tomb = self.spark.createDataFrame(
+                [(i,) for i in ids], ["id"]
+            ).distinct()
+        self._recover_compaction()
+        if not fs_storage.path_exists(self.spark, self.pairs_path):
+            return 0
+        try:
+            pairs = self.spark.read.parquet(self.pairs_path)
+        except Exception:
+            return 0
+        before = pairs.count()
+        kept = (
+            pairs.join(
+                F.broadcast(tomb.select(F.col("id").alias("id_a"))),
+                "id_a", "left_anti",
+            ).join(
+                F.broadcast(tomb.select(F.col("id").alias("id_b"))),
+                "id_b", "left_anti",
+            )
+        )
+        staging = self.pairs_path.rstrip("/") + ".__scrub__"
+        old = self.pairs_path.rstrip("/") + ".__old__"
+        fs_storage.delete_path(self.spark, staging)
+        (
+            kept.write.partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        fs_storage.delete_path(self.spark, old)
+        fs_storage.rename_path(self.spark, self.pairs_path, old)
+        fs_storage.rename_path(self.spark, staging, self.pairs_path)
+        fs_storage.delete_path(self.spark, old)
+        try:
+            after = self.spark.read.parquet(self.pairs_path).count()
+        except Exception:
+            after = 0  # every batch dir emptied
+        return before - after

@@ -246,7 +246,7 @@ class CellVectorIndex:
     # -- compaction --------------------------------------------------------
 
     def _recover_compaction(self) -> None:
-        for path in (self.vectors_path, self.centroids_path):
+        for path in (self.vectors_path, self.centroids_path, self.pairs_path):
             old = path.rstrip("/") + ".__old__"
             if not fs_storage.path_exists(self.spark, path) and (
                 fs_storage.path_exists(self.spark, old)
@@ -446,6 +446,54 @@ class CellVectorIndex:
             "id_a", "id_b", "cosine",
             F.col("batch_id").cast("long").alias("batch_id"),
         )
+
+    def scrub_pairs(self, ids) -> int:
+        """GDPR-complete removal from the pairs log — same contract and
+        rename-aside rewrite as
+        :meth:`banded_index.BandedMinHashIndex.scrub_pairs` (run
+        quiesced). Returns the number of pair rows dropped."""
+        if isinstance(ids, DataFrame):
+            tomb = ids.toDF("id").distinct()
+        else:
+            if not ids:
+                return 0
+            tomb = self.spark.createDataFrame(
+                [(i,) for i in ids], ["id"]
+            ).distinct()
+        self._recover_compaction()
+        if not fs_storage.path_exists(self.spark, self.pairs_path):
+            return 0
+        try:
+            pairs = self.spark.read.parquet(self.pairs_path)
+        except Exception:
+            return 0
+        before = pairs.count()
+        kept = (
+            pairs.join(
+                F.broadcast(tomb.select(F.col("id").alias("id_a"))),
+                "id_a", "left_anti",
+            ).join(
+                F.broadcast(tomb.select(F.col("id").alias("id_b"))),
+                "id_b", "left_anti",
+            )
+        )
+        staging = self.pairs_path.rstrip("/") + ".__scrub__"
+        old = self.pairs_path.rstrip("/") + ".__old__"
+        fs_storage.delete_path(self.spark, staging)
+        (
+            kept.write.partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        fs_storage.delete_path(self.spark, old)
+        fs_storage.rename_path(self.spark, self.pairs_path, old)
+        fs_storage.rename_path(self.spark, staging, self.pairs_path)
+        fs_storage.delete_path(self.spark, old)
+        try:
+            after = self.spark.read.parquet(self.pairs_path).count()
+        except Exception:
+            after = 0
+        return before - after
 
     # -- core --------------------------------------------------------------
 

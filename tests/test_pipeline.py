@@ -4208,3 +4208,51 @@ def test_leakage_free_split_accepts_label_table(spark):
     assert len({s for *_, s in via_labels}) == 1  # one atomic side
     with pytest.raises(ValueError, match="pairs= or labels="):
         sp.leakage_free_split(ids, None, "doc_id")
+
+
+def test_index_scrub_pairs_right_to_be_forgotten(spark, tmp_path):
+    """delete_ids removes a document's index rows, but a
+    right-to-be-forgotten request also needs its PAIRS scrubbed from the
+    otherwise-immutable log: scrub_pairs rewrites the log dropping every
+    pair touching the ids (per-batch layout preserved), on both the
+    banded and the vector index, and survives replays of applied
+    batches."""
+    import random
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(16)]
+    rows += [(100, rows[3][1]), (101, rows[5][1])]  # dupes of 3 and 5
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = BandedMinHashIndex(
+        spark, str(tmp_path / "ix"), n=3, num_hashes=16, num_bands=8,
+        num_partitions=8,
+    )
+    assert idx.apply_batch(docs.filter(F.col("doc_id") < 50), 0, threshold=0.5)
+    assert idx.apply_batch(docs.filter(F.col("doc_id") >= 50), 1, threshold=0.5)
+    before = {tuple(r) for r in idx.pairs().collect()}
+    assert any(3 in (a, b) for a, b, *_ in before)
+    assert idx.delete_ids([3]) == 1
+    dropped = idx.scrub_pairs([3])
+    assert dropped == sum(1 for a, b, *_ in before if 3 in (a, b)) > 0
+    after = {tuple(r) for r in idx.pairs().collect()}
+    assert after == {p for p in before if 3 not in p[:2]}
+    # applied batches don't replay, so the scrub is durable
+    assert not idx.apply_batch(docs.filter(F.col("doc_id") < 50), 0, threshold=0.5)
+    assert {tuple(r) for r in idx.pairs().collect()} == after
+    assert idx.scrub_pairs([]) == 0 and idx.scrub_pairs([999]) == 0
+
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(10)]
+    vecs += [(100, [x + 1e-7 for x in vecs[2][1]])]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    vx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
+    assert vx.apply_batch(emb, 0, threshold=0.9)
+    vbefore = {tuple(r) for r in vx.pairs().collect()}
+    assert any(2 in (a, b) for a, b, *_ in vbefore)
+    assert vx.scrub_pairs([2]) > 0
+    assert {tuple(r) for r in vx.pairs().collect()} == {
+        p for p in vbefore if 2 not in p[:2]
+    }
