@@ -239,7 +239,8 @@ class _Handler(BaseHTTPRequestHandler):
             dst = os.path.normpath(
                 os.path.join(self.root, dst_rel.lstrip("/")))
             ok = (
-                os.path.exists(local)
+                (dst == self.root or dst.startswith(self.root + os.sep))
+                and os.path.exists(local)
                 and not os.path.exists(dst)
                 and os.path.isdir(os.path.dirname(dst))
             )
