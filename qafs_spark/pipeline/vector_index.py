@@ -125,6 +125,11 @@ class CellVectorIndex:
             self._write_meta(version=1)
             self._cents_cache = [[float(x) for x in c] for c in cents]
         elif not self._meta_checked:
+            if not fs_storage.path_exists(self.spark, self.meta_path):
+                # crash window between the first batch's centroid write
+                # and its meta write: the quantizer is the truth, re-pin
+                # the config row it was trained under
+                self._write_meta(version=1)
             stored = {
                 k: v for k, v in self._read_meta().items() if k != "version"
             }
