@@ -183,6 +183,23 @@ def test_resampling(fs):
     )
     compare_df(result[compare.columns.tolist()], compare)
 
+    # anchored monthly grid through the FULL store path (save -> LWW ->
+    # align -> anchored resample): "M" = month ends, pandas parity
+    result = fs.load_dataframe(
+        ["test/resample1", "test/resample2"],
+        freq="M", from_date="2021-01-01", to_date="2021-02-01",
+    )
+    compare = (
+        pd.concat([df1, df2], join="outer", axis=1)
+        .resample("ME").ffill().ffill()
+    )
+    compare = compare[
+        (compare.index >= pd.Timestamp("2021-01-01"))
+        & (compare.index <= pd.Timestamp("2021-02-01"))
+    ]
+    assert len(compare) == 1  # Jan 31 only
+    compare_df(result, compare)
+
     # single-feature range filter (ref tests:371-377)
     result = fs.load_dataframe("test/resample1", from_date="2021-01-10", to_date="2021-01-12")
     compare = df1[(df1.index >= pd.Timestamp("2021-01-10")) & (df1.index <= pd.Timestamp("2021-01-12"))]
