@@ -276,13 +276,23 @@ class CellVectorIndex:
 
     def _recover_retrain(self) -> None:
         """Finish a retrain whose intent marker committed: the staged
-        vectors/centroids are complete, so the swaps, meta bump, and
-        cleanup below are safe to replay from any crash point."""
+        vectors/centroids are complete, so the swaps, meta write, and
+        cleanup below are safe to replay from any crash point. The
+        marker carries the retrain's CONFIG (a retrain may grow nlist),
+        so recovery from an instance constructed with the pre-retrain
+        params still writes the correct meta — and adopts the new params
+        itself."""
         if not fs_storage.path_exists(self.spark, self.retrain_marker_path):
             return
         marker = self.spark.read.parquet(self.retrain_marker_path).first()
         self._swap_in(self.vectors_path, ".__retrain__")
         self._swap_in(self.centroids_path, ".__retrain__")
+        try:
+            cfg = json.loads(marker["config"])
+        except Exception:
+            cfg = self._config()
+        self.nlist = int(cfg.get("nlist", self.nlist))
+        self.train_iters = int(cfg.get("train_iters", self.train_iters))
         self._write_meta(version=int(marker["version"]))
         fs_storage.delete_path(self.spark, self.deletes_path)
         fs_storage.delete_path(self.spark, self.retrain_marker_path)
@@ -290,11 +300,18 @@ class CellVectorIndex:
         self._cents_cache = None
         self._meta_checked = False
 
-    def retrain(self) -> int:
+    def retrain(self, nlist: Optional[int] = None) -> int:
         """Re-train the coarse quantizer on the LIVE stored vectors and
         reassign every vector to its new cell — the remedy for
         distribution drift, where recall of the pruned probe decays
         because frozen first-batch centroids no longer tile the data.
+
+        ``nlist`` grows (or shrinks) the cell count in the same pass —
+        the standard IVF practice of scaling nlist with the corpus
+        (√n-ish), impossible batch-to-batch but natural here since every
+        assignment is rewritten anyway. The meta row is updated; from
+        then on instances must be constructed with the NEW params (the
+        config guard raises on the old ones).
 
         Mechanics: one scan of the live vectors feeds
         :func:`similarity.ivf_train` (distributed Lloyd); the reassigned
@@ -312,6 +329,8 @@ class CellVectorIndex:
         from .similarity import _cell_assigner, ivf_train
 
         self._recover_compaction()
+        if nlist is not None:
+            self.nlist = int(nlist)
         applied = []
         for d in fs_storage.list_dirs(self.spark, self.vectors_path):
             if d.startswith("batch_id="):
@@ -357,7 +376,8 @@ class CellVectorIndex:
         ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
         new_version = self.version() + 1
         self.spark.createDataFrame(
-            [(int(new_version),)], "version long"
+            [(int(new_version), json.dumps(self._config()))],
+            "version long, config string",
         ).coalesce(1).write.mode("overwrite").parquet(self.retrain_marker_path)
         self._recover_retrain()
         self._ct_cache = int(target)

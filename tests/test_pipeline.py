@@ -4256,3 +4256,72 @@ def test_index_scrub_pairs_right_to_be_forgotten(spark, tmp_path):
     assert {tuple(r) for r in vx.pairs().collect()} == {
         p for p in vbefore if 2 not in p[:2]
     }
+
+
+def test_vector_index_retrain_grows_nlist(spark, tmp_path):
+    """retrain(nlist=...) re-tiles the index with a LARGER cell count —
+    the √n-ish nlist growth IVF practice — updating the meta config:
+    full-probe search equals the pre-retrain exact results, instances
+    built with the old params are refused, and a crash after the intent
+    marker is finished correctly even by a STALE-param instance (the
+    marker carries the new config)."""
+    import random
+
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(15)
+    rows = spark.createDataFrame(
+        _vx_cluster(rng, [1.0, 0, 0, 0], range(0, 15))
+        + _vx_cluster(rng, [0, 1.0, 0, 0], range(15, 30))
+        + _vx_cluster(rng, [0, 0, 1.0, 0], range(30, 45))
+        + _vx_cluster(rng, [0, 0, 0, 1.0], range(45, 60)),
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        _vx_cluster(rng, [0, 0, 1.0, 0], range(900, 905)),
+        ["vec_id", "embedding"],
+    )
+
+    def full_probe(idx, np_):
+        return {
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+            for r in idx.search(queries, k=5, nprobe=np_).collect()
+        }
+
+    idx = CellVectorIndex(spark, str(tmp_path / "a"), nlist=2, train_iters=2)
+    assert idx.apply_batch(rows, 0, threshold=0.999)
+    exact_before = full_probe(idx, 2)
+    assert idx.retrain(nlist=4) == 60
+    assert len(idx.centroids()) == 4 and idx.nlist == 4
+    assert full_probe(idx, 4) == exact_before  # same live set, exact tier
+    # pruned probe with the richer tiling still finds the query cluster
+    assert full_probe(idx, 1) == exact_before
+    # old params refused, new params accepted
+    with pytest.raises(ValueError, match="immutable"):
+        CellVectorIndex(spark, str(tmp_path / "a"), nlist=2).apply_batch(
+            spark.createDataFrame(
+                _vx_cluster(rng, [1.0, 0, 0, 0], range(200, 203)),
+                ["vec_id", "embedding"],
+            ),
+            1, threshold=0.999,
+        )
+    ok = CellVectorIndex(spark, str(tmp_path / "a"), nlist=4, train_iters=2)
+    assert ok.apply_batch(
+        spark.createDataFrame(
+            _vx_cluster(rng, [1.0, 0, 0, 0], range(200, 203)),
+            ["vec_id", "embedding"],
+        ),
+        1, threshold=0.999,
+    )
+
+    # crash after the marker: a stale-param reader must finish the
+    # retrain with the MARKER's config, not its own
+    idx_b = CellVectorIndex(spark, str(tmp_path / "b"), nlist=2, train_iters=2)
+    assert idx_b.apply_batch(rows, 0, threshold=0.999)
+    idx_b._recover_retrain = lambda: None
+    idx_b.retrain(nlist=4)
+    stale = CellVectorIndex(spark, str(tmp_path / "b"), nlist=2, train_iters=2)
+    got = full_probe(stale, 4)  # search recovers the committed retrain
+    assert got == exact_before
+    assert stale.nlist == 4 and stale.version() == 2
+    assert len(stale.centroids()) == 4
