@@ -101,6 +101,7 @@ class BandedMinHashIndex:
         self.meta_path = j(root, "meta")
         self.watermark_path = j(root, "compacted_through")
         self.deletes_path = j(root, "deletes")
+        self.rebuild_marker_path = j(root, "rebuild_commit")
         self._persisted: list[DataFrame] = []
         # per-instance metadata caches: the compaction watermark, the
         # tombstone set, and the meta-row validation are all tiny but
@@ -143,10 +144,13 @@ class BandedMinHashIndex:
                     "immutable for an index's lifetime"
                 )
         else:
-            self.spark.createDataFrame(
-                [(json.dumps(self._config()),)], "config string"
-            ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+            self._write_meta()
         self._meta_checked = True
+
+    def _write_meta(self) -> None:
+        self.spark.createDataFrame(
+            [(json.dumps(self._config()),)], "config string"
+        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
 
     # -- helpers -----------------------------------------------------------
 
@@ -274,6 +278,7 @@ class BandedMinHashIndex:
         The returned frames hold persisted intermediates; call
         :meth:`unpersist_intermediates` when done (``apply_batch`` does).
         """
+        self._recover_compaction()  # incl. finishing a committed rebuild
         new_rows = minhash_index(
             new_docs, text_col, id_col, self.n, self.num_hashes, self.seed
         ).persist()
@@ -497,6 +502,161 @@ class BandedMinHashIndex:
                 fs_storage.path_exists(self.spark, old)
             ):
                 fs_storage.rename_path(self.spark, old, path)
+        self._recover_rebuild()
+
+    # -- parameter rebuild (re-banding / re-hashing) -----------------------
+
+    def _swap_in(self, path: str, staging_suffix: str) -> None:
+        """Rename-aside swap of a fully-staged dataset; idempotent (a
+        missing staging dir means the swap already happened)."""
+        staging = path.rstrip("/") + staging_suffix
+        if not fs_storage.path_exists(self.spark, staging):
+            return
+        old = path.rstrip("/") + ".__old__"
+        fs_storage.delete_path(self.spark, old)
+        if fs_storage.path_exists(self.spark, path):
+            fs_storage.rename_path(self.spark, path, old)
+        fs_storage.rename_path(self.spark, staging, path)
+        fs_storage.delete_path(self.spark, old)
+
+    def _recover_rebuild(self) -> None:
+        """Finish a rebuild whose intent marker committed — the staged
+        docs/bands/counts are complete, so the swaps, meta write, and
+        cleanup replay safely from any crash point. The marker carries
+        the rebuild's CONFIG so even an instance constructed with the
+        pre-rebuild params writes the correct meta and adopts the new
+        ones."""
+        if not fs_storage.path_exists(self.spark, self.rebuild_marker_path):
+            return
+        marker = self.spark.read.parquet(self.rebuild_marker_path).first()
+        for path in (self.docs_path, self.bands_path, self.counts_path):
+            self._swap_in(path, ".__rebuild__")
+        try:
+            cfg = json.loads(marker["config"])
+        except Exception:
+            cfg = self._config()
+        self.num_hashes = int(cfg.get("num_hashes", self.num_hashes))
+        self.num_bands = int(cfg.get("num_bands", self.num_bands))
+        self.seed = int(cfg.get("seed", self.seed))
+        self.num_partitions = int(
+            cfg.get("num_partitions", self.num_partitions)
+        )
+        self._write_meta()
+        fs_storage.delete_path(self.spark, self.deletes_path)
+        fs_storage.delete_path(self.spark, self.rebuild_marker_path)
+        self._invalidate_meta_caches()
+        self._meta_checked = False
+
+    def rebuild(
+        self,
+        num_hashes: Optional[int] = None,
+        num_bands: Optional[int] = None,
+        seed: Optional[int] = None,
+        num_partitions: Optional[int] = None,
+    ) -> int:
+        """Re-derive the index under NEW hashing/banding parameters —
+        tune the recall/precision (num_hashes, num_bands, its implied
+        LSH threshold curve) or the partition modulus as the corpus
+        evolves, without touching raw text: signatures recompute from
+        the stored per-document shingle-hash sets
+        (``minhash_signature_from_hashes`` — the same derivation ingest
+        uses), so the rebuilt index is bit-identical to one built from
+        scratch under the new params (parity-tested).
+
+        The shingle size ``n`` is the one genuinely immutable parameter
+        (``sh`` depends on it — changing n needs re-tokenization, i.e. a
+        fresh index over the raw corpus).
+
+        Mechanics mirror :meth:`CellVectorIndex.retrain`: one scan of
+        the live docs re-derives sig/bands/counts into fully-staged
+        directories, a write-ahead intent marker (carrying the new
+        config) commits the rebuild, the three datasets swap in via
+        rename-aside, the meta row updates, tombstones (folded out of
+        the staging) clear. Crash-finishable from any point by any
+        public entry; **run quiesced**. From then on, instances must be
+        constructed with the new params. Returns the number of live
+        documents re-indexed."""
+        from .dedup import minhash_signature_from_hashes
+
+        self._recover_compaction()
+        new_cfg = dict(
+            num_hashes=self.num_hashes if num_hashes is None else int(num_hashes),
+            num_bands=self.num_bands if num_bands is None else int(num_bands),
+            seed=self.seed if seed is None else int(seed),
+            num_partitions=(
+                self.num_partitions if num_partitions is None
+                else int(num_partitions)
+            ),
+        )
+        if new_cfg["num_hashes"] % new_cfg["num_bands"] != 0:
+            raise ValueError("num_bands must divide num_hashes")
+        applied = []
+        for d in fs_storage.list_dirs(self.spark, self.counts_path):
+            name = d.rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("batch_id="):
+                applied.append(int(name.split("=", 1)[1]))
+        if not applied:
+            raise ValueError(f"no index at {self.root}")
+        target = max(applied)
+        self.num_hashes = new_cfg["num_hashes"]
+        self.num_bands = new_cfg["num_bands"]
+        self.seed = new_cfg["seed"]
+        self.num_partitions = new_cfg["num_partitions"]
+
+        live = self._minus_deleted(
+            self.spark.read.parquet(self.docs_path).select("id", "sh")
+        )
+        rows = live.select(
+            "id",
+            minhash_signature_from_hashes(
+                F.col("sh"), self.num_hashes, self.seed
+            ).alias("sig"),
+            "sh",
+        ).persist()
+        n_live = rows.count()
+        bid = F.lit(str(target))
+        try:
+            (
+                rows.withColumn("id_pfx", self._pfx(F.col("id")))
+                .withColumn("batch_id", bid)
+                .repartition(F.col("id_pfx"))
+                .write.partitionBy("batch_id", "id_pfx")
+                .mode("overwrite")
+                .parquet(self.docs_path.rstrip("/") + ".__rebuild__")
+            )
+            nb = self._banded(rows).withColumn(
+                "band_pfx", self._pfx(F.col("band"))
+            )
+            (
+                nb.withColumn("batch_id", bid)
+                .repartition(F.col("band_pfx"))
+                .sortWithinPartitions("band")
+                .write.partitionBy("batch_id", "band_pfx")
+                .mode("overwrite")
+                .parquet(self.bands_path.rstrip("/") + ".__rebuild__")
+            )
+            (
+                nb.groupBy("band", "band_pfx")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("batch_id", bid)
+                .repartition(F.col("band_pfx"))
+                .write.partitionBy("batch_id", "band_pfx")
+                .mode("overwrite")
+                .parquet(self.counts_path.rstrip("/") + ".__rebuild__")
+            )
+        finally:
+            rows.unpersist()
+        # watermark first (asserts what is already true), then the marker
+        # makes the staged rebuild the committed state
+        self.spark.createDataFrame(
+            [(int(target),)], "through long"
+        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        self.spark.createDataFrame(
+            [(json.dumps(self._config()),)], "config string"
+        ).coalesce(1).write.mode("overwrite").parquet(self.rebuild_marker_path)
+        self._recover_rebuild()
+        self._ct_cache = int(target)
+        return n_live
 
     def compact(self) -> int:
         """Fold every applied batch's directories into one, and collapse

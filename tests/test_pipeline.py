@@ -4325,3 +4325,70 @@ def test_vector_index_retrain_grows_nlist(spark, tmp_path):
     assert got == exact_before
     assert stale.nlist == 4 and stale.version() == 2
     assert len(stale.centroids()) == 4
+
+
+def test_banded_rebuild_reparameterizes_without_text(spark, tmp_path):
+    """rebuild() re-derives the index under NEW hashing/banding params
+    from the stored shingle-hash sets alone (no raw text): probe pair
+    sets are bit-equal to a from-scratch index built with the new
+    params over the live corpus; tombstones fold out; the config-
+    carrying marker lets a stale-param instance finish a crashed
+    rebuild; old-param constructors are refused afterwards."""
+    import random
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    rng = random.Random(53)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(30)]
+    rows += [(100, rows[2][1]), (101, rows[7][1])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    probe = spark.createDataFrame(
+        [(1000, rows[2][1]), (1001, rows[9][1])], ["doc_id", "text"]
+    )
+    old_kw = dict(n=3, num_hashes=32, num_bands=8, num_partitions=32)
+    new_kw = dict(n=3, num_hashes=16, num_bands=4, seed=7, num_partitions=8)
+
+    idx = BandedMinHashIndex(spark, str(tmp_path / "a"), **old_kw)
+    assert idx.apply_batch(docs.filter(F.col("doc_id") < 15), 0, threshold=0.3)
+    assert idx.apply_batch(docs.filter(F.col("doc_id") >= 15), 1, threshold=0.3)
+    assert idx.delete_ids([7, 101]) == 2
+    assert idx.rebuild(
+        num_hashes=16, num_bands=4, seed=7, num_partitions=8
+    ) == 30  # 32 docs - 2 tombstones
+    got, _ = idx.dedup_batch(probe, threshold=0.3)
+    got = _pairset(got)
+    idx.unpersist_intermediates()
+
+    fresh = BandedMinHashIndex(spark, str(tmp_path / "b"), **new_kw)
+    assert fresh.apply_batch(
+        docs.filter(~F.col("doc_id").isin([7, 101])), 0, threshold=0.3
+    )
+    want, _ = fresh.dedup_batch(probe, threshold=0.3)
+    want = _pairset(want)
+    fresh.unpersist_intermediates()
+    assert got == want and (2, 1000) in got  # clone of doc 2 found
+
+    # old params refused; new params accepted; ingestion continues
+    with pytest.raises(ValueError, match="immutable"):
+        BandedMinHashIndex(spark, str(tmp_path / "a"), **old_kw).apply_batch(
+            probe, 2, threshold=0.3
+        )
+    cont = BandedMinHashIndex(spark, str(tmp_path / "a"), **new_kw)
+    assert cont.apply_batch(probe, 2, threshold=0.3)
+    assert not cont.apply_batch(probe, 2, threshold=0.3)
+
+    # crash after the marker: a stale-param instance finishes the swaps
+    # with the MARKER's config
+    idx_c = BandedMinHashIndex(spark, str(tmp_path / "c"), **old_kw)
+    assert idx_c.apply_batch(docs, 0, threshold=0.3)
+    idx_c._recover_rebuild = lambda: None
+    idx_c.rebuild(num_hashes=16, num_bands=4, seed=7, num_partitions=8)
+    stale = BandedMinHashIndex(spark, str(tmp_path / "c"), **old_kw)
+    pairs2, _ = stale.dedup_batch(probe, threshold=0.3)  # recovers first
+    assert stale.num_hashes == 16 and stale.num_bands == 4
+    assert _pairset(pairs2)
+    stale.unpersist_intermediates()
+
+    with pytest.raises(ValueError, match="divide"):
+        cont.rebuild(num_hashes=16, num_bands=5)
