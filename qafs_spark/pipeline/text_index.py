@@ -57,6 +57,7 @@ class InvertedIndex:
         self.meta_path = j(root, "meta")
         self.deletes_path = j(root, "deletes")
         self.watermark_path = j(root, "compacted_through")
+        self.rebuild_marker_path = j(root, "rebuild_commit")
         # per-instance metadata caches (watermark, tombstones, meta
         # validation) — see banded_index for the rationale; invalidated
         # by delete_ids/compact
@@ -237,6 +238,7 @@ class InvertedIndex:
         <= k rows."""
         from pyspark.sql import Window
 
+        self._recover_compaction()  # incl. finishing a committed rebuild
         if not (
             fs_storage.path_exists(self.spark, self.postings_path)
             and fs_storage.path_exists(self.spark, self.doclens_path)
@@ -313,6 +315,102 @@ class InvertedIndex:
                 fs_storage.path_exists(self.spark, old)
             ):
                 fs_storage.rename_path(self.spark, old, path)
+        self._recover_rebuild()
+
+    # -- parameter rebuild (prefix-modulus change) -------------------------
+
+    def _swap_in(self, path: str, staging_suffix: str) -> None:
+        staging = path.rstrip("/") + staging_suffix
+        if not fs_storage.path_exists(self.spark, staging):
+            return
+        old = path.rstrip("/") + ".__old__"
+        fs_storage.delete_path(self.spark, old)
+        if fs_storage.path_exists(self.spark, path):
+            fs_storage.rename_path(self.spark, path, old)
+        fs_storage.rename_path(self.spark, staging, path)
+        fs_storage.delete_path(self.spark, old)
+
+    def _recover_rebuild(self) -> None:
+        """Finish a committed rebuild (same config-carrying marker
+        protocol as the sibling indexes — replays safely from any crash
+        point, even by an instance constructed with the old modulus)."""
+        if not fs_storage.path_exists(self.spark, self.rebuild_marker_path):
+            return
+        marker = self.spark.read.parquet(self.rebuild_marker_path).first()
+        self._swap_in(self.postings_path, ".__rebuild__")
+        self._swap_in(self.doclens_path, ".__rebuild__")
+        try:
+            cfg = json.loads(marker["config"])
+            self.num_partitions = int(
+                cfg.get("num_partitions", self.num_partitions)
+            )
+        except Exception:
+            pass
+        self.spark.createDataFrame(
+            [(json.dumps({"num_partitions": self.num_partitions}),)],
+            "config string",
+        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        fs_storage.delete_path(self.spark, self.deletes_path)
+        fs_storage.delete_path(self.spark, self.rebuild_marker_path)
+        self._invalidate_meta_caches()
+        self._meta_checked = False
+
+    def rebuild(self, num_partitions: int) -> int:
+        """Re-partition the index under a NEW term-prefix modulus — the
+        knob that bounds probe fan-out — without re-tokenizing anything:
+        postings rows re-hash to their new prefix directly (term strings
+        are stored), doclens fold unchanged, tombstones drop out. Same
+        write-ahead marker + rename-aside protocol as
+        :meth:`banded_index.BandedMinHashIndex.rebuild`; **run
+        quiesced**; instances must use the new modulus afterwards.
+        Returns the number of live documents re-indexed."""
+        self._recover_compaction()
+        applied = []
+        for d in fs_storage.list_dirs(self.spark, self.doclens_path):
+            if d.startswith("batch_id="):
+                applied.append(int(d.split("=", 1)[1]))
+        if not applied:
+            raise ValueError(f"no index at {self.root}")
+        target = max(applied)
+        self.num_partitions = int(num_partitions)
+        bid = F.lit(str(target))
+        post = self._minus_deleted(
+            self.spark.read.parquet(self.postings_path).select(
+                "id", "term", "tf"
+            )
+        )
+        (
+            post.withColumn("term_pfx", self._pfx(F.col("term")))
+            .withColumn("batch_id", bid)
+            .repartition(F.col("term_pfx"))
+            .sortWithinPartitions("term")
+            .write.partitionBy("batch_id", "term_pfx")
+            .mode("overwrite")
+            .parquet(self.postings_path.rstrip("/") + ".__rebuild__")
+        )
+        dl = self._minus_deleted(
+            self.spark.read.parquet(self.doclens_path).select("id", "dl")
+        )
+        n_live = dl.count()
+        (
+            dl.withColumn("batch_id", bid)
+            .coalesce(1)
+            .write.partitionBy("batch_id")
+            .mode("overwrite")
+            .parquet(self.doclens_path.rstrip("/") + ".__rebuild__")
+        )
+        self.spark.createDataFrame(
+            [(int(target),)], "through long"
+        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        self.spark.createDataFrame(
+            [(json.dumps({"num_partitions": self.num_partitions}),)],
+            "config string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            self.rebuild_marker_path
+        )
+        self._recover_rebuild()
+        self._ct_cache = int(target)
+        return n_live
 
     def compact(self) -> int:
         """Fold applied batch directories into one and drop tombstoned

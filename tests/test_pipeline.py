@@ -4392,3 +4392,56 @@ def test_banded_rebuild_reparameterizes_without_text(spark, tmp_path):
 
     with pytest.raises(ValueError, match="divide"):
         cont.rebuild(num_hashes=16, num_bands=5)
+
+
+def test_inverted_index_rebuild_repartitions(spark, tmp_path):
+    """rebuild(num_partitions) re-hashes postings to a new term-prefix
+    modulus without re-tokenizing: search results stay bit-identical,
+    tombstones fold out physically, a crash after the marker is finished
+    by a stale-modulus instance, and old-modulus constructors are
+    refused afterwards."""
+    import random
+
+    from qafs_spark.pipeline.text_index import InvertedIndex
+
+    rng = random.Random(61)
+    vocab = [f"w{i}" for i in range(30)] + ["spark", "join"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(40)],
+        ["doc_id", "text"],
+    )
+    terms = ["spark", "join"]
+    ix = InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=16)
+    assert ix.apply_batch(docs.filter(F.col("doc_id") < 20), 0)
+    assert ix.apply_batch(docs.filter(F.col("doc_id") >= 20), 1)
+    assert ix.delete_ids([5]) == 1
+    want = [tuple(r) for r in ix.search(terms, k=10).collect()]
+    assert ix.rebuild(num_partitions=4) == 39
+    assert ix.num_partitions == 4
+    assert [tuple(r) for r in ix.search(terms, k=10).collect()] == want
+    import os
+
+    assert 5 not in {
+        r["id"]
+        for r in spark.read.parquet(str(tmp_path / "ix" / "doclens")).collect()
+    }
+    with pytest.raises(ValueError, match="immutable"):
+        InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=16).apply_batch(
+            docs.limit(1), 2
+        )
+    cont = InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=4)
+    assert cont.apply_batch(
+        spark.createDataFrame([(500, "spark spark join")], ["doc_id", "text"]), 2
+    )
+
+    # crash after the marker: stale-modulus reader finishes the swaps
+    ix_b = InvertedIndex(spark, str(tmp_path / "b"), num_partitions=16)
+    assert ix_b.apply_batch(docs, 0)
+    want_b = [tuple(r) for r in ix_b.search(terms, k=10).collect()]
+    ix_b._recover_rebuild = lambda: None
+    ix_b.rebuild(num_partitions=4)
+    assert os.path.exists(str(tmp_path / "b" / "rebuild_commit"))
+    stale = InvertedIndex(spark, str(tmp_path / "b"), num_partitions=16)
+    assert [tuple(r) for r in stale.search(terms, k=10).collect()] == want_b
+    assert stale.num_partitions == 4
+    assert not os.path.exists(str(tmp_path / "b" / "rebuild_commit"))
