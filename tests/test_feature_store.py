@@ -1280,3 +1280,52 @@ def test_anchored_bin_index_property(spark):
             kf = kc if f.calendar_point(g0, kc) == t else kc - 1
             assert r["kc"] == kc, (freq, str(t), r["kc"], kc)
             assert r["kf"] == kf, (freq, str(t), r["kf"], kf)
+
+
+def test_anchored_interpolate_matches_reference_math(spark):
+    """resample_interpolate on an ANCHORED grid ("M"/"MS"): values at
+    the rolled month-end/month-start points equal the straight-line
+    time interpolation computed independently in numpy over the same
+    observations (tail carries the last anchor, points before the first
+    observation stay null)."""
+    import numpy as np
+    import pandas as pd
+
+    from qafs_spark.operators.resample import resample_interpolate
+
+    rng = np.random.RandomState(11)
+    dts = pd.to_datetime(sorted(rng.choice(
+        pd.date_range("2020-12-05", "2021-07-20", freq="17h").values,
+        40, replace=False,
+    )))
+    vals = rng.randn(40).round(3)
+    series = spark.createDataFrame(
+        pd.DataFrame({"time": dts, "value": vals})
+    )
+    frm, to = pd.Timestamp("2021-01-10"), pd.Timestamp("2021-06-20")
+    for freq, pdfreq in [("M", "ME"), ("MS", "MS")]:
+        got = {
+            pd.Timestamp(r["time"]): r["value"]
+            for r in resample_interpolate(
+                series, frm, to, freq
+            ).collect()
+        }
+        grid = list(pd.date_range(frm, to, freq=pdfreq))
+        assert sorted(got) == grid, freq
+        ts = dts.astype("int64").to_numpy()
+        for g in grid:
+            gi = g.value
+            left = np.searchsorted(ts, gi, side="right") - 1
+            if left < 0:
+                assert got[g] is None, (freq, g)
+                continue
+            if ts[left] == gi:
+                want = vals[left]
+            elif left == len(ts) - 1:
+                want = vals[left]  # tail carry
+            else:
+                t0, t1 = ts[left], ts[left + 1]
+                want = vals[left] + (vals[left + 1] - vals[left]) * (
+                    (gi - t0) / (t1 - t0)
+                )
+            assert got[g] == pytest.approx(want, rel=1e-12), (freq, g)
