@@ -124,3 +124,47 @@ def test_webhdfs_banded_index_parity(spark, webhdfs, tmp_path):
     remote = build(webhdfs.url + "/ix")
     local = build(str(tmp_path / "ix"))
     assert remote == local and remote
+
+
+def test_webhdfs_vector_and_inverted_index_parity(spark, webhdfs, tmp_path):
+    """The other two persisted indexes also run UNCHANGED over
+    webhdfs://: the cell vector index's ANN results and the inverted
+    index's BM25 rankings are bit-equal to local-disk builds — the whole
+    trio's commit/probe protocols are scheme-agnostic."""
+    import random
+
+    from qafs_spark.pipeline.text_index import InvertedIndex
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(67)
+    emb = spark.createDataFrame(
+        [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(25)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(900, [rng.gauss(0, 1) for _ in range(4)])], ["vec_id", "embedding"]
+    )
+
+    def build_vx(root):
+        vx = CellVectorIndex(spark, root, nlist=2)
+        assert vx.apply_batch(emb, 0, threshold=0.95)
+        return {
+            (r["query_id"], r["neighbor_id"], round(r["cosine"], 9))
+            for r in vx.search(queries, k=5, nprobe=2).collect()
+        }
+
+    assert build_vx(webhdfs.url + "/vx") == build_vx(str(tmp_path / "vx"))
+
+    vocab = [f"w{i}" for i in range(25)] + ["spark", "join"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(10))) for i in range(30)],
+        ["doc_id", "text"],
+    )
+
+    def build_ix(root):
+        ix = InvertedIndex(spark, root, num_partitions=8)
+        assert ix.apply_batch(docs, 0)
+        return [tuple(r) for r in ix.search(["spark", "join"], k=10).collect()]
+
+    remote = build_ix(webhdfs.url + "/ix")
+    assert remote == build_ix(str(tmp_path / "ix")) and remote
