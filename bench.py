@@ -61,6 +61,57 @@ HEADLINE = [
 ]
 
 
+def run_maint(spark, sf_dir: str, sf) -> int:
+    """Maintenance-path bench (`--maint`): build each persisted index
+    once from the fixture, then time the lifecycle rewrites — tombstone
+    + pairs scrub, parameter rebuilds, quantizer retrain with nlist
+    growth. A THIRD separately-totaled set (metric `maint-ops-total`)
+    so the headline/heavy sets stay untouched for ABA comparability
+    (same flag-stability rule BENCH_NOTES mandates for --heavy)."""
+    import shutil
+    import tempfile
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+    from qafs_spark.pipeline.text_index import InvertedIndex
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = tempfile.mkdtemp(prefix="bench_maint_")
+    timings = {}
+
+    def t(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    try:
+        bx = BandedMinHashIndex(spark, f"{root}/bx")
+        t("banded_build", lambda: bx.apply_batch(docs, 0, threshold=0.5))
+        victims = [r[0] for r in docs.select("doc_id").limit(50).collect()]
+        t("banded_delete_scrub",
+          lambda: (bx.delete_ids(victims), bx.scrub_pairs(victims)))
+        t("banded_rebuild",
+          lambda: bx.rebuild(num_hashes=64, num_bands=16))
+        vx = CellVectorIndex(spark, f"{root}/vx", nlist=16)
+        t("vector_build", lambda: vx.apply_batch(emb, 0, threshold=0.85))
+        t("vector_retrain_grow", lambda: vx.retrain(nlist=32))
+        ix = InvertedIndex(spark, f"{root}/ix", num_partitions=64)
+        t("inverted_build", lambda: ix.apply_batch(docs, 0))
+        t("inverted_rebuild", lambda: ix.rebuild(num_partitions=32))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({
+        "metric": "maint-ops-total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
 def main() -> int:
     # --sf-dir overrides $SPARK_GRAFT_SF_DIR: the scale-regime loop
     # (BENCH_NOTES "Scale-regime" sections) points this at a synthetic sf1
@@ -119,6 +170,8 @@ def main() -> int:
     finally:
         shutil.rmtree(warm_dir, ignore_errors=True)
 
+    if "--maint" in args:
+        return run_maint(spark, sf_dir, sf)
     heavy = "--heavy" in args
     names = HEAVY if heavy else HEADLINE
     timings = {}
