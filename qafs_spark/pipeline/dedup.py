@@ -795,9 +795,19 @@ def cluster_pairs_star(
     chains (e.g. transitive near-dup spans across a crawl) — the
     long-chain case where fixed-k silently splits and converge-mode
     needs one round per hop.
+
+    Ids appearing ONLY in self-pairs (``id_a == id_b``) are isolated
+    nodes: they carry no edges through the star rounds, so the output is
+    seeded with every distinct input endpoint — such ids label
+    themselves, exactly as ``cluster_pairs`` emits (id, id) for them.
     """
     spark = pairs.sparkSession
     materialize, release = _round_materializer(spark, checkpoint_dir)
+    all_ids = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
 
     def canon(e: DataFrame) -> DataFrame:
         return (
@@ -859,12 +869,20 @@ def cluster_pairs_star(
         cur, cur_rnd = nxt, rnd
         if sig == prev_sig:
             # fixed point: edges are (child, root) stars; emit the roots'
-            # own labels too
-            return cur.select(
-                F.col("u").alias("id"), F.col("v").alias("cluster")
-            ).unionByName(
-                cur.select(F.col("v").alias("id"), F.col("v").alias("cluster"))
-            ).distinct()
+            # own labels too, and seed every input endpoint (isolated
+            # self-pair-only ids label themselves; for star nodes the
+            # root is the component min, so min() leaves them unchanged)
+            return (
+                cur.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+                .unionByName(
+                    cur.select(
+                        F.col("v").alias("id"), F.col("v").alias("cluster")
+                    )
+                )
+                .unionByName(all_ids.withColumn("cluster", F.col("id")))
+                .groupBy("id")
+                .agg(F.min("cluster").alias("cluster"))
+            )
         prev_sig = sig
     raise ValueError(
         f"cluster_pairs_star did not stabilize in {max_rounds} rounds — "

@@ -4178,6 +4178,33 @@ def test_cluster_pairs_star_matches_converge(spark, tmp_path):
     assert labels == {(i, 0) for i in range(200)}
 
 
+def test_cluster_pairs_star_self_pairs(spark):
+    """An id appearing ONLY in a self-pair (id_a == id_b) is an isolated
+    node: both operators must emit (id, id) for it — cluster_pairs seeds
+    labels from all distinct endpoints, and cluster_pairs_star seeds its
+    output the same way (self-loops carry no edges through the star
+    rounds)."""
+    from qafs_spark.pipeline import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(7, 7), (1, 2), (2, 3), (9, 9)], ["id_a", "id_b"]
+    )
+    want = {
+        (r["id"], r["cluster"])
+        for r in dd.cluster_pairs(pairs, converge=True).collect()
+    }
+    got = {
+        (r["id"], r["cluster"])
+        for r in dd.cluster_pairs_star(pairs).collect()
+    }
+    assert got == want == {(7, 7), (9, 9), (1, 1), (2, 1), (3, 1)}
+    # all-self-pair input: every id labels itself
+    only_self = spark.createDataFrame([(4, 4), (5, 5)], ["id_a", "id_b"])
+    assert {
+        tuple(r) for r in dd.cluster_pairs_star(only_self).collect()
+    } == {(4, 4), (5, 5)}
+
+
 def test_leakage_free_split_accepts_label_table(spark):
     """A materialized (id, cluster) label table — e.g. star-contraction
     labels persisted by an earlier stage — can feed the split directly,
