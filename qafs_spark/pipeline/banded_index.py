@@ -26,9 +26,11 @@ batch written with ``mode("overwrite")`` into its own
 foreachBatch replay**: a replayed micro-batch overwrites its own
 directories with identical content (probe reads exclude the in-flight
 batch_id, so a partially-written previous attempt cannot perturb the pair
-set), and a completed batch is skipped outright via the ``_SUCCESS``
-marker of its last-written dataset. No scrubs, no MERGE-capable table
-format needed.
+set), and a completed batch is skipped outright via the ``applied_log``
+commit manifest (:mod:`manifest` — appended after the last dataset
+write, folded by compaction, so applied-set reads cost O(1) metadata ops
+instead of one ``_SUCCESS`` probe per uncompacted batch). No scrubs, no
+MERGE-capable table format needed.
 
 Pair-set parity: for the same (n, num_hashes, num_bands, seed, threshold,
 max_band_size) this path is bit-equal to
@@ -53,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import storage as fs_storage
+from . import manifest
 from .dedup import DEFAULT_MAX_BAND_SIZE, lsh_band_keys
 from .incremental import minhash_index
 
@@ -102,6 +105,7 @@ class BandedMinHashIndex:
         self.watermark_path = j(root, "compacted_through")
         self.deletes_path = j(root, "deletes")
         self.rebuild_marker_path = j(root, "rebuild_commit")
+        self.applied_log_path = j(root, "applied_log")
         self._persisted: list[DataFrame] = []
         # per-instance metadata caches: the compaction watermark, the
         # tombstone set, and the meta-row validation are all tiny but
@@ -112,12 +116,46 @@ class BandedMinHashIndex:
         self._ct_cache: Optional[int] = None
         self._tomb_cache = "unset"
         self._meta_checked = False
+        # (applied-ids set above the watermark, log-exists flag) — one
+        # cached commit-log read replaces the per-batch _SUCCESS probes
+        self._applied_cache: Optional[tuple] = None
 
     def _invalidate_meta_caches(self) -> None:
         if isinstance(self._tomb_cache, DataFrame):
             self._tomb_cache.unpersist()
         self._tomb_cache = "unset"
         self._ct_cache = None
+        self._applied_cache = None
+
+    # -- applied-batch commit log ------------------------------------------
+
+    def _applied_set(self) -> set:
+        """Batch ids above the compaction watermark that durably
+        committed. One cached read of the ``applied_log`` manifest
+        (O(1) metadata ops per probe, independent of uncompacted-batch
+        count); a legacy index without a log falls back to one _SUCCESS
+        directory scan of the last-written dataset (band_counts)."""
+        if self._applied_cache is not None:
+            return self._applied_cache[0]
+        through = self._compacted_through()
+        logged = manifest.read_log(self.spark, self.applied_log_path)
+        if logged is None:
+            s = manifest.legacy_scan(self.spark, self.counts_path, through)
+            self._applied_cache = (s, False)
+        else:
+            s = {b for b in logged if b > through}
+            self._applied_cache = (s, True)
+        return s
+
+    def _log_applied(self, batch_id: int) -> None:
+        """Record a completed commit in the manifest (backfilling a
+        legacy index's applied set on the first logged batch)."""
+        s = self._applied_set()
+        new = {int(batch_id)}
+        if not self._applied_cache[1]:
+            new |= s
+        manifest.append(self.spark, self.applied_log_path, new)
+        self._applied_cache = (s | {int(batch_id)}, True)
 
     # -- config pinning ----------------------------------------------------
 
@@ -176,8 +214,10 @@ class BandedMinHashIndex:
         cols: list,
     ) -> DataFrame:
         """Read a partitioned dataset restricted to the given prefix set
-        (partition pruning — only matching directories are listed/read)
-        and excluding the in-flight batch's own directory."""
+        (partition pruning — only matching directories are listed/read),
+        excluding the in-flight batch's own directory and any batch that
+        never durably committed (a crashed, never-replayed apply_batch
+        must not perturb probe pair sets)."""
         if not fs_storage.path_exists(self.spark, path) or not pfxs:
             return empty_like.select(*cols).limit(0)
         try:
@@ -190,7 +230,7 @@ class BandedMinHashIndex:
         df = df.filter(F.col(pfx_col).isin([str(p) for p in pfxs]))
         if exclude_batch_id is not None:
             df = df.filter(F.col("batch_id") != str(exclude_batch_id))
-        return df.select(*cols)
+        return df.filter(self._applied_cond()).select(*cols)
 
     # -- merge-on-read deletes ---------------------------------------------
 
@@ -414,17 +454,40 @@ class BandedMinHashIndex:
         return self._ct_cache
 
     def batch_applied(self, batch_id: int) -> bool:
-        """A batch is durably applied iff its LAST-written dataset
-        (band_counts) committed — the _SUCCESS marker doubles as the
-        exactly-once watermark — or it was folded into a compaction."""
+        """A batch is durably applied iff it is at or below the
+        compaction watermark or recorded in the ``applied_log`` manifest
+        (appended after the last dataset write, so an entry witnesses a
+        complete commit). A crash between the final write and the log
+        append reads as not-applied: the replay re-commits byte-identical
+        directories and then logs — exactly-once output is preserved."""
         if int(batch_id) <= self._compacted_through():
             return True
-        return fs_storage.path_exists(
-            self.spark,
-            fs_storage.join(
-                self.counts_path, f"batch_id={int(batch_id)}", "_SUCCESS"
-            ),
-        )
+        return int(batch_id) in self._applied_set()
+
+    def _fold_targets(self) -> list:
+        """Applied batch ids eligible for folding — the compaction/
+        rebuild source set. Raises if an UNAPPLIED batch directory sits
+        below the fold target: folding would advance the watermark over
+        it and its replay would then be skipped as already-applied
+        (impossible under in-order streaming, where the only crashed
+        batch is the latest; a manual out-of-order apply_batch must be
+        replayed or its directories deleted first)."""
+        dirs = []
+        for d in fs_storage.list_dirs(self.spark, self.counts_path):
+            if d.startswith("batch_id="):
+                dirs.append(int(d.split("=", 1)[1]))
+        through = self._compacted_through()
+        marked = self._applied_set()
+        applied = [b for b in dirs if b <= through or b in marked]
+        unapplied = sorted(set(dirs) - set(applied))
+        if applied and unapplied and min(unapplied) < max(applied):
+            raise ValueError(
+                f"batch dirs {unapplied} at {self.root} never durably "
+                f"committed but sit below the fold target {max(applied)}"
+                " — replay them (or delete their directories) before "
+                "compact/rebuild"
+            )
+        return applied
 
     def apply_batch(
         self,
@@ -439,11 +502,11 @@ class BandedMinHashIndex:
         """Dedup ``batch`` against index + itself and commit its outputs,
         exactly once. Returns False (no-op) for an already-applied batch.
 
-        Write order: pairs, docs, bands, band_counts — band_counts last, so
-        its _SUCCESS marker implies every other dataset committed. All
-        writes overwrite the batch's own ``batch_id=N`` directory, and all
-        probe reads exclude it, so a replay after any partial failure
-        reproduces identical output.
+        Write order: pairs, docs, bands, band_counts, then one applied-log
+        append — the log entry is the applied marker, so it implies every
+        dataset committed. All writes overwrite the batch's own
+        ``batch_id=N`` directory, and all probe reads exclude it, so a
+        replay after any partial failure reproduces identical output.
         """
         self._recover_compaction()
         if self.batch_applied(batch_id):
@@ -482,6 +545,7 @@ class BandedMinHashIndex:
                 .mode("overwrite")
                 .parquet(j(self.counts_path, bdir))
             )
+            self._log_applied(int(batch_id))
         finally:
             self.unpersist_intermediates()
         return True
@@ -546,6 +610,10 @@ class BandedMinHashIndex:
         fs_storage.delete_path(self.spark, self.rebuild_marker_path)
         self._invalidate_meta_caches()
         self._meta_checked = False
+        manifest.reset(
+            self.spark, self.applied_log_path, self._compacted_through()
+        )
+        self._applied_cache = (set(), True)
 
     def rebuild(
         self,
@@ -590,11 +658,7 @@ class BandedMinHashIndex:
         )
         if new_cfg["num_hashes"] % new_cfg["num_bands"] != 0:
             raise ValueError("num_bands must divide num_hashes")
-        applied = []
-        for d in fs_storage.list_dirs(self.spark, self.counts_path):
-            name = d.rstrip("/").rsplit("/", 1)[-1]
-            if name.startswith("batch_id="):
-                applied.append(int(name.split("=", 1)[1]))
+        applied = self._fold_targets()
         if not applied:
             raise ValueError(f"no index at {self.root}")
         target = max(applied)
@@ -604,7 +668,12 @@ class BandedMinHashIndex:
         self.num_partitions = new_cfg["num_partitions"]
 
         live = self._minus_deleted(
-            self.spark.read.parquet(self.docs_path).select("id", "sh")
+            self.spark.read.parquet(self.docs_path)
+            # a crashed, never-committed batch's partial docs must not be
+            # folded under the rebuilt batch_id=target (its stream replay
+            # would then ingest the rows a second time)
+            .filter(self._applied_cond())
+            .select("id", "sh")
         )
         rows = live.select(
             "id",
@@ -682,11 +751,7 @@ class BandedMinHashIndex:
         it is the per-batch OUTPUT record, not probe state.
         """
         self._recover_compaction()
-        applied = []
-        for d in fs_storage.list_dirs(self.spark, self.counts_path):
-            name = d.rstrip("/").rsplit("/", 1)[-1]
-            if name.startswith("batch_id="):
-                applied.append(int(name.split("=", 1)[1]))
+        applied = self._fold_targets()
         has_tombstones = self._tombstones() is not None
         if len(applied) <= 1 and not has_tombstones:
             return 0
@@ -714,16 +779,19 @@ class BandedMinHashIndex:
             fs_storage.rename_path(self.spark, staging, path)
             fs_storage.delete_path(self.spark, old)
 
+        # applied-only: a crashed, never-committed batch's partial rows
+        # must not be folded under batch_id=target (the swap drops its
+        # directories; its stream replay re-commits it cleanly)
         docs = self._minus_deleted(
-            self.spark.read.parquet(self.docs_path).select(
-                "id", "sig", "sh", "id_pfx"
-            )
+            self.spark.read.parquet(self.docs_path)
+            .filter(self._applied_cond())
+            .select("id", "sig", "sh", "id_pfx")
         )
         swap(self.docs_path, docs, ["id_pfx"])
         bands = self._minus_deleted(
-            self.spark.read.parquet(self.bands_path).select(
-                "id", "band", "band_pfx"
-            )
+            self.spark.read.parquet(self.bands_path)
+            .filter(self._applied_cond())
+            .select("id", "band", "band_pfx")
         )
         swap(self.bands_path, bands, ["band_pfx"])
         # counts RECOMPUTED from the surviving band rows (not summed from
@@ -738,8 +806,10 @@ class BandedMinHashIndex:
         # any crash window correct (rows gone + tombstones present is a
         # harmless no-op anti-join)
         fs_storage.delete_path(self.spark, self.deletes_path)
+        manifest.reset(self.spark, self.applied_log_path, int(target))
         self._invalidate_meta_caches()
         self._ct_cache = int(target)
+        self._applied_cache = (set(), True)
         return len(applied) - 1
 
     # -- readers -----------------------------------------------------------
@@ -748,19 +818,10 @@ class BandedMinHashIndex:
         """Predicate selecting rows of durably-applied batches: batch_id
         at or below the compaction watermark (those dirs may have been
         folded, e.g. the pairs log keeps per-batch dirs compaction never
-        rewrites), or carrying band_counts' _SUCCESS (the last-written
-        dataset — its marker IS the applied marker)."""
+        rewrites), or recorded in the applied-log manifest. Costs zero
+        FS ops on a warm instance (both inputs are cached)."""
         through = self._compacted_through()
-        marked = []
-        for d in fs_storage.list_dirs(self.spark, self.counts_path):
-            if not d.startswith("batch_id="):
-                continue
-            bid = int(d.split("=", 1)[1])
-            if bid > through and fs_storage.path_exists(
-                self.spark,
-                fs_storage.join(self.counts_path, d, "_SUCCESS"),
-            ):
-                marked.append(str(bid))
+        marked = [str(b) for b in self._applied_set()]
         return (F.col("batch_id").cast("long") <= F.lit(through)) | (
             F.col("batch_id").isin(marked)
         )

@@ -1,0 +1,99 @@
+"""Applied-batch manifest: O(1) metadata reads for the persisted indexes.
+
+The three persisted indexes (:mod:`banded_index`, :mod:`vector_index`,
+:mod:`text_index`) commit each micro-batch into its own ``batch_id=N``
+partition directories and need to answer, on every probe/pairs read,
+"which batches durably committed?". The original answer — list the
+marker dataset's batch directories and probe one ``_SUCCESS`` file per
+uncompacted batch — costs O(uncompacted batches) driver-side FS
+round-trips per read; at 10⁴+ micro-batches between compactions, on an
+object store, that metadata term dominates the read itself.
+
+This module replaces it with a commit log, the idiom table formats use
+(Delta's ``_delta_log``, Iceberg's snapshot manifests), kept deliberately
+tiny:
+
+- ``applied_log/`` — a parquet dataset of ``(batch_id)`` rows. One row is
+  appended after a batch's LAST dataset write (so a log entry witnesses a
+  complete commit — the log IS the applied marker); the append is
+  crash-safe because Spark's committer stages part files under
+  ``_temporary`` and a torn append is simply invisible.
+- Readers take the applied set as: every id at or below the compaction
+  watermark, plus the log's entries. One parquet read, cached per
+  instance (the indexes are single-writer, and the writing instance
+  updates its own cache in place), so a long-lived reader issues ZERO
+  FS metadata ops per probe after the first.
+- ``compact()``/``rebuild()``/``retrain()`` rewrite the log to a single
+  sentinel row at the fold target — the log never accumulates past a
+  compaction, and a crash inside the rewrite degrades to the legacy
+  ``_SUCCESS`` scan (see below), never to wrong answers.
+
+Legacy indexes written before the log existed fall back to exactly one
+directory-listing + ``_SUCCESS`` scan (the old protocol), and the first
+``apply_batch`` on such an index backfills the log from that scan, so
+the fallback runs at most once per index lifetime.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Set
+
+from pyspark.sql import SparkSession
+
+from .. import storage as fs_storage
+
+
+def read_log(spark: SparkSession, log_path: str) -> Optional[Set[int]]:
+    """The log's batch-id set, or None when the log does not exist yet
+    (caller falls back to the legacy _SUCCESS scan)."""
+    if not fs_storage.path_exists(spark, log_path):
+        return None
+    try:
+        return {
+            int(r["batch_id"])
+            for r in spark.read.parquet(log_path).collect()
+        }
+    except Exception:
+        # dir exists but holds no committed part files (crash inside the
+        # very first append): indistinguishable from "no log"
+        return None
+
+
+def legacy_scan(
+    spark: SparkSession, marker_path: str, through: int
+) -> Set[int]:
+    """The pre-manifest protocol, run at most once per index lifetime:
+    batch dirs of the LAST-written dataset carrying their own _SUCCESS."""
+    out: Set[int] = set()
+    for d in fs_storage.list_dirs(spark, marker_path):
+        if not d.startswith("batch_id="):
+            continue
+        bid = int(d.split("=", 1)[1])
+        if bid > through and fs_storage.path_exists(
+            spark, fs_storage.join(marker_path, d, "_SUCCESS")
+        ):
+            out.add(bid)
+    return out
+
+
+def append(
+    spark: SparkSession, log_path: str, batch_ids
+) -> None:
+    """Append entries (one tiny coalesced file); crash-safe — a torn
+    append leaves only _temporary staging, invisible to readers."""
+    rows = [(int(b),) for b in sorted(set(batch_ids))]
+    if not rows:
+        return
+    spark.createDataFrame(rows, "batch_id long").coalesce(1).write.mode(
+        "append"
+    ).parquet(log_path)
+
+
+def reset(spark: SparkSession, log_path: str, target: int) -> None:
+    """Fold the log after a compaction/rebuild: one sentinel row at the
+    fold target (already covered by the watermark — its only job is to
+    keep the log EXISTING so the legacy fallback never re-runs). A crash
+    mid-overwrite leaves the log missing, which degrades to the legacy
+    scan — correct, because the watermark advanced first."""
+    fs_storage.delete_path(spark, log_path)
+    append(spark, log_path, [int(target)])

@@ -21,10 +21,12 @@ same DuckDB oracle — asserted by the ``bm25_index_topk`` catalog row and
 a bit-equality pytest against the on-the-fly operator.
 
 Exactly-once ingestion, merge-on-read deletes, and compaction use the
-same recipes as the sibling indexes (per-batch overwrite directories;
-``doclens``'s _SUCCESS as the applied marker, written last; broadcast
-tombstone anti-joins; rename-aside compaction swap). Same
-checkpoint/index lifecycle caveat as :mod:`streaming.dedup_lsh`.
+same recipes as the sibling indexes (per-batch overwrite directories; an
+``applied_log`` manifest entry appended after the last dataset write as
+the applied marker — :mod:`manifest`, one cached read, O(1) metadata ops
+per search; broadcast tombstone anti-joins; rename-aside compaction
+swap). Same checkpoint/index lifecycle caveat as
+:mod:`streaming.dedup_lsh`.
 """
 
 from __future__ import annotations
@@ -36,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import storage as fs_storage
+from . import manifest
 from .text import tokens
 
 
@@ -58,18 +61,23 @@ class InvertedIndex:
         self.deletes_path = j(root, "deletes")
         self.watermark_path = j(root, "compacted_through")
         self.rebuild_marker_path = j(root, "rebuild_commit")
+        self.applied_log_path = j(root, "applied_log")
         # per-instance metadata caches (watermark, tombstones, meta
         # validation) — see banded_index for the rationale; invalidated
         # by delete_ids/compact
         self._ct_cache: Optional[int] = None
         self._tomb_cache = "unset"
         self._meta_checked = False
+        # (applied-ids set above the watermark, log-exists flag) — one
+        # cached commit-log read replaces the per-batch _SUCCESS probes
+        self._applied_cache: Optional[tuple] = None
 
     def _invalidate_meta_caches(self) -> None:
         if isinstance(self._tomb_cache, DataFrame):
             self._tomb_cache.unpersist()
         self._tomb_cache = "unset"
         self._ct_cache = None
+        self._applied_cache = None
 
     def _pfx(self, col):
         return F.pmod(F.xxhash64(col), F.lit(self.num_partitions))
@@ -144,34 +152,74 @@ class InvertedIndex:
         return self._ct_cache
 
     def batch_applied(self, batch_id: int) -> bool:
+        """Applied iff at/below the compaction watermark or recorded in
+        the applied-log manifest (appended after the last dataset write;
+        a crash before the append reads as not-applied and the replay
+        re-commits byte-identical directories)."""
         if int(batch_id) <= self._compacted_through():
             return True
-        return fs_storage.path_exists(
-            self.spark,
-            fs_storage.join(
-                self.doclens_path, f"batch_id={int(batch_id)}", "_SUCCESS"
-            ),
+        return int(batch_id) in self._applied_set()
+
+    def _applied_set(self) -> set:
+        """Batch ids above the compaction watermark whose ingestion
+        durably committed. One cached read of the ``applied_log``
+        manifest (O(1) metadata ops per search, independent of
+        uncompacted-batch count); a legacy index without a log falls
+        back to one _SUCCESS directory scan of the last-written dataset
+        (doclens). Search reads filter through this so a concurrent or
+        crashed apply_batch — whose postings land BEFORE its doclens —
+        can never skew n_docs/avgdl or surface partial postings."""
+        if self._applied_cache is not None:
+            return self._applied_cache[0]
+        through = self._compacted_through()
+        logged = manifest.read_log(self.spark, self.applied_log_path)
+        if logged is None:
+            s = manifest.legacy_scan(self.spark, self.doclens_path, through)
+            self._applied_cache = (s, False)
+        else:
+            s = {b for b in logged if b > through}
+            self._applied_cache = (s, True)
+        return s
+
+    def _log_applied(self, batch_id: int) -> None:
+        """Record a completed commit in the manifest (backfilling a
+        legacy index's applied set on the first logged batch)."""
+        s = self._applied_set()
+        new = {int(batch_id)}
+        if not self._applied_cache[1]:
+            new |= s
+        manifest.append(self.spark, self.applied_log_path, new)
+        self._applied_cache = (s | {int(batch_id)}, True)
+
+    def _applied_cond(self):
+        """Predicate selecting rows of durably-applied batches; zero FS
+        ops on a warm instance (watermark + applied set are cached)."""
+        through = self._compacted_through()
+        marked = [str(b) for b in self._applied_set()]
+        return (F.col("batch_id").cast("long") <= F.lit(through)) | (
+            F.col("batch_id").isin(marked)
         )
 
-    def _applied_batch_ids(self) -> List[str]:
-        """Batch ids (as the strings partition dirs read back as) whose
-        ingestion durably committed: folded into a compaction, or carrying
-        the last-written dataset's (doclens) _SUCCESS marker. Search reads
-        filter to this set so a concurrent or crashed apply_batch — whose
-        postings land BEFORE its doclens — can never skew n_docs/avgdl or
-        surface partial postings."""
-        through = self._compacted_through()
-        out = []
+    def _fold_targets(self) -> list:
+        """Applied batch ids eligible for folding (compaction/rebuild
+        source set); raises on an unapplied batch dir below the fold
+        target — see BandedMinHashIndex._fold_targets."""
+        dirs = []
         for d in fs_storage.list_dirs(self.spark, self.doclens_path):
-            if not d.startswith("batch_id="):
-                continue
-            bid = int(d.split("=", 1)[1])
-            if bid <= through or fs_storage.path_exists(
-                self.spark,
-                fs_storage.join(self.doclens_path, d, "_SUCCESS"),
-            ):
-                out.append(str(bid))
-        return sorted(out)
+            if d.startswith("batch_id="):
+                dirs.append(int(d.split("=", 1)[1]))
+        through = self._compacted_through()
+        marked = self._applied_set()
+        applied = [b for b in dirs if b <= through or b in marked]
+        unapplied = sorted(set(dirs) - set(applied))
+        if applied and unapplied and min(unapplied) < max(applied):
+            raise ValueError(
+                f"batch dirs {unapplied} at {self.root} never durably "
+                f"committed but sit below the fold target {max(applied)}"
+                " — replay them (or delete their directories) before "
+                "compact/rebuild"
+            )
+        return applied
 
     def apply_batch(
         self,
@@ -181,9 +229,10 @@ class InvertedIndex:
         id_col: str = "doc_id",
     ) -> bool:
         """Tokenize the batch ONCE and commit its postings + doc lengths,
-        exactly once (doclens last — its _SUCCESS is the applied marker).
-        Ids must be disjoint from stored ids. Zero-token documents
-        contribute no rows (same contract as bm25_topk's token stream)."""
+        exactly once (doclens, then the applied-log append that marks the
+        batch committed). Ids must be disjoint from stored ids.
+        Zero-token documents contribute no rows (same contract as
+        bm25_topk's token stream)."""
         self._recover_compaction()
         if self.batch_applied(batch_id):
             return False
@@ -214,6 +263,7 @@ class InvertedIndex:
             )
             dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
             dl.write.mode("overwrite").parquet(j(self.doclens_path, bdir))
+            self._log_applied(int(batch_id))
         finally:
             tf.unpersist()
         return True
@@ -244,10 +294,10 @@ class InvertedIndex:
             and fs_storage.path_exists(self.spark, self.doclens_path)
         ):
             raise ValueError(f"no index at {self.root}")
-        applied = self._applied_batch_ids()
+        applied_cond = self._applied_cond()
         dl = self._minus_deleted(
             self.spark.read.parquet(self.doclens_path)
-            .filter(F.col("batch_id").isin(applied))
+            .filter(applied_cond)
             .select("id", "dl")
         )
         terms = sorted(set(query_terms))
@@ -268,7 +318,7 @@ class InvertedIndex:
         }
         post = (
             self.spark.read.parquet(self.postings_path)
-            .filter(F.col("batch_id").isin(applied))
+            .filter(applied_cond)
             .filter(F.col("term_pfx").isin([str(p) for p in sorted(pfxs)]))
         )
         tf = self._minus_deleted(
@@ -354,6 +404,10 @@ class InvertedIndex:
         fs_storage.delete_path(self.spark, self.rebuild_marker_path)
         self._invalidate_meta_caches()
         self._meta_checked = False
+        manifest.reset(
+            self.spark, self.applied_log_path, self._compacted_through()
+        )
+        self._applied_cache = (set(), True)
 
     def rebuild(self, num_partitions: int) -> int:
         """Re-partition the index under a NEW term-prefix modulus — the
@@ -365,19 +419,21 @@ class InvertedIndex:
         quiesced**; instances must use the new modulus afterwards.
         Returns the number of live documents re-indexed."""
         self._recover_compaction()
-        applied = []
-        for d in fs_storage.list_dirs(self.spark, self.doclens_path):
-            if d.startswith("batch_id="):
-                applied.append(int(d.split("=", 1)[1]))
+        applied = self._fold_targets()
         if not applied:
             raise ValueError(f"no index at {self.root}")
         target = max(applied)
+        # applied-cond captured BEFORE num_partitions mutates (it only
+        # depends on the watermark/applied caches, but capture early for
+        # clarity); a crashed batch's partial postings must not be folded
+        # under batch_id=target — its stream replay re-ingests it cleanly
+        applied_cond = self._applied_cond()
         self.num_partitions = int(num_partitions)
         bid = F.lit(str(target))
         post = self._minus_deleted(
-            self.spark.read.parquet(self.postings_path).select(
-                "id", "term", "tf"
-            )
+            self.spark.read.parquet(self.postings_path)
+            .filter(applied_cond)
+            .select("id", "term", "tf")
         )
         (
             post.withColumn("term_pfx", self._pfx(F.col("term")))
@@ -389,7 +445,9 @@ class InvertedIndex:
             .parquet(self.postings_path.rstrip("/") + ".__rebuild__")
         )
         dl = self._minus_deleted(
-            self.spark.read.parquet(self.doclens_path).select("id", "dl")
+            self.spark.read.parquet(self.doclens_path)
+            .filter(applied_cond)
+            .select("id", "dl")
         )
         n_live = dl.count()
         (
@@ -417,14 +475,12 @@ class InvertedIndex:
         documents physically (rename-aside swap, crash-recoverable; run
         quiesced — same protocol as the sibling indexes)."""
         self._recover_compaction()
-        applied = []
-        for d in fs_storage.list_dirs(self.spark, self.doclens_path):
-            if d.startswith("batch_id="):
-                applied.append(int(d.split("=", 1)[1]))
+        applied = self._fold_targets()
         has_tombstones = fs_storage.path_exists(self.spark, self.deletes_path)
         if not applied or (len(applied) <= 1 and not has_tombstones):
             return 0
         target = max(applied)
+        applied_cond = self._applied_cond()
         self.spark.createDataFrame(
             [(int(target),)], "through long"
         ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
@@ -451,20 +507,24 @@ class InvertedIndex:
         swap(
             self.postings_path,
             self._minus_deleted(
-                self.spark.read.parquet(self.postings_path).select(
-                    "id", "term", "tf", "term_pfx"
-                )
+                self.spark.read.parquet(self.postings_path)
+                .filter(applied_cond)
+                .select("id", "term", "tf", "term_pfx")
             ),
             ["term_pfx"],
         )
         swap(
             self.doclens_path,
             self._minus_deleted(
-                self.spark.read.parquet(self.doclens_path).select("id", "dl")
+                self.spark.read.parquet(self.doclens_path)
+                .filter(applied_cond)
+                .select("id", "dl")
             ),
             [],
         )
         fs_storage.delete_path(self.spark, self.deletes_path)
+        manifest.reset(self.spark, self.applied_log_path, int(target))
         self._invalidate_meta_caches()
         self._ct_cache = int(target)
+        self._applied_cache = (set(), True)
         return len(applied) - 1

@@ -17,10 +17,11 @@ vector once, under its IVF cell:
 
 Exactly-once: same recipe as :mod:`banded_index` — per-batch directories
 committed with overwrite semantics, probe reads exclude the in-flight
-batch, the last-written dataset's ``_SUCCESS`` is the applied marker, so
-foreachBatch replays are no-ops or byte-identical re-commits. The same
-checkpoint/index lifecycle caveat applies (see
-:mod:`streaming.dedup_lsh`).
+batch, and an ``applied_log`` manifest entry appended after the last
+dataset write is the applied marker (:mod:`manifest` — one cached read,
+O(1) metadata ops per search), so foreachBatch replays are no-ops or
+byte-identical re-commits. The same checkpoint/index lifecycle caveat
+applies (see :mod:`streaming.dedup_lsh`).
 
 Two dedup tiers, the package's standard pattern:
 
@@ -48,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import storage as fs_storage
+from . import manifest
 
 
 class CellVectorIndex:
@@ -72,6 +74,7 @@ class CellVectorIndex:
         self.deletes_path = j(root, "deletes")
         self.watermark_path = j(root, "compacted_through")
         self.retrain_marker_path = j(root, "retrain_commit")
+        self.applied_log_path = j(root, "applied_log")
         self._persisted: list = []
         # per-instance metadata caches (watermark, tombstones, quantizer,
         # meta validation): tiny fixed parquet reads otherwise repeated
@@ -81,12 +84,16 @@ class CellVectorIndex:
         self._tomb_cache = "unset"
         self._cents_cache: Optional[List[List[float]]] = None
         self._meta_checked = False
+        # (applied-ids set above the watermark, log-exists flag) — one
+        # cached commit-log read replaces the per-batch _SUCCESS probes
+        self._applied_cache: Optional[tuple] = None
 
     def _invalidate_meta_caches(self) -> None:
         if isinstance(self._tomb_cache, DataFrame):
             self._tomb_cache.unpersist()
         self._tomb_cache = "unset"
         self._ct_cache = None
+        self._applied_cache = None
 
     # -- quantizer ---------------------------------------------------------
 
@@ -161,31 +168,61 @@ class CellVectorIndex:
 
     # -- readers -----------------------------------------------------------
 
-    def _applied_batch_ids(self) -> List[str]:
-        """Batch ids (partition-dir strings) that durably committed:
-        folded into a compaction or carrying the vectors dataset's own
-        _SUCCESS marker (vectors are written last, so their marker IS the
-        applied marker). Search reads filter to this set so a concurrent
-        or crashed apply_batch can never surface partial vectors."""
+    def _applied_set(self) -> set:
+        """Batch ids above the compaction watermark that durably
+        committed. One cached read of the ``applied_log`` manifest
+        (O(1) metadata ops per search, independent of uncompacted-batch
+        count); a legacy index without a log falls back to one _SUCCESS
+        directory scan of the last-written dataset (vectors)."""
+        if self._applied_cache is not None:
+            return self._applied_cache[0]
         through = self._compacted_through()
-        out = []
+        logged = manifest.read_log(self.spark, self.applied_log_path)
+        if logged is None:
+            s = manifest.legacy_scan(self.spark, self.vectors_path, through)
+            self._applied_cache = (s, False)
+        else:
+            s = {b for b in logged if b > through}
+            self._applied_cache = (s, True)
+        return s
+
+    def _log_applied(self, batch_id: int) -> None:
+        """Record a completed commit in the manifest (backfilling a
+        legacy index's applied set on the first logged batch)."""
+        s = self._applied_set()
+        new = {int(batch_id)}
+        if not self._applied_cache[1]:
+            new |= s
+        manifest.append(self.spark, self.applied_log_path, new)
+        self._applied_cache = (s | {int(batch_id)}, True)
+
+    def _fold_targets(self) -> list:
+        """Applied batch ids eligible for folding (compaction/retrain
+        source set); raises on an unapplied batch dir below the fold
+        target — see BandedMinHashIndex._fold_targets."""
+        dirs = []
         for d in fs_storage.list_dirs(self.spark, self.vectors_path):
-            if not d.startswith("batch_id="):
-                continue
-            bid = int(d.split("=", 1)[1])
-            if bid <= through or fs_storage.path_exists(
-                self.spark,
-                fs_storage.join(self.vectors_path, d, "_SUCCESS"),
-            ):
-                out.append(str(bid))
-        return sorted(out)
+            if d.startswith("batch_id="):
+                dirs.append(int(d.split("=", 1)[1]))
+        through = self._compacted_through()
+        marked = self._applied_set()
+        applied = [b for b in dirs if b <= through or b in marked]
+        unapplied = sorted(set(dirs) - set(applied))
+        if applied and unapplied and min(unapplied) < max(applied):
+            raise ValueError(
+                f"batch dirs {unapplied} at {self.root} never durably "
+                f"committed but sit below the fold target {max(applied)}"
+                " — replay them (or delete their directories) before "
+                "compact/retrain"
+            )
+        return applied
 
     def _stored(
         self,
         cells: Optional[list],
         exclude_batch_id: Optional[int],
         empty_like: DataFrame,
-        applied_only: bool = False,
+        applied_only: bool = True,
     ) -> DataFrame:
         """(id, vec, cell) from the cell partitions in ``cells`` (None =
         all), excluding the in-flight batch. Partition dirs read back as
@@ -203,7 +240,7 @@ class CellVectorIndex:
         if exclude_batch_id is not None:
             df = df.filter(F.col("batch_id") != str(int(exclude_batch_id)))
         if applied_only:
-            df = df.filter(F.col("batch_id").isin(self._applied_batch_ids()))
+            df = df.filter(self._applied_cond())
         out = df.select(
             "id", "vec", "__n", F.col("cell").cast("int").alias("cell")
         )
@@ -299,6 +336,10 @@ class CellVectorIndex:
         self._invalidate_meta_caches()
         self._cents_cache = None
         self._meta_checked = False
+        manifest.reset(
+            self.spark, self.applied_log_path, self._compacted_through()
+        )
+        self._applied_cache = (set(), True)
 
     def retrain(self, nlist: Optional[int] = None) -> int:
         """Re-train the coarse quantizer on the LIVE stored vectors and
@@ -331,17 +372,17 @@ class CellVectorIndex:
         self._recover_compaction()
         if nlist is not None:
             self.nlist = int(nlist)
-        applied = []
-        for d in fs_storage.list_dirs(self.spark, self.vectors_path):
-            if d.startswith("batch_id="):
-                applied.append(int(d.split("=", 1)[1]))
+        applied = self._fold_targets()
         if not applied:
             raise ValueError(f"no index at {self.root}")
         target = max(applied)
         live = self._minus_deleted(
-            self.spark.read.parquet(self.vectors_path).select(
-                "id", "vec", "__n"
-            )
+            self.spark.read.parquet(self.vectors_path)
+            # a crashed, never-committed batch's partial vectors must not
+            # be folded under the retrained batch_id=target (its stream
+            # replay would then ingest them a second time)
+            .filter(self._applied_cond())
+            .select("id", "vec", "__n")
         ).persist()
         n_live = live.count()
         if n_live == 0:
@@ -401,14 +442,14 @@ class CellVectorIndex:
         index's compact). Returns the number of batch directories
         removed."""
         self._recover_compaction()
-        applied = []
-        for d in fs_storage.list_dirs(self.spark, self.vectors_path):
-            if d.startswith("batch_id="):
-                applied.append(int(d.split("=", 1)[1]))
+        applied = self._fold_targets()
         has_tombstones = fs_storage.path_exists(self.spark, self.deletes_path)
         if not applied or (len(applied) <= 1 and not has_tombstones):
             return 0
         target = max(applied)
+        # applied-cond captured BEFORE the watermark advances (the
+        # instance caches make this naturally so)
+        applied_cond = self._applied_cond()
         self.spark.createDataFrame(
             [(int(target),)], "through long"
         ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
@@ -416,9 +457,9 @@ class CellVectorIndex:
         old = self.vectors_path.rstrip("/") + ".__old__"
         fs_storage.delete_path(self.spark, staging)
         live = self._minus_deleted(
-            self.spark.read.parquet(self.vectors_path).select(
-                "id", "vec", "__n", "cell"
-            )
+            self.spark.read.parquet(self.vectors_path)
+            .filter(applied_cond)
+            .select("id", "vec", "__n", "cell")
         )
         (
             live.withColumn("batch_id", F.lit(str(target)))
@@ -432,26 +473,19 @@ class CellVectorIndex:
         fs_storage.rename_path(self.spark, staging, self.vectors_path)
         fs_storage.delete_path(self.spark, old)
         fs_storage.delete_path(self.spark, self.deletes_path)
+        manifest.reset(self.spark, self.applied_log_path, int(target))
         self._invalidate_meta_caches()
         self._ct_cache = int(target)
+        self._applied_cache = (set(), True)
         return len(applied) - 1
 
     def _applied_cond(self):
         """Predicate selecting rows of durably-applied batches — batch_id
         at or below the compaction watermark (the pairs log keeps
-        per-batch dirs compaction never rewrites) or carrying the vectors
-        dataset's _SUCCESS marker (vectors are written last)."""
+        per-batch dirs compaction never rewrites) or recorded in the
+        applied-log manifest. Zero FS ops on a warm instance."""
         through = self._compacted_through()
-        marked = []
-        for d in fs_storage.list_dirs(self.spark, self.vectors_path):
-            if not d.startswith("batch_id="):
-                continue
-            bid = int(d.split("=", 1)[1])
-            if bid > through and fs_storage.path_exists(
-                self.spark,
-                fs_storage.join(self.vectors_path, d, "_SUCCESS"),
-            ):
-                marked.append(str(bid))
+        marked = [str(b) for b in self._applied_set()]
         return (F.col("batch_id").cast("long") <= F.lit(through)) | (
             F.col("batch_id").isin(marked)
         )
@@ -612,14 +646,13 @@ class CellVectorIndex:
     # -- exactly-once batch application ------------------------------------
 
     def batch_applied(self, batch_id: int) -> bool:
+        """Applied iff at/below the compaction watermark or recorded in
+        the applied-log manifest (appended after the last dataset write;
+        a crash before the append reads as not-applied and the replay
+        re-commits byte-identical directories)."""
         if int(batch_id) <= self._compacted_through():
             return True
-        return fs_storage.path_exists(
-            self.spark,
-            fs_storage.join(
-                self.vectors_path, f"batch_id={int(batch_id)}", "_SUCCESS"
-            ),
-        )
+        return int(batch_id) in self._applied_set()
 
     def apply_batch(
         self,
@@ -632,9 +665,9 @@ class CellVectorIndex:
         nprobe: int = 1,
     ) -> bool:
         """Dedup ``batch`` against index + itself and commit, exactly
-        once. Pairs first, vectors last (its _SUCCESS is the applied
-        marker); all writes overwrite the batch's own directory and all
-        reads exclude it."""
+        once. Pairs first, vectors, then one applied-log append (the log
+        entry is the applied marker); all writes overwrite the batch's
+        own directory and all reads exclude it."""
         self._recover_compaction()
         if self.batch_applied(batch_id):
             return False
@@ -652,6 +685,7 @@ class CellVectorIndex:
                 .mode("overwrite")
                 .parquet(j(self.vectors_path, bdir))
             )
+            self._log_applied(int(batch_id))
         finally:
             self.unpersist_intermediates()
         return True

@@ -2834,13 +2834,38 @@ def test_banded_apply_batch_exactly_once(inc_corpus, tmp_path):
     assert not idx.apply_batch(b1, 1, **kw)
     assert sorted(map(tuple, idx.pairs().collect())) == pairs1
 
-    # replay of a PARTIALLY-committed batch: drop the applied marker
-    # (band_counts is written last, so its absence means "incomplete")
+    # replay of a PARTIALLY-committed batch: crash cut the commit short
+    # of the applied-log append (band_counts dir torn too). The process
+    # died, so the replay runs through a FRESH instance.
     shutil.rmtree(str(tmp_path / "ix" / "band_counts" / "batch_id=1"))
-    assert not idx.batch_applied(1)
-    assert idx.apply_batch(b1, 1, **kw)
-    assert sorted(map(tuple, idx.pairs().collect())) == pairs1
-    assert sorted(r["id"] for r in idx.doc_rows().collect()) == docs1
+    shutil.rmtree(str(tmp_path / "ix" / "applied_log"))
+    idx2 = BandedMinHashIndex(
+        inc_corpus.sparkSession, str(tmp_path / "ix"),
+        n=3, num_hashes=32, num_bands=16, num_partitions=8,
+    )
+    assert not idx2.batch_applied(1)
+    assert idx2.apply_batch(b1, 1, **kw)
+    assert sorted(map(tuple, idx2.pairs().collect())) == pairs1
+    assert sorted(r["id"] for r in idx2.doc_rows().collect()) == docs1
+
+    # legacy-index migration: an index written before the applied_log
+    # existed (log dir absent, per-batch _SUCCESS present) reads fully
+    # applied via the one-shot fallback scan, and the next apply_batch
+    # backfills the log.
+    shutil.rmtree(str(tmp_path / "ix" / "applied_log"))
+    idx3 = BandedMinHashIndex(
+        inc_corpus.sparkSession, str(tmp_path / "ix"),
+        n=3, num_hashes=32, num_bands=16, num_partitions=8,
+    )
+    assert idx3.batch_applied(0) and idx3.batch_applied(1)
+    assert sorted(map(tuple, idx3.pairs().collect())) == pairs1
+    b2 = b1.withColumn("doc_id", F.col("doc_id") + 10_000)
+    assert idx3.apply_batch(b2, 2, **kw)
+    idx4 = BandedMinHashIndex(
+        inc_corpus.sparkSession, str(tmp_path / "ix"),
+        n=3, num_hashes=32, num_bands=16, num_partitions=8,
+    )
+    assert idx4.batch_applied(0) and idx4.batch_applied(2)  # backfilled
 
 
 def test_banded_index_refuses_config_drift(spark, tmp_path):
@@ -3221,9 +3246,13 @@ def test_vector_index_exactly_once_and_frozen_quantizer(vec_corpus, tmp_path):
     pairs1 = sorted(map(tuple, idx.pairs().collect()))
     assert pairs1
     assert not idx.apply_batch(b1, 1, threshold=0.5)  # completed -> no-op
+    # crash window: vectors write died AND the applied-log append never
+    # ran; the process died with it, so the replay is a fresh instance
     shutil.rmtree(str(tmp_path / "vx" / "vectors" / "batch_id=1"))
-    assert idx.apply_batch(b1, 1, threshold=0.5)      # partial -> re-commit
-    assert sorted(map(tuple, idx.pairs().collect())) == pairs1
+    shutil.rmtree(str(tmp_path / "vx" / "applied_log"))
+    idx2 = CellVectorIndex(spark, root, nlist=4)
+    assert idx2.apply_batch(b1, 1, threshold=0.5)     # partial -> re-commit
+    assert sorted(map(tuple, idx2.pairs().collect())) == pairs1
     with pytest.raises(ValueError, match="immutable"):
         CellVectorIndex(spark, root, nlist=8).apply_batch(b1, 2, threshold=0.5)
 
@@ -3714,14 +3743,15 @@ def test_cluster_representative_selection_by_quality(spark):
 
 def test_index_search_excludes_unapplied_batches(spark, tmp_path):
     """A crashed or in-flight apply_batch must be INVISIBLE to search.
-    Text-index postings commit BEFORE doclens and the vector index's
-    vectors commit last, so a batch directory without its applied marker
-    (_SUCCESS of the last-written dataset) must contribute neither
-    postings, corpus scalars (n_docs/avgdl), nor ANN neighbors — the
-    same exclusion the dedup probes already enforce via
-    exclude_batch_id."""
-    import os
+    The applied-log manifest entry is appended after the LAST dataset
+    write, so a batch whose commit died before the append — even with
+    every dataset directory fully on disk — must contribute neither
+    postings, corpus scalars (n_docs/avgdl), nor ANN neighbors, and its
+    replay re-commits. Simulated by restoring the pre-batch applied_log
+    over the completed directories; the crash killed the process, so the
+    reader is a fresh instance."""
     import random
+    import shutil
 
     from qafs_spark.pipeline.text_index import InvertedIndex
     from qafs_spark.pipeline.vector_index import CellVectorIndex
@@ -3738,13 +3768,20 @@ def test_index_search_excludes_unapplied_batches(spark, tmp_path):
     assert ix.apply_batch(docs.filter(F.col("doc_id") < 30), 0)
     before = [tuple(r) for r in ix.search(terms, k=10).collect()]
     assert before
+    shutil.copytree(
+        str(tmp_path / "ix" / "applied_log"), str(tmp_path / "ix_log_b0")
+    )
     assert ix.apply_batch(docs.filter(F.col("doc_id") >= 30), 1)
     assert [tuple(r) for r in ix.search(terms, k=10).collect()] != before
-    # simulate the crash window: batch 1 fully on disk but its applied
-    # marker gone — search must fall back to exactly the applied corpus
-    os.remove(str(tmp_path / "ix" / "doclens" / "batch_id=1" / "_SUCCESS"))
-    assert [tuple(r) for r in ix.search(terms, k=10).collect()] == before
-    assert not ix.batch_applied(1)  # so a replay re-commits it
+    # crash window: batch 1's datasets fully on disk (_SUCCESS and all)
+    # but the applied-log append never ran
+    shutil.rmtree(str(tmp_path / "ix" / "applied_log"))
+    shutil.copytree(
+        str(tmp_path / "ix_log_b0"), str(tmp_path / "ix" / "applied_log")
+    )
+    ix2 = InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=8)
+    assert [tuple(r) for r in ix2.search(terms, k=10).collect()] == before
+    assert not ix2.batch_applied(1)  # so a replay re-commits it
 
     vrows = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(20)]
     old = spark.createDataFrame(vrows, ["vec_id", "embedding"])
@@ -3756,11 +3793,18 @@ def test_index_search_excludes_unapplied_batches(spark, tmp_path):
     assert vx.apply_batch(old, 0, threshold=0.99)
     vbefore = [tuple(r) for r in vx.search(qvec, k=3, nprobe=2).collect()]
     assert vbefore
+    shutil.copytree(
+        str(tmp_path / "vx" / "applied_log"), str(tmp_path / "vx_log_b0")
+    )
     assert vx.apply_batch(clone, 1, threshold=0.99)
     assert [tuple(r) for r in vx.search(qvec, k=3, nprobe=2).collect()] != vbefore
-    os.remove(str(tmp_path / "vx" / "vectors" / "batch_id=1" / "_SUCCESS"))
-    assert [tuple(r) for r in vx.search(qvec, k=3, nprobe=2).collect()] == vbefore
-    assert not vx.batch_applied(1)
+    shutil.rmtree(str(tmp_path / "vx" / "applied_log"))
+    shutil.copytree(
+        str(tmp_path / "vx_log_b0"), str(tmp_path / "vx" / "applied_log")
+    )
+    vx2 = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
+    assert [tuple(r) for r in vx2.search(qvec, k=3, nprobe=2).collect()] == vbefore
+    assert not vx2.batch_applied(1)
 
 
 def test_inverted_index_search_edge_cases(spark, tmp_path):
@@ -3911,6 +3955,82 @@ def test_index_metadata_reads_cached_per_batch(spark, tmp_path, monkeypatch):
     assert meta_reads() == []
 
 
+def test_index_applied_log_o1_metadata_ops(spark, tmp_path, monkeypatch):
+    """Applied-batch tracking must cost O(1) FS metadata ops per read,
+    INDEPENDENT of the uncompacted-batch count: the applied_log manifest
+    is one cached parquet read per cold instance — never a directory
+    listing, never a per-batch _SUCCESS probe — and a warm instance
+    issues zero further FS ops for it. Asserted by counting every
+    fs_storage exists/list call and every applied_log parquet read
+    during search on a 2-batch vs a 6-batch index (text index; the
+    banded and vector indexes share the manifest module and the same
+    _applied_set shape, covered by their own crash/replay tests)."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    import qafs_spark.storage as st
+    from qafs_spark.pipeline.text_index import InvertedIndex
+
+    calls = {"exists": 0, "list": 0, "log_reads": 0}
+    orig_exists, orig_list = st.path_exists, st.list_dirs
+    orig_parquet = DataFrameReader.parquet
+
+    def counting_exists(s, p):
+        calls["exists"] += 1
+        return orig_exists(s, p)
+
+    def counting_list(s, p):
+        calls["list"] += 1
+        return orig_list(s, p)
+
+    def counting_parquet(self, *paths, **kw):
+        # suffix match: tmp_path embeds this test's (log-mentioning) name
+        calls["log_reads"] += sum(
+            p.rstrip("/").endswith("/applied_log") for p in paths
+        )
+        return orig_parquet(self, *paths, **kw)
+
+    monkeypatch.setattr(st, "path_exists", counting_exists)
+    monkeypatch.setattr(st, "list_dirs", counting_list)
+    monkeypatch.setattr(DataFrameReader, "parquet", counting_parquet)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i} gamma {i * 3}") for i in range(30)],
+        ["doc_id", "text"],
+    )
+
+    def build(root, nbatches):
+        ix = InvertedIndex(spark, root, num_partitions=4)
+        per = 30 // nbatches
+        for b in range(nbatches):
+            lo, hi = b * per, (b + 1) * per
+            ix.apply_batch(
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+                b,
+            )
+
+    def costs(root):
+        ix = InvertedIndex(spark, root, num_partitions=4)
+        calls.update(exists=0, list=0, log_reads=0)
+        cold_rows = [tuple(r) for r in ix.search(["alpha"], k=3).collect()]
+        cold = dict(calls)
+        calls.update(exists=0, list=0, log_reads=0)
+        assert [tuple(r) for r in ix.search(["alpha"], k=3).collect()] == cold_rows
+        return cold, dict(calls)
+
+    build(str(tmp_path / "ix2"), 2)
+    build(str(tmp_path / "ix6"), 6)
+    cold2, warm2 = costs(str(tmp_path / "ix2"))
+    cold6, warm6 = costs(str(tmp_path / "ix6"))
+    # never a directory listing or a per-batch probe on the read path
+    assert cold2["list"] == cold6["list"] == 0
+    assert cold2["log_reads"] == cold6["log_reads"] == 1  # one manifest read
+    assert cold2["exists"] == cold6["exists"]  # batch-count independent
+    # warm instance: the manifest is cached — zero further FS ops for it
+    assert warm2["log_reads"] == warm6["log_reads"] == 0
+    assert warm2["list"] == warm6["list"] == 0
+    assert warm2["exists"] == warm6["exists"] <= cold6["exists"]
+
+
 def test_leakage_free_split_long_chain_atomic(spark):
     """A near-dup CHAIN longer than the default 3 propagation hops must
     still land on one side atomically: converge-mode labels (the
@@ -4050,12 +4170,15 @@ def test_vector_index_retrain_crash_recovery(spark, tmp_path):
 
 
 def test_index_pairs_log_applied_only(spark, tmp_path):
-    """The pairs logs commit BEFORE the applied marker, so pairs() must
-    hide an in-flight/crashed batch's pairs until its replay commits —
-    and a compaction (which folds marker directories but never rewrites
-    the pairs log) must NOT hide historical batches' pairs."""
-    import os
+    """The pairs logs commit BEFORE the applied-log manifest entry, so
+    pairs() must hide an in-flight/crashed batch's pairs until its replay
+    commits — and a compaction (which folds marker directories but never
+    rewrites the pairs log) must NOT hide historical batches' pairs.
+    Crash simulated by restoring the pre-batch applied_log over the
+    batch's on-disk datasets; the crash killed the process, so the
+    post-crash reader is a fresh instance."""
     import random
+    import shutil
 
     from qafs_spark.pipeline.banded_index import BandedMinHashIndex
     from qafs_spark.pipeline.vector_index import CellVectorIndex
@@ -4066,25 +4189,31 @@ def test_index_pairs_log_applied_only(spark, tmp_path):
     docs = spark.createDataFrame(
         rows + [(100, rows[4][1])], ["doc_id", "text"]  # batch-1 clone of 4
     )
-    idx = BandedMinHashIndex(
-        spark, str(tmp_path / "ix"), n=3, num_hashes=16, num_bands=8,
-        num_partitions=8,
-    )
+    kw = dict(n=3, num_hashes=16, num_bands=8, num_partitions=8)
+    idx = BandedMinHashIndex(spark, str(tmp_path / "ix"), **kw)
     assert idx.apply_batch(docs.filter(F.col("doc_id") < 50), 0, threshold=0.5)
+    shutil.copytree(
+        str(tmp_path / "ix" / "applied_log"), str(tmp_path / "ix_log_b0")
+    )
     b1 = docs.filter(F.col("doc_id") >= 50)
     assert idx.apply_batch(b1, 1, threshold=0.5)
     all_pairs = {tuple(r) for r in idx.pairs().collect()}
     assert any(b == 1 for *_, b in all_pairs)  # batch 1 found the clone
-    os.remove(str(tmp_path / "ix" / "band_counts" / "batch_id=1" / "_SUCCESS"))
-    assert {tuple(r) for r in idx.pairs().collect()} == {
+    # crash window: batch 1's datasets fully on disk, log append never ran
+    shutil.rmtree(str(tmp_path / "ix" / "applied_log"))
+    shutil.copytree(
+        str(tmp_path / "ix_log_b0"), str(tmp_path / "ix" / "applied_log")
+    )
+    idx2 = BandedMinHashIndex(spark, str(tmp_path / "ix"), **kw)
+    assert {tuple(r) for r in idx2.pairs().collect()} == {
         p for p in all_pairs if p[-1] != 1
     }
-    assert idx.apply_batch(b1, 1, threshold=0.5)  # replay re-commits
-    assert {tuple(r) for r in idx.pairs().collect()} == all_pairs
-    assert idx.compact() >= 1
+    assert idx2.apply_batch(b1, 1, threshold=0.5)  # replay re-commits
+    assert {tuple(r) for r in idx2.pairs().collect()} == all_pairs
+    assert idx2.compact() >= 1
     # watermark now covers every batch; the untouched pairs log must
     # still surface ALL historical pairs
-    assert {tuple(r) for r in idx.pairs().collect()} == all_pairs
+    assert {tuple(r) for r in idx2.pairs().collect()} == all_pairs
 
     vecs = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(10)]
     emb = spark.createDataFrame(
@@ -4092,16 +4221,23 @@ def test_index_pairs_log_applied_only(spark, tmp_path):
     )
     vx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
     assert vx.apply_batch(emb.filter(F.col("vec_id") < 50), 0, threshold=0.9)
+    shutil.copytree(
+        str(tmp_path / "vx" / "applied_log"), str(tmp_path / "vx_log_b0")
+    )
     assert vx.apply_batch(emb.filter(F.col("vec_id") >= 50), 1, threshold=0.9)
     vall = {tuple(r) for r in vx.pairs().collect()}
     assert any(b == 1 for *_, b in vall)
-    os.remove(str(tmp_path / "vx" / "vectors" / "batch_id=1" / "_SUCCESS"))
-    assert {tuple(r) for r in vx.pairs().collect()} == {
+    shutil.rmtree(str(tmp_path / "vx" / "applied_log"))
+    shutil.copytree(
+        str(tmp_path / "vx_log_b0"), str(tmp_path / "vx" / "applied_log")
+    )
+    vx2 = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
+    assert {tuple(r) for r in vx2.pairs().collect()} == {
         p for p in vall if p[-1] != 1
     }
-    assert vx.apply_batch(emb.filter(F.col("vec_id") >= 50), 1, threshold=0.9)
-    assert vx.compact() >= 1
-    assert {tuple(r) for r in vx.pairs().collect()} == vall
+    assert vx2.apply_batch(emb.filter(F.col("vec_id") >= 50), 1, threshold=0.9)
+    assert vx2.compact() >= 1
+    assert {tuple(r) for r in vx2.pairs().collect()} == vall
 
 
 def test_cluster_pairs_durable_checkpoint_dir(spark, tmp_path):
