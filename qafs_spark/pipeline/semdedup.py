@@ -20,10 +20,21 @@ engine already has:
 * representative = the minimum id of each group (deterministic, and the
   convention every dedup op in this package uses).
 
-Two tiers, mirroring the ANN modules: the EXACT tier (``nlist=None``,
+Two tiers, mirroring the ANN modules: the EXACT tier (``exact=True``,
 all-pairs cosine) is the small-data oracle path the DuckDB gate replays
 bit-for-bit; the IVF tier is the 100 TB path, certified against the exact
 tier by an agreement query (pattern: ``lsh_ann_recall``).
+
+THE DEFAULT IS THE SCALE TIER: with neither ``nlist`` nor ``centroids``
+given, the quantizer is sized to the corpus automatically
+(``nlist = ceil(n / target_cell_size)``, multiprobe ``nprobe=2``), so a
+user calling the obvious name on a 100 TB corpus gets cell-bounded
+quadratic work, never the all-pairs plan. A corpus that fits one cell
+(n <= target_cell_size) short-circuits to the exact pair path — same
+code, bit-identical output — which is also what keeps the small-fixture
+DuckDB oracle hash-exact on the default; the IVF branch is certified by
+the ``semantic_dedup_agreement`` / ``semantic_dedup_multiprobe`` gates.
+``exact=True`` opts back into all-pairs at any size (oracle replays).
 
 The reference engine (rodrigobaron/qafs) has no semantic dedup; this module
 is part of the mandated LLM-training-data extension surface alongside
@@ -37,6 +48,12 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Auto-tier cell sizing: small enough that the within-cell quadratic
+# term stays O(10⁷) comparisons per cell, large enough that the gate
+# fixtures (≤2000 embeddings) take the exact short-circuit and stay
+# DuckDB-hash-exact on the DEFAULT call.
+DEFAULT_TARGET_CELL_SIZE = 4096
+
 
 def semantic_pairs(
     df: DataFrame,
@@ -46,17 +63,25 @@ def semantic_pairs(
     nlist: Optional[int] = None,
     centroids: Optional[List[List[float]]] = None,
     train_iters: int = 1,
-    nprobe: int = 1,
+    nprobe: Optional[int] = None,
+    exact: bool = False,
+    target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
-    ``nlist``/``centroids`` unset → exact all-pairs cosine (the oracle
-    tier; O(n²), small data only). With a quantizer, vectors are assigned
-    to their nearest IVF cell (Arrow-batched matmul, centroids broadcast)
-    and pairs are generated only within a cell — the SemDeDup restriction.
-    A duplicate pair split across two cells is missed; that is the
-    published algorithm's deliberate recall trade, certified against the
-    exact tier by the ``semantic_dedup_agreement`` catalog query.
+    DEFAULT (no ``nlist``/``centroids``, ``exact=False``) = the AUTO
+    scale tier: one count sizes the quantizer at
+    ``nlist = ceil(n / target_cell_size)`` with multiprobe ``nprobe=2``;
+    a corpus fitting one cell short-circuits to the exact all-pairs path
+    (bit-identical output, no quantizer overhead). ``exact=True`` forces
+    all-pairs cosine at any size (the oracle tier; O(n²) — small data or
+    certification runs only). With an explicit quantizer, vectors are
+    assigned to their nearest IVF cell (Arrow-batched matmul, centroids
+    broadcast) and pairs are generated only within a cell — the SemDeDup
+    restriction. A duplicate pair split across two cells is missed; that
+    is the published algorithm's deliberate recall trade, certified
+    against the exact tier by the ``semantic_dedup_agreement`` catalog
+    query.
 
     ``nprobe`` > 1 is the recall knob for that trade: each vector lands in
     its ``nprobe`` nearest cells (multiprobe assignment), so a pair split
@@ -75,10 +100,26 @@ def semantic_pairs(
     from .dedup import embedding_dedup_pairs
     from .similarity import _cell_assigner, _probe_cells, cosine_pre, ivf_train, norm
 
-    if nlist is None and centroids is None:
+    if exact:
+        if nlist is not None or centroids is not None:
+            raise ValueError("exact=True excludes nlist/centroids")
         return embedding_dedup_pairs(
             df, vec_col, id_col, threshold=threshold, use_lsh=False
         )
+    if nlist is None and centroids is None:
+        # AUTO scale tier: size the quantizer to the corpus. The count is
+        # one narrow aggregate (map-side combined), negligible against
+        # the pair join it bounds.
+        n = df.count()
+        nlist = -(-n // max(1, int(target_cell_size)))  # ceil
+        if nlist <= 1:
+            return embedding_dedup_pairs(
+                df, vec_col, id_col, threshold=threshold, use_lsh=False
+            )
+        if nprobe is None:
+            nprobe = 2
+    if nprobe is None:
+        nprobe = 1
     if centroids is None:
         centroids = ivf_train(
             df, nlist=nlist, iters=train_iters, data_id=id_col, data_vec=vec_col
@@ -131,9 +172,15 @@ def semantic_dedup(
     centroids: Optional[List[List[float]]] = None,
     train_iters: int = 1,
     converge: bool = False,
-    nprobe: int = 1,
+    nprobe: Optional[int] = None,
+    exact: bool = False,
+    target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
 ) -> DataFrame:
     """Per-row keep/drop decision: (id, cluster, keep) for EVERY input row.
+
+    The pair graph comes from :func:`semantic_pairs` under the same tier
+    rules — DEFAULT is the auto-sized IVF scale tier (exact short-circuit
+    at <= ``target_cell_size`` rows); ``exact=True`` opts into all-pairs.
 
     ``cluster`` is the min-label component of the >=threshold cosine pair
     graph (own id for rows with no near-duplicate); ``keep`` is true for
@@ -157,7 +204,7 @@ def semantic_dedup(
 
     pairs = semantic_pairs(
         df, vec_col, id_col, threshold, nlist, centroids, train_iters,
-        nprobe=nprobe,
+        nprobe=nprobe, exact=exact, target_cell_size=target_cell_size,
     )
     labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
     return (

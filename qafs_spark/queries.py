@@ -3978,11 +3978,16 @@ _SQL_SEMDEDUP_KEEPS = f"""
     """,
 )
 def q_semantic_dedup(spark, sf_dir):
-    """Pipeline: SemDeDup keep/drop decision, exact tier — >=0.4 cosine
-    pair graph, 3-round min-label components, keep = min-id representative,
-    singletons keep themselves. One lazy plan end-to-end (propagation
-    unrolls); the IVF-celled scale tier is certified against this exact
-    tier by `semantic_dedup_agreement`."""
+    """Pipeline: SemDeDup keep/drop decision at the DEFAULT tier — the
+    auto-sized IVF scale tier (nlist=ceil(n/target_cell_size), nprobe=2),
+    which short-circuits to the exact all-pairs path when the corpus fits
+    one cell. At the gate fixtures (<=2000 embeddings < 4096) that
+    short-circuit is taken, so the DuckDB oracle replays the result
+    bit-for-bit; at 100 TB the same call gets cell-bounded quadratic
+    work, never O(n²) — the IVF branch is certified against exact by
+    `semantic_dedup_agreement`/`semantic_dedup_multiprobe`. >=0.4 cosine
+    pair graph, 3-round min-label components, keep = min-id
+    representative, singletons keep themselves."""
     emb = _t(spark, sf_dir, "embeddings")
     return sdd.semantic_dedup(emb, "embedding", "vec_id", threshold=0.4, k_iters=3)
 
@@ -4009,7 +4014,9 @@ def q_semantic_dedup_agreement(spark, sf_dir):
     pairs only ever ADD approximate keeps, so the metric degrades smoothly
     if the quantizer breaks)."""
     emb = _t(spark, sf_dir, "embeddings")
-    exact = sdd.semantic_dedup(emb, "embedding", "vec_id", threshold=0.4, k_iters=3)
+    exact = sdd.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, k_iters=3, exact=True
+    )
     approx = sdd.semantic_dedup(
         emb, "embedding", "vec_id", threshold=0.4, k_iters=3, nlist=8
     )
@@ -4051,7 +4058,9 @@ def q_semantic_dedup_multiprobe(spark, sf_dir):
         .join(p2.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
         .agg((F.count(F.lit(1)) == 0).alias("recall_monotone"))
     )
-    exact = sdd.semantic_dedup(emb, "embedding", "vec_id", threshold=0.4, k_iters=3)
+    exact = sdd.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, k_iters=3, exact=True
+    )
     approx2 = sdd.semantic_dedup(
         emb, "embedding", "vec_id", threshold=0.4, k_iters=3,
         centroids=cents, nprobe=2,

@@ -2426,7 +2426,7 @@ def test_semantic_dedup_exact(vecs):
     out = {
         r["id"]: (r["cluster"], r["keep"])
         for r in semdedup.semantic_dedup(
-            vecs, "embedding", "vec_id", threshold=0.9
+            vecs, "embedding", "vec_id", threshold=0.9, exact=True
         ).collect()
     }
     assert out == {
@@ -2446,11 +2446,67 @@ def test_semantic_dedup_ivf_matches_exact_with_good_cells(vecs):
     from qafs_spark.pipeline import semdedup
 
     cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
-    exact = semdedup.semantic_dedup(vecs, "embedding", "vec_id", threshold=0.9)
+    exact = semdedup.semantic_dedup(
+        vecs, "embedding", "vec_id", threshold=0.9, exact=True
+    )
     ivf = semdedup.semantic_dedup(
         vecs, "embedding", "vec_id", threshold=0.9, centroids=cents
     )
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, ivf.collect()))
+
+
+def test_semantic_dedup_auto_tier_default(spark):
+    """The DEFAULT tier is the scale-safe one: a corpus fitting one cell
+    (n <= target_cell_size) short-circuits to the exact pair path
+    bit-identically, while a larger corpus (forced via a tiny
+    target_cell_size) auto-sizes the quantizer and engages the IVF-celled
+    branch — whose pair set embeds in exact's and whose keep-set clears
+    the same agreement gate the explicit IVF tier is certified by."""
+    import random
+
+    from qafs_spark.pipeline import semdedup
+
+    rng = random.Random(23)
+    rows = []
+    for g in range(6):  # 6 well-separated duplicate groups of 8
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        for i in range(8):
+            rows.append(
+                (g * 100 + i, [x + rng.gauss(0, 0.01) for x in base])
+            )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = semdedup.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.9, exact=True
+    )
+    # small corpus: the default call IS the exact path, bit-identical
+    dflt = semdedup.semantic_dedup(df, "embedding", "vec_id", threshold=0.9)
+    assert sorted(map(tuple, dflt.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    # forced past the cell target: the IVF branch engages (auto nlist=3,
+    # nprobe=2); cell restriction can only LOSE pairs, never invent them
+    ep = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup.semantic_pairs(
+            df, "embedding", "vec_id", threshold=0.9, exact=True
+        ).collect()
+    }
+    ap = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup.semantic_pairs(
+            df, "embedding", "vec_id", threshold=0.9, target_cell_size=16
+        ).collect()
+    }
+    assert ap and ap <= ep
+    auto = semdedup.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.9, target_cell_size=16
+    )
+    assert semdedup.keep_set_agreement(exact, auto).first()["agreement_ok"]
+    with pytest.raises(ValueError, match="exact"):
+        semdedup.semantic_pairs(
+            df, "embedding", "vec_id", exact=True, nlist=4
+        )
 
 
 def test_semantic_pairs_ivf_subset_of_exact(spark):
@@ -2520,7 +2576,9 @@ def test_semantic_pairs_multiprobe_recovers_boundary_pair(spark):
     ).collect()
     assert len(rows2) == len({(r["id_a"], r["id_b"]) for r in rows2})
     # exact tier agreement strictly improves with the recovered pair
-    exact = semdedup.semantic_dedup(df, "embedding", "vec_id", threshold=0.95)
+    exact = semdedup.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.95, exact=True
+    )
     ag = {
         n: semdedup.keep_set_agreement(
             exact,
@@ -2544,7 +2602,9 @@ def test_semantic_pairs_multiprobe_recovers_boundary_pair(spark):
 def test_keep_set_agreement_shape(vecs):
     from qafs_spark.pipeline import semdedup
 
-    exact = semdedup.semantic_dedup(vecs, "embedding", "vec_id", threshold=0.9)
+    exact = semdedup.semantic_dedup(
+        vecs, "embedding", "vec_id", threshold=0.9, exact=True
+    )
     row = semdedup.keep_set_agreement(exact, exact).collect()[0]
     assert (row["n_vecs"], row["n_kept_exact"], row["agreement_ok"]) == (7, 4, True)
 
