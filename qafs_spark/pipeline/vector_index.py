@@ -51,6 +51,15 @@ from pyspark.sql import functions as F
 from .. import storage as fs_storage
 from . import manifest
 
+# Ingest-dedup cell cap: a cell past this size gets sub-bucketed by
+# hyperplane sign patterns before the within-cell pair join, capping the
+# quadratic term at ~max_cell_size² per bucket no matter how skewed the
+# data or how stale the (frozen-at-first-batch) quantizer is. 4096 keeps
+# the per-bucket join ~10⁷ cosine evaluations; the gate fixtures (≤2000
+# vectors) can never reach it, so guarded output is bit-equal to
+# unguarded there — the oracle replays stay exact.
+DEFAULT_MAX_CELL_SIZE = 4096
+
 
 class CellVectorIndex:
     """Persisted IVF-partitioned vector index rooted at ``root``."""
@@ -569,6 +578,50 @@ class CellVectorIndex:
             F.explode(probes(F.col(vec_col))).alias("cell"),
         )
 
+    def _cell_guard(self, stored, probed, cents, max_cell_size):
+        """Sub-bucket OVERSIZED cells before the pair join.
+
+        Per-cell occupancy (live stored rows in the probed cells + the
+        batch's probe rows) is one column-pruned aggregate over data the
+        join reads anyway, collected driver-side (≤ nlist rows). Cells
+        over ``max_cell_size`` get a ``__sub`` hyperplane sign-pattern
+        bucket (the :func:`dedup.embedding_dedup_pairs` candidate recipe,
+        adaptive plane count so buckets land ~max_cell_size) that the
+        join conditions additionally equate — capping the quadratic term
+        at ~max_cell_size² per bucket regardless of skew or quantizer
+        staleness. Near-identical vectors almost always share the full
+        sign pattern, so the recall trade is the same one the LSH tier
+        makes; with no oversized cell the plan and pair set are
+        UNCHANGED (bit-parity, which keeps small-fixture oracle replays
+        exact). Returns (stored, probed, extra_cond | None)."""
+        import math
+
+        from .similarity import hyperplane_bucket
+
+        counts = (
+            probed.select("cell")
+            .unionByName(stored.select("cell"))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > int(max_cell_size))
+            .collect()
+        )
+        if not counts:
+            return stored, probed, None
+        worst = max(int(r["n"]) for r in counts)
+        planes = max(1, math.ceil(math.log2(worst / int(max_cell_size))))
+        big = [int(r["cell"]) for r in counts]
+        dim = len(cents[0])
+        sub = F.when(
+            F.col("cell").isin(big),
+            hyperplane_bucket(F.col("vec"), dim, planes, seed=42),
+        ).otherwise(F.lit(-1).cast("long"))
+        return (
+            stored.withColumn("__sub", sub),
+            probed.withColumn("__sub", sub),
+            F.col("a.__sub") == F.col("b.__sub"),
+        )
+
     def dedup_batch(
         self,
         new_vecs: DataFrame,
@@ -578,6 +631,7 @@ class CellVectorIndex:
         tier: str = "ivf",
         nprobe: int = 1,
         exclude_batch_id: Optional[int] = None,
+        max_cell_size: Optional[int] = DEFAULT_MAX_CELL_SIZE,
     ) -> Tuple[DataFrame, DataFrame]:
         """(pairs, new_rows): near-dup pairs touching the batch (id_a <
         id_b, cosine >= threshold) + the batch's (id, vec, cell) index
@@ -589,6 +643,10 @@ class CellVectorIndex:
         values, collected driver-side) prunes the scan to matching cell
         partitions; stored vectors join on their single storage cell, so
         nprobe=1 replays the batch IVF tier exactly (parity-tested).
+        Cells past ``max_cell_size`` rows are sub-bucketed by hyperplane
+        sign patterns first (see :meth:`_cell_guard` — the
+        ``max_band_size`` analogue; ``None`` disables), so a skewed cell
+        can never make the within-cell join quadratic in the corpus.
         """
         from .similarity import cosine_pre
 
@@ -612,6 +670,13 @@ class CellVectorIndex:
             same_cell = F.col("a.cell") == F.col("b.cell")
             old_cond = same_cell & (F.col("a.id") != F.col("b.id"))
             new_cond = same_cell & (F.col("a.id") < F.col("b.id"))
+            if max_cell_size is not None:
+                stored, probed, guard = self._cell_guard(
+                    stored, probed, cents, max_cell_size
+                )
+                if guard is not None:
+                    old_cond = old_cond & guard
+                    new_cond = new_cond & guard
 
         def score(joined):
             return joined.select(
@@ -663,6 +728,7 @@ class CellVectorIndex:
         threshold: float = 0.85,
         tier: str = "ivf",
         nprobe: int = 1,
+        max_cell_size: Optional[int] = DEFAULT_MAX_CELL_SIZE,
     ) -> bool:
         """Dedup ``batch`` against index + itself and commit, exactly
         once. Pairs first, vectors, then one applied-log append (the log
@@ -675,7 +741,7 @@ class CellVectorIndex:
         bdir = f"batch_id={int(batch_id)}"
         pairs, assigned = self.dedup_batch(
             batch, vec_col, id_col, threshold, tier, nprobe,
-            exclude_batch_id=int(batch_id),
+            exclude_batch_id=int(batch_id), max_cell_size=max_cell_size,
         )
         try:
             pairs.write.mode("overwrite").parquet(j(self.pairs_path, bdir))

@@ -3317,6 +3317,49 @@ def test_vector_index_exactly_once_and_frozen_quantizer(vec_corpus, tmp_path):
         CellVectorIndex(spark, root, nlist=8).apply_batch(b1, 2, threshold=0.5)
 
 
+def test_vector_index_cell_guard_caps_oversized_cells(spark, tmp_path):
+    """Ingest-dedup cell cap (the max_band_size analogue): a cell past
+    max_cell_size is sub-bucketed by hyperplane sign patterns before the
+    within-cell pair join. Near-identical pairs survive (clones share the
+    full sign pattern), the guarded pair set embeds in the unguarded one,
+    an under-cap corpus is BIT-IDENTICAL guarded vs unguarded (the
+    oracle-parity property the catalog rows rely on), and the guard
+    engages/disengages exactly at the cap."""
+    import random
+
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(31)
+    base = [1.0, 0.2, -0.3, 0.5]
+    rows = [
+        (i, [x + rng.gauss(0, 0.05) for x in base]) for i in range(40)
+    ]
+    clones = [(100 + i, [x + 1e-6 for x in rows[i][1]]) for i in range(5)]
+    df = spark.createDataFrame(rows + clones, ["vec_id", "embedding"])
+    vx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
+
+    unguarded, _ = vx.dedup_batch(df, threshold=0.999, max_cell_size=None)
+    up = {(r["id_a"], r["id_b"]) for r in unguarded.collect()}
+    guarded, _ = vx.dedup_batch(df, threshold=0.999, max_cell_size=8)
+    gp = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    capped, _ = vx.dedup_batch(df, threshold=0.999, max_cell_size=4096)
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    vx.unpersist_intermediates()
+    assert gp <= up  # sub-bucketing only LOSES candidates, never invents
+    assert {(i, 100 + i) for i in range(5)} <= gp  # clones survive
+    assert cp == up  # under the cap: bit-parity with unguarded
+
+    # unit engagement: 45 rows in <=2 cells trips an 8-cap, not a 4096-cap
+    cents = vx._ensure_centroids(df, "vec_id", "embedding")
+    assigned = vx._assigned(df, "vec_id", "embedding", cents, nprobe=1)
+    empty = assigned.limit(0)
+    _, _, cond = vx._cell_guard(empty, assigned, cents, 8)
+    assert cond is not None
+    _, _, cond = vx._cell_guard(empty, assigned, cents, 4096)
+    assert cond is None
+    vx.unpersist_intermediates()
+
+
 def test_vector_index_search_pruned_and_exact_at_full_probe(vec_corpus, tmp_path):
     """search(nprobe=nlist) reads every cell and must equal brute-force
     top-k over the stored vectors; search(nprobe=1) touches only the
