@@ -91,6 +91,7 @@ class CellVectorIndex:
         # Invalidated by delete_ids/compact/retrain.
         self._ct_cache: Optional[int] = None
         self._tomb_cache = "unset"
+        self._tomb_sig = None
         self._cents_cache: Optional[List[List[float]]] = None
         self._meta_checked = False
         # (applied-ids set above the watermark, log-exists flag) — one
@@ -103,6 +104,35 @@ class CellVectorIndex:
         self._tomb_cache = "unset"
         self._ct_cache = None
         self._applied_cache = None
+
+    def _sync_tombstones(self) -> None:
+        """Cross-instance delete visibility on a cheap signal: one
+        listing of the tiny ``deletes/`` dataset (bounded by delete_ids
+        calls since the last compact) compared against the signature
+        captured when the cached tombstone frame was built; a mismatch
+        drops just that cache. Called once per apply_batch, so a
+        long-lived WRITER (the streaming sinks hold one instance for the
+        stream's lifetime) observes delete_ids issued through other
+        instances at its next micro-batch. Plain READERS may serve a
+        cached tombstone set until :meth:`refresh` — which guarantees
+        the next read observes the delete."""
+        if self._tomb_cache == "unset":
+            return
+        if (
+            fs_storage.dir_signature(self.spark, self.deletes_path)
+            != self._tomb_sig
+        ):
+            if isinstance(self._tomb_cache, DataFrame):
+                self._tomb_cache.unpersist()
+            self._tomb_cache = "unset"
+
+    def refresh(self) -> None:
+        """Drop every per-instance metadata cache (tombstones, compaction
+        watermark, applied-batch set) so the next read re-syncs with
+        mutations other instances committed — deletes, compactions,
+        applied batches. Single-writer per index is still the contract;
+        this is the reader-side lever."""
+        self._invalidate_meta_caches()
 
     # -- quantizer ---------------------------------------------------------
 
@@ -276,7 +306,8 @@ class CellVectorIndex:
     def _tombstones(self) -> Optional[DataFrame]:
         if self._tomb_cache != "unset":
             return self._tomb_cache
-        if not fs_storage.path_exists(self.spark, self.deletes_path):
+        self._tomb_sig = fs_storage.dir_signature(self.spark, self.deletes_path)
+        if self._tomb_sig is None:
             self._tomb_cache = None
             return None
         try:
@@ -735,6 +766,7 @@ class CellVectorIndex:
         entry is the applied marker); all writes overwrite the batch's
         own directory and all reads exclude it."""
         self._recover_compaction()
+        self._sync_tombstones()
         if self.batch_applied(batch_id):
             return False
         j = fs_storage.join

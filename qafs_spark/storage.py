@@ -67,6 +67,23 @@ def list_dirs(spark: SparkSession, path: str) -> List[str]:
     return sorted(out)
 
 
+def dir_signature(spark: SparkSession, path: str):
+    """Cheap change signature of a SMALL directory: (file count, total
+    bytes, max mtime), or None when missing. One listStatus — O(entries),
+    so only suitable for bounded datasets (e.g. the indexes' deletes/
+    tombstones, folded away at every compaction). Works on object stores
+    too (it does not rely on directory-mtime semantics)."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return None
+    count, size, mtime = 0, 0, 0
+    for status in fs.listStatus(jpath):
+        count += 1
+        size += int(status.getLen())
+        mtime = max(mtime, int(status.getModificationTime()))
+    return (count, size, mtime)
+
+
 def mkdirs(spark: SparkSession, path: str) -> None:
     fs, jpath = _fs_and_path(spark, path)
     fs.mkdirs(jpath)

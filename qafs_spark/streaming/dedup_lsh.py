@@ -171,7 +171,11 @@ def streaming_semantic_dedup(
 
     # ONE index instance across the stream's micro-batches: its metadata
     # caches (watermark/tombstones/quantizer/meta) then amortize to zero
-    # per-batch parquet reads instead of a fixed re-read every batch
+    # per-batch parquet reads instead of a fixed re-read every batch.
+    # delete_ids issued through OTHER instances while the stream runs
+    # stay visible: apply_batch re-syncs the tombstone cache per batch
+    # off the deletes dataset's listing signature (_sync_tombstones);
+    # compact/rebuild/retrain still require a quiesced stream.
     holder: list = []
 
     def process(batch: DataFrame, batch_id: int) -> None:

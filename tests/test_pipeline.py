@@ -4058,6 +4058,54 @@ def test_index_metadata_reads_cached_per_batch(spark, tmp_path, monkeypatch):
     assert meta_reads() == []
 
 
+def test_index_delete_visibility_across_instances(spark, tmp_path):
+    """A long-lived WRITER instance (the streaming-sink pattern holds one
+    instance for the stream's lifetime) must observe delete_ids issued
+    through ANOTHER instance by its next apply_batch: the tombstone cache
+    re-syncs per batch off the deletes dataset's listing signature, so
+    probes stop pairing against deleted docs without a stream restart.
+    Plain readers re-sync via refresh()."""
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight nine"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # clone of 0
+            (3, "one two three four five six seven eight nine"),   # clone of 1
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(n=3, num_hashes=16, num_bands=8, num_partitions=8)
+    writer = BandedMinHashIndex(spark, str(tmp_path / "ix"), **kw)
+    assert writer.apply_batch(docs.filter(F.col("doc_id") < 2), 0, threshold=0.5)
+    # prime the writer's tombstone cache (the staleness precondition)
+    assert writer.apply_batch(
+        docs.filter(F.col("doc_id") == 3), 1, threshold=0.5
+    )
+    # a DIFFERENT instance deletes doc 0 while the "stream" runs
+    other = BandedMinHashIndex(spark, str(tmp_path / "ix"), **kw)
+    assert other.delete_ids([0]) == 1
+    # the writer's next batch contains doc 0's clone: the probe must NOT
+    # pair it against the deleted doc
+    assert writer.apply_batch(
+        docs.filter(F.col("doc_id") == 2), 2, threshold=0.5
+    )
+    batch2_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in writer.pairs().filter(F.col("batch_id") == "2").collect()
+    }
+    assert (0, 2) not in batch2_pairs
+    # reader re-sync: a reader built before a delete may serve cached
+    # tombstones (staleness is permitted, not promised — persist() can
+    # recompute); refresh() GUARANTEES the next read observes the delete
+    reader = BandedMinHashIndex(spark, str(tmp_path / "ix"), **kw)
+    assert 1 in {r["id"] for r in reader.doc_rows().collect()}
+    assert other.delete_ids([1]) == 1
+    reader.refresh()
+    assert 1 not in {r["id"] for r in reader.doc_rows().collect()}
+
+
 def test_index_applied_log_o1_metadata_ops(spark, tmp_path, monkeypatch):
     """Applied-batch tracking must cost O(1) FS metadata ops per read,
     INDEPENDENT of the uncompacted-batch count: the applied_log manifest
