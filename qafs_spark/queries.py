@@ -993,7 +993,7 @@ def q_stream_incremental_dedup(spark, sf_dir):
     import os
     import tempfile
 
-    from .streaming.dedup_lsh import streaming_minhash_dedup
+    from .streaming.dedup_lsh import dedup_pairs, streaming_minhash_dedup
 
     root = tempfile.mkdtemp(prefix="qafs_streamdedup_")
     src = os.path.join(root, "in")
@@ -1023,7 +1023,11 @@ def q_stream_incremental_dedup(spark, sf_dir):
         max_band_size=None,  # exact mode — oracle replays unguarded pairs
     )
     q.awaitTermination(300)
-    return spark.read.parquet(pairs_path).select("id_a", "id_b", "jaccard")
+    # applied-batches-only reader: exactly-once view even if a trigger's
+    # commit had died between the pairs and index writes
+    return dedup_pairs(
+        spark, os.path.join(root, "index"), pairs_path
+    ).select("id_a", "id_b", "jaccard")
 
 
 @register(

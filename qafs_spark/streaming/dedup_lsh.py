@@ -25,11 +25,11 @@ in-flight batch's directory, and a batch whose index directory carries a
 either a no-op (completed batch) or a byte-identical re-commit (partially
 written batch). Same recipe as the banded sink below and the
 exactly-once ingest path; no MERGE-capable table format needed.
-Pairs land BEFORE the index marker, so a reader of the raw pairs log
-that must not observe an in-flight/crashed batch should filter
-``batch_id`` dirs through the index marker —
-:meth:`pipeline.banded_index.BandedMinHashIndex.pairs` implements
-exactly that rule for the class-based indexes.
+Pairs land BEFORE the index marker, so the raw pairs dataset can hold an
+in-flight/crashed batch's rows — read it through :func:`dedup_pairs`,
+which filters ``batch_id`` dirs through the index marker (the same rule
+:meth:`pipeline.banded_index.BandedMinHashIndex.pairs` implements for
+the class-based indexes).
 
 Caller contract: document ids are unique across the stream's lifetime
 (re-ingestions must be filtered upstream, e.g. with
@@ -97,6 +97,39 @@ def apply_dedup_batch(
     pairs.write.mode("overwrite").parquet(fs_storage.join(pairs_path, bdir))
     new_rows.write.mode("overwrite").parquet(fs_storage.join(index_path, bdir))
     return True
+
+
+def dedup_pairs(spark, index_path: str, pairs_path: str) -> DataFrame:
+    """Applied-batches-only view of the flat sink's pairs log.
+
+    Pairs commit BEFORE the batch's index directory (whose ``_SUCCESS``,
+    written last, witnesses a complete commit), so the raw pairs dataset
+    can hold rows of an in-flight or crashed batch that a replay will
+    re-emit. This reader filters to batches whose index marker exists —
+    the same isolation rule the class-based indexes implement
+    (:meth:`pipeline.banded_index.BandedMinHashIndex.pairs`) — so its
+    row set is exactly-once under kill-and-replay. Cost: one directory
+    listing + one marker probe per batch dir per call (the simple tier's
+    trade; the class-based indexes amortize this through their
+    ``applied_log`` manifest — use :func:`streaming_banded_dedup` when
+    the batch count is large)."""
+    if not fs_storage.path_exists(spark, pairs_path):
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, jaccard double, batch_id string"
+        )
+    applied = []
+    for d in fs_storage.list_dirs(spark, pairs_path):
+        if not d.startswith("batch_id="):
+            continue
+        bid = d.split("=", 1)[1]
+        if fs_storage.path_exists(
+            spark, fs_storage.join(index_path, d, "_SUCCESS")
+        ):
+            applied.append(bid)
+    df = spark.read.parquet(pairs_path)
+    return df.filter(F.col("batch_id").isin(applied)).select(
+        "id_a", "id_b", "jaccard", "batch_id"
+    )
 
 
 def streaming_minhash_dedup(

@@ -2835,6 +2835,30 @@ def test_flat_streaming_dedup_exactly_once_replay(inc_corpus, tmp_path):
     assert apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
     assert snap() == (pairs1, ids1)
 
+    # the applied-only pairs reader: during the crash window (pairs on
+    # disk, index marker gone) it must hide the batch's pairs — the raw
+    # dataset still shows them — and return to the full exactly-once set
+    # after the replay re-commits
+    from qafs_spark.streaming.dedup_lsh import dedup_pairs
+
+    def through_api():
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in dedup_pairs(spark, index_path, pairs_path).collect()
+        )
+
+    assert through_api() == pairs1
+    shutil.rmtree(str(tmp_path / "ix" / "batch_id=1"))
+    b1_only = [p for p in pairs1 if p not in through_api()]
+    assert b1_only  # batch 1's pairs are hidden while unapplied...
+    raw = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in spark.read.parquet(pairs_path).collect()
+    )
+    assert raw == pairs1  # ...though physically present in the raw log
+    assert apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
+    assert through_api() == pairs1
+
 
 def test_banded_index_matches_incremental(inc_corpus, tmp_path):
     """The band-partitioned index's pair set must be bit-equal to
