@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 from .. import storage as fs_storage
 from . import manifest
 from .dedup import DEFAULT_MAX_BAND_SIZE, lsh_band_keys
-from .incremental import minhash_index
+from .incremental import minhash_index, minhash_index_with_tokens
 
 
 class BandedMinHashIndex:
@@ -65,7 +65,7 @@ class BandedMinHashIndex:
 
     Layout (all parquet)::
 
-        root/docs/batch_id=N/id_pfx=K/        (id, sig, sh)
+        root/docs/batch_id=N/id_pfx=K/        (id, sig, sh[, toks])
         root/bands/batch_id=N/band_pfx=K/     (id, band)
         root/band_counts/batch_id=N/band_pfx=K/  (band, cnt)
         root/pairs/batch_id=N/                (id_a, id_b, jaccard)
@@ -75,6 +75,10 @@ class BandedMinHashIndex:
     identical across the index's lifetime (signatures are only comparable
     under identical hashing; prefixes only prune under one modulus) — the
     ``meta`` row pins them and :meth:`apply_batch` refuses a mismatch.
+    :meth:`rebuild` is the sanctioned way to change them; changing the
+    shingle size ``n`` additionally needs ``store_tokens=True`` (the
+    ``toks`` column — roughly the text's own size again in storage — is
+    what re-shingling derives from).
     """
 
     def __init__(
@@ -86,6 +90,7 @@ class BandedMinHashIndex:
         num_bands: int = 8,
         seed: int = 42,
         num_partitions: int = 32,
+        store_tokens: bool = False,
     ) -> None:
         if num_hashes % num_bands != 0:
             raise ValueError("num_bands must divide num_hashes")
@@ -96,6 +101,7 @@ class BandedMinHashIndex:
         self.num_bands = num_bands
         self.seed = seed
         self.num_partitions = num_partitions
+        self.store_tokens = bool(store_tokens)
         j = fs_storage.join
         self.docs_path = j(root, "docs")
         self.bands_path = j(root, "bands")
@@ -196,6 +202,7 @@ class BandedMinHashIndex:
             "num_bands": self.num_bands,
             "seed": self.seed,
             "num_partitions": self.num_partitions,
+            "store_tokens": self.store_tokens,
         }
 
     def _check_meta(self) -> None:
@@ -205,6 +212,9 @@ class BandedMinHashIndex:
             stored = json.loads(
                 self.spark.read.parquet(self.meta_path).first()["config"]
             )
+            # indexes written before store_tokens existed have no key:
+            # they hold no toks column, i.e. store_tokens=False
+            stored.setdefault("store_tokens", False)
             if stored != self._config():
                 raise ValueError(
                     f"index at {self.root} was built with {stored}, "
@@ -350,7 +360,10 @@ class BandedMinHashIndex:
         :meth:`unpersist_intermediates` when done (``apply_batch`` does).
         """
         self._recover_compaction()  # incl. finishing a committed rebuild
-        new_rows = minhash_index(
+        index_fn = (
+            minhash_index_with_tokens if self.store_tokens else minhash_index
+        )
+        new_rows = index_fn(
             new_docs, text_col, id_col, self.n, self.num_hashes, self.seed
         ).persist()
         self._persisted.append(new_rows)
@@ -637,6 +650,7 @@ class BandedMinHashIndex:
         self.num_partitions = int(
             cfg.get("num_partitions", self.num_partitions)
         )
+        self.n = int(cfg.get("n", self.n))
         self._write_meta()
         fs_storage.delete_path(self.spark, self.deletes_path)
         fs_storage.delete_path(self.spark, self.rebuild_marker_path)
@@ -653,6 +667,7 @@ class BandedMinHashIndex:
         num_bands: Optional[int] = None,
         seed: Optional[int] = None,
         num_partitions: Optional[int] = None,
+        n: Optional[int] = None,
     ) -> int:
         """Re-derive the index under NEW hashing/banding parameters —
         tune the recall/precision (num_hashes, num_bands, its implied
@@ -663,9 +678,13 @@ class BandedMinHashIndex:
         uses), so the rebuilt index is bit-identical to one built from
         scratch under the new params (parity-tested).
 
-        The shingle size ``n`` is the one genuinely immutable parameter
-        (``sh`` depends on it — changing n needs re-tokenization, i.e. a
-        fresh index over the raw corpus).
+        Changing the shingle size ``n`` needs more than ``sh`` (shingles
+        are n-token windows of the text): it is supported exactly when
+        the index stores its token streams (``store_tokens=True``) —
+        live docs re-shingle from ``toks`` with the same expression
+        ingest uses, so the result is again bit-identical to a fresh
+        build (docs shorter than the new ``n`` drop out, matching
+        ingest's no-shingle contract). Without stored tokens it raises.
 
         Mechanics mirror :meth:`CellVectorIndex.retrain`: one scan of
         the live docs re-derives sig/bands/counts into fully-staged
@@ -676,9 +695,16 @@ class BandedMinHashIndex:
         public entry; **run quiesced**. From then on, instances must be
         constructed with the new params. Returns the number of live
         documents re-indexed."""
-        from .dedup import minhash_signature_from_hashes
+        from .dedup import minhash_signature_from_hashes, shingle_hashes
+        from .incremental import _grams_from_tokens
 
         self._recover_compaction()
+        if n is not None and int(n) != self.n and not self.store_tokens:
+            raise ValueError(
+                "rebuild(n=...) needs the token streams (build the index "
+                "with store_tokens=True); this index stores only shingle "
+                "hashes, which cannot be re-windowed"
+            )
         new_cfg = dict(
             num_hashes=self.num_hashes if num_hashes is None else int(num_hashes),
             num_bands=self.num_bands if num_bands is None else int(num_bands),
@@ -687,6 +713,7 @@ class BandedMinHashIndex:
                 self.num_partitions if num_partitions is None
                 else int(num_partitions)
             ),
+            n=self.n if n is None else int(n),
         )
         if new_cfg["num_hashes"] % new_cfg["num_bands"] != 0:
             raise ValueError("num_bands must divide num_hashes")
@@ -694,25 +721,44 @@ class BandedMinHashIndex:
         if not applied:
             raise ValueError(f"no index at {self.root}")
         target = max(applied)
+        reshingle = new_cfg["n"] != self.n
         self.num_hashes = new_cfg["num_hashes"]
         self.num_bands = new_cfg["num_bands"]
         self.seed = new_cfg["seed"]
         self.num_partitions = new_cfg["num_partitions"]
+        self.n = new_cfg["n"]
 
+        doc_cols = ["id", "sh"] + (["toks"] if self.store_tokens else [])
         live = self._minus_deleted(
             self.spark.read.parquet(self.docs_path)
             # a crashed, never-committed batch's partial docs must not be
             # folded under the rebuilt batch_id=target (its stream replay
             # would then ingest the rows a second time)
             .filter(self._applied_cond())
-            .select("id", "sh")
+            .select(*doc_cols)
         )
+        if reshingle:
+            # re-window the stored token streams under the new n — the
+            # same staged expressions ingest uses, so sh (and everything
+            # derived from it) matches a fresh build bit-for-bit
+            live = (
+                live.filter(F.size("toks") >= self.n)
+                .select(
+                    "id", "toks",
+                    _grams_from_tokens(F.col("toks"), self.n).alias("_g"),
+                )
+                .select(
+                    "id", "toks",
+                    F.array_distinct(shingle_hashes(F.col("_g"))).alias("sh"),
+                )
+            )
         rows = live.select(
             "id",
             minhash_signature_from_hashes(
                 F.col("sh"), self.num_hashes, self.seed
             ).alias("sig"),
             "sh",
+            *(["toks"] if self.store_tokens else []),
         ).persist()
         n_live = rows.count()
         bid = F.lit(str(target))
@@ -814,10 +860,13 @@ class BandedMinHashIndex:
         # applied-only: a crashed, never-committed batch's partial rows
         # must not be folded under batch_id=target (the swap drops its
         # directories; its stream replay re-commits it cleanly)
+        doc_cols = ["id", "sig", "sh"] + (
+            ["toks"] if self.store_tokens else []
+        )
         docs = self._minus_deleted(
             self.spark.read.parquet(self.docs_path)
             .filter(self._applied_cond())
-            .select("id", "sig", "sh", "id_pfx")
+            .select(*doc_cols, "id_pfx")
         )
         swap(self.docs_path, docs, ["id_pfx"])
         bands = self._minus_deleted(

@@ -76,6 +76,58 @@ def minhash_index(
     )
 
 
+def minhash_index_with_tokens(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """:func:`minhash_index` plus ``toks`` — the whitespace token stream
+    ``sh`` derives from — for indexes that must RE-SHINGLE under a new
+    ``n`` later (``BandedMinHashIndex(store_tokens=True).rebuild(n=...)``).
+    (id, sig, sh) is bit-equal to :func:`minhash_index` (parity-tested);
+    the extra column costs roughly the text itself in storage, which is
+    why it is opt-in. Same staged-projection discipline as
+    :func:`dedup.with_shingle_hashes` (nesting the lambdas re-evaluates
+    tokenization per array element — O(tokens²) regex splits)."""
+    from . import spread
+    from .dedup import shingle_hashes
+
+    t = tokens(F.col(text_col))
+    s1 = (
+        spread(df)
+        .select(F.col(id_col).alias("id"), t.alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
+    s2 = s1.select(
+        "id", "toks", _grams_from_tokens(F.col("toks"), n).alias("_grams")
+    )
+    s3 = s2.select(
+        "id", "toks",
+        F.array_distinct(shingle_hashes(F.col("_grams"))).alias("sh"),
+    )
+    return s3.select(
+        "id",
+        minhash_signature_from_hashes(F.col("sh"), num_hashes, seed).alias(
+            "sig"
+        ),
+        "sh",
+        "toks",
+    )
+
+
+def _grams_from_tokens(tk, n: int):
+    """Distinct n-gram shingle strings from a token array — the exact
+    expression :func:`dedup.with_shingle_hashes` builds from raw text,
+    factored so stored token streams re-shingle bit-identically."""
+    starts = F.sequence(F.lit(1), F.size(tk) - (n - 1))
+    return F.array_distinct(
+        F.transform(starts, lambda i: F.array_join(F.slice(tk, i, n), " "))
+    )
+
+
 def _banded(index: DataFrame, num_bands: int, rows_per_band: int) -> DataFrame:
     return index.select(
         "id",

@@ -4732,6 +4732,107 @@ def test_banded_rebuild_reparameterizes_without_text(spark, tmp_path):
         cont.rebuild(num_hashes=16, num_bands=5)
 
 
+def test_banded_rebuild_changes_shingle_size(spark, tmp_path):
+    """rebuild(n=...) on a store_tokens index re-shingles the stored
+    token streams: surviving docs' (id, sig, sh) match a FRESH index
+    built at the new n bit-for-bit, docs shorter than the new n drop out
+    (ingest's no-shingle contract), the next batch's pairs match the
+    fresh index pair-for-pair, and an index without stored tokens
+    refuses the n change. minhash_index_with_tokens itself is
+    (id, sig, sh)-bit-equal to minhash_index."""
+    import random
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+    from qafs_spark.pipeline.incremental import (
+        minhash_index,
+        minhash_index_with_tokens,
+    )
+
+    rng = random.Random(47)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(30)
+    ]
+    rows.append((98, "just four tokens here"))  # survives n=3, drops at n=5
+    rows.append((99, rows[7][1]))               # clone of 7
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # builder parity: the token-preserving variant is bit-equal on
+    # (id, sig, sh)
+    a = sorted(
+        (r["id"], tuple(r["sig"]), tuple(sorted(r["sh"])))
+        for r in minhash_index(docs, "text", "doc_id", 3, 16, 42).collect()
+    )
+    b = sorted(
+        (r["id"], tuple(r["sig"]), tuple(sorted(r["sh"])))
+        for r in minhash_index_with_tokens(
+            docs, "text", "doc_id", 3, 16, 42
+        ).collect()
+    )
+    assert a == b
+
+    kw = dict(num_hashes=16, num_bands=8, num_partitions=8)
+    ix = BandedMinHashIndex(
+        spark, str(tmp_path / "tok"), n=3, store_tokens=True, **kw
+    )
+    b0 = docs.filter(F.col("doc_id") < 15)
+    b1 = docs.filter(F.col("doc_id") >= 15)
+    assert ix.apply_batch(b0, 0, threshold=0.5)
+    assert ix.apply_batch(b1, 1, threshold=0.5)
+    assert 98 in {r["id"] for r in ix.doc_rows().collect()}
+
+    assert ix.rebuild(n=5) == 31  # doc 98 (4 tokens) dropped out
+    assert ix.n == 5
+
+    fresh = BandedMinHashIndex(
+        spark, str(tmp_path / "fresh"), n=5, store_tokens=True, **kw
+    )
+    assert fresh.apply_batch(b0, 0, threshold=0.5)
+    assert fresh.apply_batch(b1, 1, threshold=0.5)
+
+    def doc_snap(i):
+        return sorted(
+            (r["id"], tuple(r["sig"]), tuple(sorted(r["sh"])))
+            for r in i.doc_rows().collect()
+        )
+
+    assert doc_snap(ix) == doc_snap(fresh)
+    assert 98 not in {t[0] for t in doc_snap(ix)}
+
+    # next batch pairs: rebuilt index must behave exactly like the fresh
+    # n=5 index (clone of doc 3 arrives)
+    b2 = spark.createDataFrame([(200, rows[3][1])], ["doc_id", "text"])
+    assert ix.apply_batch(b2, 2, threshold=0.5)
+    assert fresh.apply_batch(b2, 2, threshold=0.5)
+
+    def batch2_pairs(i):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in i.pairs().filter(F.col("batch_id") == 2).collect()
+        )
+
+    assert batch2_pairs(ix) == batch2_pairs(fresh)
+    assert (3, 200, 1.0) in batch2_pairs(ix)
+
+    # refused without stored tokens
+    plain = BandedMinHashIndex(spark, str(tmp_path / "plain"), n=3, **kw)
+    assert plain.apply_batch(b0, 0, threshold=0.5)
+    with pytest.raises(ValueError, match="store_tokens"):
+        plain.rebuild(n=5)
+
+    # legacy meta (written before store_tokens existed) validates fine
+    import json as _json
+
+    meta_path = str(tmp_path / "plain" / "meta")
+    cfg = _json.loads(spark.read.parquet(meta_path).first()["config"])
+    cfg.pop("store_tokens")
+    spark.createDataFrame(
+        [(_json.dumps(cfg),)], "config string"
+    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    legacy = BandedMinHashIndex(spark, str(tmp_path / "plain"), n=3, **kw)
+    assert legacy.apply_batch(b1, 1, threshold=0.5)
+
+
 def test_inverted_index_rebuild_repartitions(spark, tmp_path):
     """rebuild(num_partitions) re-hashes postings to a new term-prefix
     modulus without re-tokenizing: search results stay bit-identical,
