@@ -48,11 +48,18 @@ from typing import List, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Auto-tier cell sizing: small enough that the within-cell quadratic
-# term stays O(10⁷) comparisons per cell, large enough that the gate
-# fixtures (≤2000 embeddings) take the exact short-circuit and stay
-# DuckDB-hash-exact on the DEFAULT call.
+# Auto-tier sizing, two knobs:
+# - target_cell_size: the EXACT-path short-circuit bound — a corpus at or
+#   under it is cheap enough all-pairs (≤ ~8M cosines) and, crucially,
+#   large enough that the gate fixtures (≤2000 embeddings) take the
+#   short-circuit and stay DuckDB-hash-exact on the DEFAULT call.
+# - ivf_cell_rows: the auto tier's target ASSIGNED rows per IVF cell,
+#   counting multiprobe duplication (nprobe copies per vector) — the
+#   within-cell quadratic term is then ~ivf_cell_rows²/2 ≈ 0.5M cosines
+#   per cell, so total pair work grows LINEARLY in n (n·ivf_cell_rows/2)
+#   while cells stay big enough that near-dup recall holds.
 DEFAULT_TARGET_CELL_SIZE = 4096
+DEFAULT_IVF_CELL_ROWS = 1024
 
 
 def semantic_pairs(
@@ -66,13 +73,16 @@ def semantic_pairs(
     nprobe: Optional[int] = None,
     exact: bool = False,
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
+    ivf_cell_rows: int = DEFAULT_IVF_CELL_ROWS,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
     DEFAULT (no ``nlist``/``centroids``, ``exact=False``) = the AUTO
     scale tier: one count sizes the quantizer at
-    ``nlist = ceil(n / target_cell_size)`` with multiprobe ``nprobe=2``;
-    a corpus fitting one cell short-circuits to the exact all-pairs path
+    ``nlist = ceil(n * nprobe / ivf_cell_rows)`` (multiprobe ``nprobe=2``
+    — the duplication is counted, so cells land ~ivf_cell_rows rows and
+    total pair work grows linearly in n); a corpus at or under
+    ``target_cell_size`` short-circuits to the exact all-pairs path
     (bit-identical output, no quantizer overhead). ``exact=True`` forces
     all-pairs cosine at any size (the oracle tier; O(n²) — small data or
     certification runs only). With an explicit quantizer, vectors are
@@ -81,7 +91,9 @@ def semantic_pairs(
     restriction. A duplicate pair split across two cells is missed; that
     is the published algorithm's deliberate recall trade, certified
     against the exact tier by the ``semantic_dedup_agreement`` catalog
-    query.
+    query. (Residual cell skew is bounded by the quantizer — Lloyd
+    iterations balance the coarse cells; the persisted-index ingest path
+    additionally hard-caps cells, ``vector_index.DEFAULT_MAX_CELL_SIZE``.)
 
     ``nprobe`` > 1 is the recall knob for that trade: each vector lands in
     its ``nprobe`` nearest cells (multiprobe assignment), so a pair split
@@ -111,13 +123,18 @@ def semantic_pairs(
         # one narrow aggregate (map-side combined), negligible against
         # the pair join it bounds.
         n = df.count()
-        nlist = -(-n // max(1, int(target_cell_size)))  # ceil
-        if nlist <= 1:
+        if n <= max(1, int(target_cell_size)):
             return embedding_dedup_pairs(
                 df, vec_col, id_col, threshold=threshold, use_lsh=False
             )
         if nprobe is None:
             nprobe = 2
+        # cells sized for the ASSIGNED row count (n·nprobe with
+        # multiprobe): per-cell quadratic ~ivf_cell_rows²/2, total pair
+        # work ~n·ivf_cell_rows/2 — linear in n
+        nlist = min(
+            int(n), -(-(n * int(nprobe)) // max(1, int(ivf_cell_rows)))
+        )
     if nprobe is None:
         nprobe = 1
     if centroids is None:
@@ -175,6 +192,7 @@ def semantic_dedup(
     nprobe: Optional[int] = None,
     exact: bool = False,
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
+    ivf_cell_rows: int = DEFAULT_IVF_CELL_ROWS,
 ) -> DataFrame:
     """Per-row keep/drop decision: (id, cluster, keep) for EVERY input row.
 
@@ -205,6 +223,7 @@ def semantic_dedup(
     pairs = semantic_pairs(
         df, vec_col, id_col, threshold, nlist, centroids, train_iters,
         nprobe=nprobe, exact=exact, target_cell_size=target_cell_size,
+        ivf_cell_rows=ivf_cell_rows,
     )
     labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
     return (

@@ -2484,8 +2484,9 @@ def test_semantic_dedup_auto_tier_default(spark):
     assert sorted(map(tuple, dflt.collect())) == sorted(
         map(tuple, exact.collect())
     )
-    # forced past the cell target: the IVF branch engages (auto nlist=3,
-    # nprobe=2); cell restriction can only LOSE pairs, never invent them
+    # forced past the cell target: the IVF branch engages (48 rows,
+    # nprobe=2, 16-row cells -> auto nlist=6); cell restriction can only
+    # LOSE pairs, never invent them
     ep = {
         (r["id_a"], r["id_b"])
         for r in semdedup.semantic_pairs(
@@ -2495,12 +2496,14 @@ def test_semantic_dedup_auto_tier_default(spark):
     ap = {
         (r["id_a"], r["id_b"])
         for r in semdedup.semantic_pairs(
-            df, "embedding", "vec_id", threshold=0.9, target_cell_size=16
+            df, "embedding", "vec_id", threshold=0.9,
+            target_cell_size=16, ivf_cell_rows=16,
         ).collect()
     }
     assert ap and ap <= ep
     auto = semdedup.semantic_dedup(
-        df, "embedding", "vec_id", threshold=0.9, target_cell_size=16
+        df, "embedding", "vec_id", threshold=0.9,
+        target_cell_size=16, ivf_cell_rows=16,
     )
     assert semdedup.keep_set_agreement(exact, auto).first()["agreement_ok"]
     with pytest.raises(ValueError, match="exact"):
