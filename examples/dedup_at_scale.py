@@ -24,10 +24,10 @@ docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
 # --- 1. SemDeDup: keep one representative per semantic-duplicate group ----
-# The DEFAULT is the scale tier: nlist auto-sized to ceil(n/4096) with
-# multiprobe nprobe=2, so this same call is cell-bounded at 100 TB; a
-# corpus fitting one cell short-circuits to exact all-pairs (exact=True
-# forces that at any size).
+# The DEFAULT is the scale tier: cells auto-sized to ~1024 assigned rows
+# (nlist = ceil(n*nprobe/1024), multiprobe nprobe=2), so this same call
+# does LINEAR total pair work at 100 TB; corpora <=4096 rows
+# short-circuit to exact all-pairs (exact=True forces that at any size).
 decision = semdedup.semantic_dedup(emb, "embedding", "vec_id", threshold=0.4)
 kept = decision.filter("keep")
 print(f"semantic dedup: kept {kept.count()} of {emb.count()} vectors")

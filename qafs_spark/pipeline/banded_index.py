@@ -228,7 +228,7 @@ class BandedMinHashIndex:
     def _write_meta(self) -> None:
         self.spark.createDataFrame(
             [(json.dumps(self._config()),)], "config string"
-        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.meta_path)
 
     # -- helpers -----------------------------------------------------------
 
@@ -295,7 +295,7 @@ class BandedMinHashIndex:
             if not ids:
                 return 0
             df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
-        df.coalesce(1).write.mode("append").parquet(self.deletes_path)
+        df.repartition(1).write.mode("append").parquet(self.deletes_path)
         n = df.count()
         self._invalidate_meta_caches()
         return n
@@ -797,10 +797,10 @@ class BandedMinHashIndex:
         # makes the staged rebuild the committed state
         self.spark.createDataFrame(
             [(int(target),)], "through long"
-        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
         self.spark.createDataFrame(
             [(json.dumps(self._config()),)], "config string"
-        ).coalesce(1).write.mode("overwrite").parquet(self.rebuild_marker_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.rebuild_marker_path)
         self._recover_rebuild()
         self._ct_cache = int(target)
         return n_live
@@ -839,7 +839,7 @@ class BandedMinHashIndex:
         # watermark first: every batch being folded IS durably applied
         self.spark.createDataFrame(
             [(int(target),)], "through long"
-        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
 
         def swap(path: str, df, part_cols: list) -> None:
             staging = path.rstrip("/") + ".__compact__"

@@ -128,7 +128,7 @@ class InvertedIndex:
         else:
             self.spark.createDataFrame(
                 [(json.dumps(cfg),)], "config string"
-            ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+            ).repartition(1).write.mode("overwrite").parquet(self.meta_path)
         self._meta_checked = True
 
     # -- merge-on-read deletes ---------------------------------------------
@@ -142,7 +142,7 @@ class InvertedIndex:
             if not ids:
                 return 0
             df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
-        df.coalesce(1).write.mode("append").parquet(self.deletes_path)
+        df.repartition(1).write.mode("append").parquet(self.deletes_path)
         n = df.count()
         self._invalidate_meta_caches()
         return n
@@ -431,7 +431,7 @@ class InvertedIndex:
         self.spark.createDataFrame(
             [(json.dumps({"num_partitions": self.num_partitions}),)],
             "config string",
-        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.meta_path)
         fs_storage.delete_path(self.spark, self.deletes_path)
         fs_storage.delete_path(self.spark, self.rebuild_marker_path)
         self._invalidate_meta_caches()
@@ -491,11 +491,11 @@ class InvertedIndex:
         )
         self.spark.createDataFrame(
             [(int(target),)], "through long"
-        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
         self.spark.createDataFrame(
             [(json.dumps({"num_partitions": self.num_partitions}),)],
             "config string",
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).repartition(1).write.mode("overwrite").parquet(
             self.rebuild_marker_path
         )
         self._recover_rebuild()
@@ -515,7 +515,7 @@ class InvertedIndex:
         applied_cond = self._applied_cond()
         self.spark.createDataFrame(
             [(int(target),)], "through long"
-        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
 
         def swap(path: str, df, part_cols: list) -> None:
             staging = path.rstrip("/") + ".__compact__"

@@ -167,7 +167,7 @@ class CellVectorIndex:
             self.spark.createDataFrame(
                 [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
                 "cell int, centroid array<double>",
-            ).coalesce(1).write.mode("overwrite").parquet(self.centroids_path)
+            ).repartition(1).write.mode("overwrite").parquet(self.centroids_path)
             self._write_meta(version=1)
             self._cents_cache = [[float(x) for x in c] for c in cents]
         elif not self._meta_checked:
@@ -191,7 +191,7 @@ class CellVectorIndex:
         self.spark.createDataFrame(
             [(json.dumps({**self._config(), "version": int(version)}),)],
             "config string",
-        ).coalesce(1).write.mode("overwrite").parquet(self.meta_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.meta_path)
 
     def _read_meta(self) -> dict:
         return json.loads(
@@ -298,7 +298,7 @@ class CellVectorIndex:
             if not ids:
                 return 0
             df = self.spark.createDataFrame([(i,) for i in ids], ["id"]).distinct()
-        df.coalesce(1).write.mode("append").parquet(self.deletes_path)
+        df.repartition(1).write.mode("append").parquet(self.deletes_path)
         n = df.count()
         self._invalidate_meta_caches()
         return n
@@ -449,17 +449,17 @@ class CellVectorIndex:
         self.spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cell int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(cstage)
+        ).repartition(1).write.mode("overwrite").parquet(cstage)
         # watermark first (it only asserts what is already true), then the
         # intent marker makes the staged retrain the committed state
         self.spark.createDataFrame(
             [(int(target),)], "through long"
-        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
         new_version = self.version() + 1
         self.spark.createDataFrame(
             [(int(new_version), json.dumps(self._config()))],
             "version long, config string",
-        ).coalesce(1).write.mode("overwrite").parquet(self.retrain_marker_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.retrain_marker_path)
         self._recover_retrain()
         self._ct_cache = int(target)
         return n_live
@@ -492,7 +492,7 @@ class CellVectorIndex:
         applied_cond = self._applied_cond()
         self.spark.createDataFrame(
             [(int(target),)], "through long"
-        ).coalesce(1).write.mode("overwrite").parquet(self.watermark_path)
+        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
         staging = self.vectors_path.rstrip("/") + ".__compact__"
         old = self.vectors_path.rstrip("/") + ".__old__"
         fs_storage.delete_path(self.spark, staging)
