@@ -584,7 +584,7 @@ def embedding_dedup_pairs(
     the oracle path for small data. Pass ``dim`` explicitly to keep plan
     construction job-free (the ``.first()`` fallback runs a driver job).
     """
-    from .similarity import cosine_pre, hyperplane_bucket, norm
+    from .similarity import cosine_pre_batch, hyperplane_bucket, norm
 
     # norms staged once per ROW (bit-equal to per-pair cosine, ~3x fewer
     # array aggregates in the quadratic pair stage — see cosine_pre)
@@ -607,7 +607,7 @@ def embedding_dedup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_pre(
+            cosine_pre_batch(
                 F.col("a.vec"), F.col("b.vec"), F.col("a.__n"), F.col("b.__n")
             ).alias("cosine"),
         )

@@ -113,7 +113,7 @@ def semantic_pairs(
     computed once and reused (ReusedExchange), never broadcast-duplicated.
     """
     from .dedup import embedding_dedup_pairs
-    from .similarity import _cell_assigner, _probe_cells, cosine_pre, ivf_train, norm
+    from .similarity import _cell_assigner, _probe_cells, cosine_pre_batch, ivf_train, norm
 
     if exact:
         if nlist is not None or centroids is not None:
@@ -169,7 +169,7 @@ def semantic_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_pre(
+            cosine_pre_batch(
                 F.col("a.vec"), F.col("b.vec"), F.col("a.__n"), F.col("b.__n")
             ).alias("cosine"),
         )

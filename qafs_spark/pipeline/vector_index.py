@@ -679,7 +679,7 @@ class CellVectorIndex:
         ``max_band_size`` analogue; ``None`` disables), so a skewed cell
         can never make the within-cell join quadratic in the corpus.
         """
-        from .similarity import cosine_pre
+        from .similarity import cosine_pre_batch
 
         cents = self._ensure_centroids(new_vecs, id_col, vec_col)
         assigned = self._assigned(
@@ -713,7 +713,7 @@ class CellVectorIndex:
             return joined.select(
                 F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
                 F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-                cosine_pre(
+                cosine_pre_batch(
                     F.col("a.vec"), F.col("b.vec"),
                     F.col("a.__n"), F.col("b.__n"),
                 ).alias("cosine"),
@@ -805,7 +805,7 @@ class CellVectorIndex:
         neighbor id, the package's ANN convention."""
         from pyspark.sql import Window
 
-        from .similarity import cosine_pre
+        from .similarity import cosine_pre_batch
 
         self._recover_compaction()  # incl. finishing a committed retrain
         cents = self.centroids()
@@ -824,7 +824,7 @@ class CellVectorIndex:
             .select(
                 F.col("q.id").alias("query_id"),
                 F.col("s.id").alias("neighbor_id"),
-                cosine_pre(
+                cosine_pre_batch(
                     F.col("q.vec"), F.col("s.vec"),
                     F.col("q.__n"), F.col("s.__n"),
                 ).alias("cosine"),
