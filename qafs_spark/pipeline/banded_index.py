@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import storage as fs_storage
-from . import manifest
+from . import manifest, pairs_fold
 from .dedup import DEFAULT_MAX_BAND_SIZE, lsh_band_keys
 from .incremental import minhash_index, minhash_index_with_tokens
 
@@ -112,6 +112,9 @@ class BandedMinHashIndex:
         self.deletes_path = j(root, "deletes")
         self.rebuild_marker_path = j(root, "rebuild_commit")
         self.applied_log_path = j(root, "applied_log")
+        self.pairs_hist_path = j(root, "pairs_hist")
+        self.pairs_folded_path = j(root, "pairs_folded")
+        self.pairs_fold_marker_path = j(root, "pairs_fold_commit")
         self._persisted: list[DataFrame] = []
         # per-instance metadata caches: the compaction watermark, the
         # tombstone set, and the meta-row validation are all tiny but
@@ -126,6 +129,7 @@ class BandedMinHashIndex:
         # (applied-ids set above the watermark, log-exists flag) — one
         # cached commit-log read replaces the per-batch _SUCCESS probes
         self._applied_cache: Optional[tuple] = None
+        self._pf_cache: Optional[int] = None  # pairs-fold watermark
 
     def _invalidate_meta_caches(self) -> None:
         if isinstance(self._tomb_cache, DataFrame):
@@ -133,6 +137,7 @@ class BandedMinHashIndex:
         self._tomb_cache = "unset"
         self._ct_cache = None
         self._applied_cache = None
+        self._pf_cache = None
 
     def _sync_tombstones(self) -> None:
         """Cross-instance delete visibility on a cheap signal: one
@@ -604,13 +609,18 @@ class BandedMinHashIndex:
         sources/feature_dataset.py)."""
         for path in (
             self.docs_path, self.bands_path, self.counts_path,
-            self.pairs_path,
+            self.pairs_path, self.pairs_hist_path,
         ):
             old = path.rstrip("/") + ".__old__"
             if not fs_storage.path_exists(self.spark, path) and (
                 fs_storage.path_exists(self.spark, old)
             ):
                 fs_storage.rename_path(self.spark, old, path)
+        if pairs_fold.recover(
+            self.spark, self.pairs_path, self.pairs_hist_path,
+            self.pairs_folded_path, self.pairs_fold_marker_path,
+        ):
+            self._pf_cache = None
         self._recover_rebuild()
 
     # -- parameter rebuild (re-banding / re-hashing) -----------------------
@@ -907,22 +917,51 @@ class BandedMinHashIndex:
             F.col("batch_id").isin(marked)
         )
 
+    def _pairs_folded(self) -> int:
+        """Highest batch id folded into ``pairs_hist`` (-1 if never);
+        cached — it only moves when this instance folds."""
+        if self._pf_cache is None:
+            self._pf_cache = pairs_fold.folded_through(
+                self.spark, self.pairs_folded_path
+            )
+        return self._pf_cache
+
     def pairs(self) -> DataFrame:
         """Accumulated (id_a, id_b, jaccard, batch_id) over all APPLIED
         batches (empty long-id frame if no batch ever produced a pair).
         Pairs are written before the applied marker, so an in-flight or
         crashed batch's pairs are filtered out here — they reappear,
-        byte-identical, once its replay commits."""
-        try:
-            df = self.spark.read.parquet(self.pairs_path)
-        except Exception:
-            return self.spark.createDataFrame(
-                [], "id_a long, id_b long, jaccard double, batch_id long"
-            )
-        df = df.filter(self._applied_cond())
-        return df.select(
-            "id_a", "id_b", "jaccard", F.col("batch_id").cast("long").alias("batch_id")
+        byte-identical, once its replay commits. Batches folded by
+        :meth:`compact_pairs` read from the consolidated history dataset
+        (batch_id preserved as a data column — same rows, same schema)."""
+        self._recover_compaction()
+        return pairs_fold.read_all(
+            self.spark, self.pairs_path, self.pairs_hist_path,
+            self._pairs_folded(), self._applied_cond(),
+            ["id_a", "id_b", "jaccard", "batch_id"],
+            "id_a long, id_b long, jaccard double, batch_id long",
         )
+
+    def compact_pairs(self) -> int:
+        """Fold the pairs log's per-batch directories at or below the
+        compaction watermark into ``pairs_hist`` (batch_id kept as a
+        data column — :meth:`pairs` output is bit-identical). Bounds the
+        pairs-read listing to the batches since the last fold, the same
+        O(batches) metadata term the applied-log manifest removed from
+        the probe path; :meth:`compact` leaves the pairs log alone
+        precisely so per-batch provenance survives, and this fold keeps
+        that provenance while dropping the directory-per-batch layout.
+        Marker-committed and crash-finishable (:mod:`pairs_fold`);
+        **run quiesced**, like compact. Returns directories folded."""
+        self._recover_compaction()
+        n = pairs_fold.fold(
+            self.spark, self.pairs_path, self.pairs_hist_path,
+            self.pairs_folded_path, self.pairs_fold_marker_path,
+            self._compacted_through(),
+            ["id_a", "id_b", "jaccard", "batch_id"],
+        )
+        self._pf_cache = None
+        return n
 
     def doc_rows(self) -> DataFrame:
         """All live (id, sig, sh) rows of APPLIED batches — tombstoned
@@ -953,12 +992,16 @@ class BandedMinHashIndex:
                 [(i,) for i in ids], ["id"]
             ).distinct()
         self._recover_compaction()
+        hist_dropped = pairs_fold.scrub_hist(
+            self.spark, self.pairs_hist_path, tomb,
+            ["id_a", "id_b", "jaccard", "batch_id"],
+        )
         if not fs_storage.path_exists(self.spark, self.pairs_path):
-            return 0
+            return hist_dropped
         try:
             pairs = self.spark.read.parquet(self.pairs_path)
         except Exception:
-            return 0
+            return hist_dropped
         before = pairs.count()
         kept = (
             pairs.join(
@@ -985,4 +1028,4 @@ class BandedMinHashIndex:
             after = self.spark.read.parquet(self.pairs_path).count()
         except Exception:
             after = 0  # every batch dir emptied
-        return before - after
+        return hist_dropped + before - after

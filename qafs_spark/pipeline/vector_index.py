@@ -49,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import storage as fs_storage
-from . import manifest
+from . import manifest, pairs_fold
 
 # Ingest-dedup cell cap: a cell past this size gets sub-bucketed by
 # hyperplane sign patterns before the within-cell pair join, capping the
@@ -84,6 +84,9 @@ class CellVectorIndex:
         self.watermark_path = j(root, "compacted_through")
         self.retrain_marker_path = j(root, "retrain_commit")
         self.applied_log_path = j(root, "applied_log")
+        self.pairs_hist_path = j(root, "pairs_hist")
+        self.pairs_folded_path = j(root, "pairs_folded")
+        self.pairs_fold_marker_path = j(root, "pairs_fold_commit")
         self._persisted: list = []
         # per-instance metadata caches (watermark, tombstones, quantizer,
         # meta validation): tiny fixed parquet reads otherwise repeated
@@ -97,6 +100,7 @@ class CellVectorIndex:
         # (applied-ids set above the watermark, log-exists flag) — one
         # cached commit-log read replaces the per-batch _SUCCESS probes
         self._applied_cache: Optional[tuple] = None
+        self._pf_cache: Optional[int] = None  # pairs-fold watermark
 
     def _invalidate_meta_caches(self) -> None:
         if isinstance(self._tomb_cache, DataFrame):
@@ -104,6 +108,7 @@ class CellVectorIndex:
         self._tomb_cache = "unset"
         self._ct_cache = None
         self._applied_cache = None
+        self._pf_cache = None
 
     def _sync_tombstones(self) -> None:
         """Cross-instance delete visibility on a cheap signal: one
@@ -328,12 +333,20 @@ class CellVectorIndex:
     # -- compaction --------------------------------------------------------
 
     def _recover_compaction(self) -> None:
-        for path in (self.vectors_path, self.centroids_path, self.pairs_path):
+        for path in (
+            self.vectors_path, self.centroids_path, self.pairs_path,
+            self.pairs_hist_path,
+        ):
             old = path.rstrip("/") + ".__old__"
             if not fs_storage.path_exists(self.spark, path) and (
                 fs_storage.path_exists(self.spark, old)
             ):
                 fs_storage.rename_path(self.spark, old, path)
+        if pairs_fold.recover(
+            self.spark, self.pairs_path, self.pairs_hist_path,
+            self.pairs_folded_path, self.pairs_fold_marker_path,
+        ):
+            self._pf_cache = None
         self._recover_retrain()
 
     # -- quantizer retrain (drift remedy) ----------------------------------
@@ -530,21 +543,46 @@ class CellVectorIndex:
             F.col("batch_id").isin(marked)
         )
 
+    def _pairs_folded(self) -> int:
+        """Highest batch id folded into ``pairs_hist`` (-1 if never);
+        cached — it only moves when this instance folds."""
+        if self._pf_cache is None:
+            self._pf_cache = pairs_fold.folded_through(
+                self.spark, self.pairs_folded_path
+            )
+        return self._pf_cache
+
     def pairs(self) -> DataFrame:
         """Accumulated (id_a, id_b, cosine, batch_id) over all APPLIED
         batches. Pairs commit before the applied marker, so an in-flight
         or crashed batch's pairs stay invisible until its replay
-        commits (same isolation rule as search)."""
-        try:
-            df = self.spark.read.parquet(self.pairs_path)
-        except Exception:
-            return self.spark.createDataFrame(
-                [], "id_a long, id_b long, cosine double, batch_id long"
-            )
-        return df.filter(self._applied_cond()).select(
-            "id_a", "id_b", "cosine",
-            F.col("batch_id").cast("long").alias("batch_id"),
+        commits (same isolation rule as search). Batches folded by
+        :meth:`compact_pairs` read from the consolidated history dataset
+        (batch_id preserved as a data column — same rows, same schema)."""
+        self._recover_compaction()
+        return pairs_fold.read_all(
+            self.spark, self.pairs_path, self.pairs_hist_path,
+            self._pairs_folded(), self._applied_cond(),
+            ["id_a", "id_b", "cosine", "batch_id"],
+            "id_a long, id_b long, cosine double, batch_id long",
         )
+
+    def compact_pairs(self) -> int:
+        """Fold pairs-log batch directories at or below the compaction
+        watermark into ``pairs_hist`` — same contract, protocol, and
+        rationale as
+        :meth:`banded_index.BandedMinHashIndex.compact_pairs` (marker-
+        committed, crash-finishable, output bit-identical; **run
+        quiesced**). Returns directories folded."""
+        self._recover_compaction()
+        n = pairs_fold.fold(
+            self.spark, self.pairs_path, self.pairs_hist_path,
+            self.pairs_folded_path, self.pairs_fold_marker_path,
+            self._compacted_through(),
+            ["id_a", "id_b", "cosine", "batch_id"],
+        )
+        self._pf_cache = None
+        return n
 
     def scrub_pairs(self, ids) -> int:
         """GDPR-complete removal from the pairs log — same contract and
@@ -560,12 +598,16 @@ class CellVectorIndex:
                 [(i,) for i in ids], ["id"]
             ).distinct()
         self._recover_compaction()
+        hist_dropped = pairs_fold.scrub_hist(
+            self.spark, self.pairs_hist_path, tomb,
+            ["id_a", "id_b", "cosine", "batch_id"],
+        )
         if not fs_storage.path_exists(self.spark, self.pairs_path):
-            return 0
+            return hist_dropped
         try:
             pairs = self.spark.read.parquet(self.pairs_path)
         except Exception:
-            return 0
+            return hist_dropped
         before = pairs.count()
         kept = (
             pairs.join(
@@ -592,7 +634,7 @@ class CellVectorIndex:
             after = self.spark.read.parquet(self.pairs_path).count()
         except Exception:
             after = 0
-        return before - after
+        return hist_dropped + before - after
 
     # -- core --------------------------------------------------------------
 

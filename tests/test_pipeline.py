@@ -4418,6 +4418,86 @@ def test_index_pairs_log_applied_only(spark, tmp_path):
     assert {tuple(r) for r in vx2.pairs().collect()} == vall
 
 
+def test_index_pairs_fold_bounds_directories(spark, tmp_path, monkeypatch):
+    """compact_pairs() folds pairs-log batch dirs at/below the compaction
+    watermark into one consolidated history dataset (batch_id kept as a
+    data column): pairs() output is BIT-IDENTICAL, the live tree keeps
+    only post-fold directories, a crash after the intent marker is
+    finished by the next reader, scrub_pairs reaches folded rows, and
+    batches applied after the fold appear alongside history."""
+    import os
+    import random
+
+    import qafs_spark.pipeline.pairs_fold as pf
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rng = random.Random(53)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(20))) for i in range(24)]
+    clones = [(100 + i, rows[i][1]) for i in range(6)]  # cross-batch dups
+    docs = spark.createDataFrame(rows + clones, ["doc_id", "text"])
+    kw = dict(n=3, num_hashes=16, num_bands=8, num_partitions=8)
+    ix = BandedMinHashIndex(spark, str(tmp_path / "ix"), **kw)
+    for b in range(3):
+        assert ix.apply_batch(
+            docs.filter(F.col("doc_id") % 3 == b), b, threshold=0.5
+        )
+
+    def snap(i):
+        return sorted(map(tuple, i.pairs().collect()))
+
+    want = snap(ix)
+    assert want  # the clones produced pairs
+    assert ix.compact() >= 1
+    assert ix.compact_pairs() == 3
+    assert snap(ix) == want  # bit-identical through the history reader
+    assert ix.compact_pairs() == 0  # idempotent
+    live_dirs = [
+        d for d in os.listdir(str(tmp_path / "ix" / "pairs"))
+        if d.startswith("batch_id=")
+    ] if os.path.exists(str(tmp_path / "ix" / "pairs")) else []
+    assert live_dirs == []  # every folded dir physically gone
+
+    # a post-fold batch lands in the live tree and unions with history
+    b3 = spark.createDataFrame([(500, rows[2][1])], ["doc_id", "text"])
+    assert ix.apply_batch(b3, 3, threshold=0.5)
+    after = snap(ix)
+    assert set(want) < set(after)
+    assert any(b == 3 for *_, b in after)
+
+    # crash window: staging + marker written, finish step never ran —
+    # the next READER (fresh instance) completes the fold
+    assert ix.compact() >= 0  # advance watermark over batch 3
+    orig_recover = pf.recover
+    monkeypatch.setattr(pf, "recover", lambda *a, **k: False)
+    assert ix.compact_pairs() == 1  # staged, marker committed, unfinished
+    monkeypatch.setattr(pf, "recover", orig_recover)
+    assert os.path.exists(str(tmp_path / "ix" / "pairs_fold_commit"))
+    ix2 = BandedMinHashIndex(spark, str(tmp_path / "ix"), **kw)
+    assert snap(ix2) == after
+    assert not os.path.exists(str(tmp_path / "ix" / "pairs_fold_commit"))
+
+    # GDPR: scrubbing an id whose pairs were folded rewrites history
+    victim = after[0][0]
+    assert ix2.scrub_pairs([victim]) >= 1
+    assert all(victim not in (p[0], p[1]) for p in snap(ix2))
+
+    # vector index: same fold contract
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(4)]) for i in range(12)]
+    vclones = [(100 + i, [x + 1e-7 for x in vecs[i][1]]) for i in range(4)]
+    emb = spark.createDataFrame(vecs + vclones, ["vec_id", "embedding"])
+    vx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
+    assert vx.apply_batch(emb.filter(F.col("vec_id") < 50), 0, threshold=0.9)
+    assert vx.apply_batch(emb.filter(F.col("vec_id") >= 50), 1, threshold=0.9)
+    vwant = snap(vx)
+    assert vwant
+    assert vx.compact() >= 1
+    assert vx.compact_pairs() == 2
+    assert snap(vx) == vwant
+    assert vx.scrub_pairs([vwant[0][0]]) >= 1
+
+
 def test_cluster_pairs_durable_checkpoint_dir(spark, tmp_path):
     """converge-mode label propagation with a checkpoint_dir writes each
     round's labels to parquet (the fault-tolerant cluster form) instead
