@@ -933,8 +933,15 @@ class BandedMinHashIndex:
         crashed batch's pairs are filtered out here — they reappear,
         byte-identical, once its replay commits. Batches folded by
         :meth:`compact_pairs` read from the consolidated history dataset
-        (batch_id preserved as a data column — same rows, same schema)."""
-        self._recover_compaction()
+        (batch_id preserved as a data column — same rows, same schema).
+
+        Recovery (incl. finishing a marker-committed fold) runs on the
+        COLD read only — the fold watermark cache doubles as the
+        checked-flag, so warm repeated pairs() reads cost zero extra FS
+        ops, and every mutating op invalidates the cache and re-arms
+        the check."""
+        if self._pf_cache is None:
+            self._recover_compaction()
         return pairs_fold.read_all(
             self.spark, self.pairs_path, self.pairs_hist_path,
             self._pairs_folded(), self._applied_cond(),
