@@ -208,7 +208,9 @@ def streaming_semantic_dedup(
     # delete_ids issued through OTHER instances while the stream runs
     # stay visible: apply_batch re-syncs the tombstone cache per batch
     # off the deletes dataset's listing signature (_sync_tombstones);
-    # compact/rebuild/retrain still require a quiesced stream.
+    # compact/rebuild/retrain/compact_pairs still require a quiesced
+    # stream (compact_pairs bounds the pairs log's directory-per-batch
+    # growth between maintenance windows).
     holder: list = []
 
     def process(batch: DataFrame, batch_id: int) -> None:
