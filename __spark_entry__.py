@@ -3,11 +3,12 @@
 ``entry(spark)`` runs the flagship end-to-end feature-store pipeline on
 sf0.001; ``queries()``/``oracle_sql()`` expose the full declared catalog from
 ``qafs_spark.queries`` — every operator from SURVEY.md §2 plus the pipeline
-extensions, each with an exactly-equivalent DuckDB oracle. The only two
-rows-only entries are the approximate ANN tiers (``lsh_ann_topk`` /
-``ivf_ann_topk``), approximate by nature; their machinery is certified by
-the oracle-checked ``lsh_ann_recall`` / ``ivf_ann_recall`` companion rows
-(in-Spark recall@5 vs the exact tier) and recall tests in tests/.
+extensions, each with an exactly-equivalent DuckDB oracle. As of round 10
+EVERY catalog entry has an oracle: the approximate ANN tiers
+(``lsh_ann_topk`` / ``ivf_ann_topk``) replay their deterministic candidate
+generation (seeded hyperplane literals / md5-seeded quantizer) in DuckDB
+SQL; recall vs the exact tier stays certified by the ``lsh_ann_recall`` /
+``ivf_ann_recall`` companion rows and recall tests in tests/.
 """
 
 from __future__ import annotations

@@ -1885,29 +1885,157 @@ def q_stream_sliding(spark, sf_dir):
     return spark.table(name)
 
 
-@register("lsh_ann_topk")  # approximate (recall < 1 by design): rows-only
+def _sql_plane_values(dim: int = 64, num_planes: int = 8, seed: int = 42) -> str:
+    """The seeded LSH hyperplanes as a DuckDB ``VALUES`` list of DOUBLE
+    arrays. ``sim.hyperplanes`` is a pure function of (dim, planes, seed),
+    so the SAME literal floats embed into the Spark plan (via
+    ``hyperplane_bucket``) and this oracle SQL — ``%.17e`` round-trips
+    float64 exactly (verified: DuckDB parses scientific notation as
+    DOUBLE, not DECIMAL)."""
+    rows = []
+    for i, p in enumerate(sim.hyperplanes(dim, num_planes, seed)):
+        vals = ", ".join(format(x, ".17e") for x in p)
+        rows.append(f"({i}, [{vals}])")
+    return ",\n        ".join(rows)
+
+
+# Sign-pattern bucket replay: bit i of a vector's bucket = (v · h_i >= 0).
+# SUM over BIGINT is HUGEINT in DuckDB — cast back for xor/bit_count.
+_SQL_LSH_SIG = f"""
+    planes(pid, pvec) AS (VALUES {_sql_plane_values()}),
+    sig AS (
+        SELECT e.vec_id,
+               CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                   j -> CAST(e.embedding[CAST(j AS INTEGER)] AS DOUBLE)
+                        * p.pvec[CAST(j AS INTEGER)])) >= 0
+                   THEN (CAST(1 AS BIGINT) << p.pid)
+                   ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id
+    )
+"""
+
+
+@register(
+    "lsh_ann_topk",
+    # Full candidate-generation replay: multiprobe_bits=1 probes the
+    # query's bucket plus every 1-bit flip, i.e. candidates are exactly
+    # the vectors with hamming(bucket_q, bucket_d) <= 1.
+    oracle=f"""
+    WITH {_SQL_LSH_SIG},
+    qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_SQL_COSINE}, 6) AS cosine_r6,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_SQL_COSINE} DESC, b.vec_id ASC
+               ) AS rank
+        FROM embeddings a
+        JOIN qids ON qids.vec_id = a.vec_id
+        JOIN sig sa ON sa.vec_id = a.vec_id
+        JOIN sig sb ON bit_count(xor(sa.bucket, sb.bucket)) <= 1
+        JOIN embeddings b ON b.vec_id = sb.vec_id AND b.vec_id != a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r6, rank FROM scored WHERE rank <= 5
+    """,
+)
 def q_lsh_ann_topk(spark, sf_dir):
     """Pipeline: hyperplane-LSH bucketed approximate top-k — the scale path
     for similarity search (bucket equi-join instead of the cross join).
-    Approximate ⇒ no SQL oracle; tests/ compare recall against brute force."""
+    Oracle-replayable because the hyperplanes are a pure seeded function
+    inlined as identical float64 literals in BOTH engines; the oracle
+    regenerates the sign-pattern buckets, the hamming<=1 multiprobe
+    candidate set, and the exact in-bucket cosine top-5. Recall vs brute
+    force is certified separately by `lsh_ann_recall`."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(8)
-    return sim.lsh_topk(
+    out = sim.lsh_topk(
         emb, queries, k=5, num_planes=8, multiprobe_bits=1, seed=42, dim=64
-    ).select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine_r6"),
+        "rank",
+    )
 
 
-@register("ivf_ann_topk")  # approximate (trained quantizer): rows-only
+# IVF candidate-generation replay: the md5-seeded quantizer's centroids
+# are EXACT data vectors (no float averaging), so DuckDB re-derives them
+# bit-for-bit; cell = argmax cosine (ties -> smallest cell, matching
+# numpy argmax / stable argsort in similarity._cell_assigner/_probe_cells).
+_SQL_IVF_CELLS = f"""
+    cents AS (
+        SELECT row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+               embedding
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16)
+    ),
+    vc AS (
+        SELECT a.vec_id, b.cell,
+               {{cos}} AS cos
+        FROM embeddings a CROSS JOIN cents b
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+            FROM vc
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "ivf_ann_topk",
+    oracle=f"""
+    WITH {_SQL_IVF_CELLS.format(cos=_SQL_COSINE)},
+    qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    probes AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, v.cell, row_number() OVER (
+                PARTITION BY v.vec_id ORDER BY v.cos DESC, v.cell ASC) AS rn
+            FROM vc v JOIN qids ON qids.vec_id = v.vec_id
+        ) WHERE rn <= 6
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_SQL_COSINE}, 6) AS cosine_r6,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {_SQL_COSINE} DESC, b.vec_id ASC
+               ) AS rank
+        FROM probes p
+        JOIN assigned d ON d.cell = p.cell
+        JOIN embeddings a ON a.vec_id = p.vec_id
+        JOIN embeddings b ON b.vec_id = d.vec_id AND b.vec_id != a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine_r6, rank FROM scored WHERE rank <= 5
+    """,
+)
 def q_ivf_ann_topk(spark, sf_dir):
-    """Pipeline: IVF-flat ANN (FAISS-style) — Lloyd-trained coarse quantizer,
-    Arrow-batched matmul cell assignment, nprobe-cell candidate equi-join.
-    Approximate ⇒ no SQL oracle; recall vs brute force tested in tests/."""
+    """Pipeline: IVF-flat ANN — md5-seeded deterministic coarse quantizer
+    (centroids are exact data vectors, so the DuckDB oracle re-derives
+    them bit-for-bit), Arrow-batched matmul cell assignment, nprobe-cell
+    candidate equi-join. The oracle replays seed selection, argmax-cosine
+    cell assignment, top-6 probe ranking, and the in-cell cosine top-5.
+    The Lloyd-TRAINED quantizer path (`ivf_train`, float-averaged
+    centroids — not float-replayable across engines) stays certified by
+    `ivf_ann_recall` + tests/."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(8)
-    cents = sim.ivf_train(emb, nlist=16, iters=1)
-    return sim.ivf_topk(
+    cents = sim.ivf_centroids(emb, nlist=16)
+    out = sim.ivf_topk(
         emb, queries, k=5, nlist=16, nprobe=6, centroids=cents
-    ).select("query_id", "neighbor_id", "cosine", "rank")
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine"), 6).alias("cosine_r6"),
+        "rank",
+    )
 
 
 _SQL_ANN_RECALL_ORACLE = """
