@@ -41,6 +41,15 @@ from .. import storage as fs_storage
 from . import manifest
 from .text import tokens
 
+# doclens fold sizing: one row per live document (two narrow columns), so
+# ~2M rows per write task keeps files in the tens-of-MB range; 1 file for
+# gate-scale corpora, hundreds of parallel tasks at 10^9 docs
+_DOCLENS_ROWS_PER_TASK = 2_000_000
+
+
+def _doclens_partitions(n_rows: int) -> int:
+    return max(1, -(-int(n_rows) // _DOCLENS_ROWS_PER_TASK))
+
 
 class InvertedIndex:
     """Persisted BM25 index rooted at ``root``."""
@@ -482,9 +491,13 @@ class InvertedIndex:
             .select("id", "dl")
         )
         n_live = dl.count()
+        # doclens is CORPUS-sized (one row per live document): spread the
+        # fold across hash-of-id tasks scaled to the row count — never a
+        # single-task write of a multi-GB table (round-10 fix; small
+        # corpora still produce one file)
         (
             dl.withColumn("batch_id", bid)
-            .coalesce(1)
+            .repartition(_doclens_partitions(n_live), F.col("id"))
             .write.partitionBy("batch_id")
             .mode("overwrite")
             .parquet(self.doclens_path.rstrip("/") + ".__rebuild__")
@@ -525,7 +538,12 @@ class InvertedIndex:
             if part_cols:
                 out = out.repartition(*[F.col(c) for c in part_cols])
             else:
-                out = out.coalesce(1)
+                # the no-part-cols dataset is doclens — corpus-sized;
+                # scale the fold's task count to its row count instead of
+                # folding through one task (round-10 fix)
+                out = out.repartition(
+                    _doclens_partitions(df.count()), F.col("id")
+                )
             (
                 out.write.partitionBy("batch_id", *part_cols)
                 .mode("overwrite")

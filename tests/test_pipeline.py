@@ -4967,3 +4967,58 @@ def test_inverted_index_rebuild_repartitions(spark, tmp_path):
     assert [tuple(r) for r in stale.search(terms, k=10).collect()] == want_b
     assert stale.num_partitions == 4
     assert not os.path.exists(str(tmp_path / "b" / "rebuild_commit"))
+
+
+def test_inverted_doclens_fold_is_partitioned(spark, tmp_path, monkeypatch):
+    """rebuild() and compact() spread the corpus-sized doclens fold over
+    hash-of-id tasks scaled to the live row count — never a single-task
+    write (round-10 fix for the coalesce(1) seam). With the per-task row
+    budget shrunk below the corpus size, both lifecycle ops must emit
+    MULTIPLE doclens part files while search results stay bit-equal."""
+    import os
+    import random
+
+    from qafs_spark.pipeline import text_index as tix
+
+    monkeypatch.setattr(tix, "_DOCLENS_ROWS_PER_TASK", 10)
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(20)] + ["spark", "join"]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(45)],
+        ["doc_id", "text"],
+    )
+    terms = ["spark", "join"]
+
+    def doclens_parts(root):
+        out = []
+        base = str(root / "ix" / "doclens")
+        for bdir in os.listdir(base):
+            if bdir.startswith("batch_id="):
+                out += [
+                    f
+                    for f in os.listdir(os.path.join(base, bdir))
+                    if f.endswith(".parquet")
+                ]
+        return out
+
+    ix = tix.InvertedIndex(spark, str(tmp_path / "ix"), num_partitions=8)
+    assert ix.apply_batch(docs.filter(F.col("doc_id") < 25), 0)
+    assert ix.apply_batch(docs.filter(F.col("doc_id") >= 25), 1)
+    want = [tuple(r) for r in ix.search(terms, k=10).collect()]
+    assert want
+
+    # rebuild: 45 live docs / 10-row budget -> >= 2 part files, same results
+    assert ix.rebuild(num_partitions=4) == 45
+    assert len(doclens_parts(tmp_path)) >= 2
+    assert [tuple(r) for r in ix.search(terms, k=10).collect()] == want
+
+    # compact (with a tombstone so it has fold work): still multi-file,
+    # results equal a fresh index over the reduced corpus
+    assert ix.apply_batch(
+        spark.createDataFrame([(500, "spark join spark")], ["doc_id", "text"]), 2
+    )
+    assert ix.delete_ids([500]) == 1
+    assert ix.compact() >= 1
+    assert len(doclens_parts(tmp_path)) >= 2
+    assert [tuple(r) for r in ix.search(terms, k=10).collect()] == want
