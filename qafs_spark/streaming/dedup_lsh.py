@@ -20,16 +20,18 @@ into batches.
 Delivery: **exactly-once.** foreachBatch itself is at-least-once, but each
 micro-batch commits into its own ``batch_id=N`` partition directory of
 both outputs with ``mode("overwrite")``, the index read excludes the
-in-flight batch's directory, and a batch whose index directory carries a
-``_SUCCESS`` marker (written last) is skipped outright — so a replay is
-either a no-op (completed batch) or a byte-identical re-commit (partially
-written batch). Same recipe as the banded sink below and the
-exactly-once ingest path; no MERGE-capable table format needed.
-Pairs land BEFORE the index marker, so the raw pairs dataset can hold an
-in-flight/crashed batch's rows — read it through :func:`dedup_pairs`,
-which filters ``batch_id`` dirs through the index marker (the same rule
-:meth:`pipeline.banded_index.BandedMinHashIndex.pairs` implements for
-the class-based indexes).
+in-flight batch's directory, and a batch recorded in the sink's
+``applied_log`` commit manifest (``<index>.applied_log``, appended after
+the batch's LAST write — round 10, same :mod:`pipeline.manifest` recipe
+as the class-based indexes) is skipped outright — so a replay is either
+a no-op (completed batch) or a byte-identical re-commit (partially
+written batch). No MERGE-capable table format needed. Pairs land BEFORE
+the log entry, so the raw pairs dataset can hold an in-flight/crashed
+batch's rows — read it through :func:`dedup_pairs`, which filters to the
+manifest's applied set in ONE parquet read, independent of the batch
+count (the same rule :meth:`pipeline.banded_index.BandedMinHashIndex.pairs`
+implements; indexes written before the log fall back to one legacy
+``_SUCCESS`` scan, which the next ``apply_dedup_batch`` backfills).
 
 Caller contract: document ids are unique across the stream's lifetime
 (re-ingestions must be filtered upstream, e.g. with
@@ -48,8 +50,29 @@ from typing import Optional
 from pyspark.sql import DataFrame, functions as F
 
 from .. import storage as fs_storage
+from ..pipeline import manifest
 from ..pipeline.incremental import incremental_minhash_dedup, minhash_index
 from ..pipeline.dedup import DEFAULT_MAX_BAND_SIZE
+
+
+def _flat_log_path(index_path: str) -> str:
+    """The flat sink's ``applied_log`` lives BESIDE the index dataset
+    (``<index>.applied_log``), not inside it — ``apply_dedup_batch``
+    reads the index root wholesale, and a nested foreign-schema child
+    would break partition discovery."""
+    return index_path.rstrip("/") + ".applied_log"
+
+
+def _flat_applied(spark, index_path: str):
+    """(applied_ids, legacy_scanned): the flat sink's applied-batch set —
+    one cached-free parquet read of the commit log; indexes written
+    before the log existed fall back to the legacy per-batch ``_SUCCESS``
+    scan (and the next ``apply_dedup_batch`` backfills the log, so the
+    fallback is transitional, not steady-state)."""
+    applied = manifest.read_log(spark, _flat_log_path(index_path))
+    if applied is not None:
+        return applied, False
+    return manifest.legacy_scan(spark, index_path, -1), True
 
 
 def apply_dedup_batch(
@@ -69,17 +92,18 @@ def apply_dedup_batch(
     """One micro-batch of the flat dedup sink, committed exactly once
     (module-level so the replay semantics are directly testable).
 
-    Returns False (no-op) when the batch's index directory already has its
-    ``_SUCCESS`` marker. Otherwise both outputs overwrite the batch's own
-    ``batch_id=N`` directory — pairs first, index last, so the marker of
-    the LAST write witnesses a complete commit — and the index read
+    Returns False (no-op) when the batch is in the ``applied_log`` commit
+    manifest (round 10; indexes predating the log fall back to the
+    legacy per-batch ``_SUCCESS`` scan once, and this call backfills the
+    log from it). Otherwise both outputs overwrite the batch's own
+    ``batch_id=N`` directory — pairs, then index, then the log append
+    whose entry witnesses the complete commit — and the index read
     excludes the in-flight batch (a partially-committed previous attempt
     must not pair the batch against its own rows)."""
     spark = batch.sparkSession
     bdir = f"batch_id={int(batch_id)}"
-    if fs_storage.path_exists(
-        spark, fs_storage.join(index_path, bdir, "_SUCCESS")
-    ):
+    applied, legacy_scanned = _flat_applied(spark, index_path)
+    if int(batch_id) in applied:
         return False
     if fs_storage.path_exists(spark, index_path):
         index = spark.read.parquet(index_path).filter(
@@ -96,40 +120,41 @@ def apply_dedup_batch(
     )
     pairs.write.mode("overwrite").parquet(fs_storage.join(pairs_path, bdir))
     new_rows.write.mode("overwrite").parquet(fs_storage.join(index_path, bdir))
+    backfill = applied if legacy_scanned else set()
+    manifest.append(
+        spark, _flat_log_path(index_path), backfill | {int(batch_id)}
+    )
     return True
 
 
 def dedup_pairs(spark, index_path: str, pairs_path: str) -> DataFrame:
     """Applied-batches-only view of the flat sink's pairs log.
 
-    Pairs commit BEFORE the batch's index directory (whose ``_SUCCESS``,
-    written last, witnesses a complete commit), so the raw pairs dataset
-    can hold rows of an in-flight or crashed batch that a replay will
-    re-emit. This reader filters to batches whose index marker exists —
-    the same isolation rule the class-based indexes implement
+    Pairs commit BEFORE the batch's ``applied_log`` entry (appended after
+    the index write — the entry witnesses a complete commit), so the raw
+    pairs dataset can hold rows of an in-flight or crashed batch that a
+    replay will re-emit. This reader filters to the manifest's applied
+    set — the same isolation rule the class-based indexes implement
     (:meth:`pipeline.banded_index.BandedMinHashIndex.pairs`) — so its
-    row set is exactly-once under kill-and-replay. Cost: one directory
-    listing + one marker probe per batch dir per call (the simple tier's
-    trade; the class-based indexes amortize this through their
-    ``applied_log`` manifest — use :func:`streaming_banded_dedup` when
-    the batch count is large)."""
+    row set is exactly-once under kill-and-replay. Cost (round 10): ONE
+    commit-log parquet read per call, independent of the batch count;
+    pre-log indexes fold their legacy per-batch ``_SUCCESS`` markers in
+    via one transitional scan (the next ``apply_dedup_batch`` backfills
+    the log)."""
+    empty_schema = "id_a long, id_b long, jaccard double, batch_id string"
     if not fs_storage.path_exists(spark, pairs_path):
-        return spark.createDataFrame(
-            [], "id_a long, id_b long, jaccard double, batch_id string"
-        )
-    applied = []
-    for d in fs_storage.list_dirs(spark, pairs_path):
-        if not d.startswith("batch_id="):
-            continue
-        bid = d.split("=", 1)[1]
-        if fs_storage.path_exists(
-            spark, fs_storage.join(index_path, d, "_SUCCESS")
-        ):
-            applied.append(bid)
-    df = spark.read.parquet(pairs_path)
-    return df.filter(F.col("batch_id").isin(applied)).select(
-        "id_a", "id_b", "jaccard", "batch_id"
-    )
+        return spark.createDataFrame([], empty_schema)
+    applied, _ = _flat_applied(spark, index_path)
+    try:
+        df = spark.read.parquet(pairs_path)
+    except Exception:
+        # dir exists but holds no committed part files (crash inside the
+        # very first batch's pairs write) — same contract as
+        # pairs_fold.read_all
+        return spark.createDataFrame([], empty_schema)
+    return df.filter(
+        F.col("batch_id").isin([str(int(b)) for b in sorted(applied)])
+    ).select("id_a", "id_b", "jaccard", "batch_id")
 
 
 def streaming_minhash_dedup(

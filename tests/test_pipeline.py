@@ -2816,6 +2816,10 @@ def test_flat_streaming_dedup_exactly_once_replay(inc_corpus, tmp_path):
     kw = dict(text_col="text", id_col="doc_id", n=3, num_hashes=32,
               num_bands=16, threshold=0.3, max_band_size=None)
     assert apply_dedup_batch(b0, 0, index_path, pairs_path, **kw)
+    # snapshot the commit log BEFORE batch 1 exists — restoring it later
+    # simulates a crash anywhere inside batch 1's commit window
+    log_path = str(tmp_path / "ix.applied_log")
+    shutil.copytree(log_path, str(tmp_path / "log_snap"))
     assert apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
 
     def snap():
@@ -2829,17 +2833,25 @@ def test_flat_streaming_dedup_exactly_once_replay(inc_corpus, tmp_path):
     pairs1, ids1 = snap()
     assert pairs1 and ids1
 
-    # replay of a COMPLETED batch: index _SUCCESS marker present -> no-op
+    # replay of a COMPLETED batch: applied_log entry present -> no-op
     assert not apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
     assert snap() == (pairs1, ids1)
 
-    # replay after a PARTIAL commit: pairs landed, index write died
-    shutil.rmtree(str(tmp_path / "ix" / "batch_id=1"))
+    # replay after a PARTIAL commit: pairs landed, but the commit died
+    # before the applied_log append (the log is the commit point as of
+    # round 10) — simulated by restoring the pre-batch-1 log, the class-
+    # index test pattern
+    def crash_batch_1():
+        shutil.rmtree(str(tmp_path / "ix" / "batch_id=1"))
+        shutil.rmtree(log_path)
+        shutil.copytree(str(tmp_path / "log_snap"), log_path)
+
+    crash_batch_1()
     assert apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
     assert snap() == (pairs1, ids1)
 
     # the applied-only pairs reader: during the crash window (pairs on
-    # disk, index marker gone) it must hide the batch's pairs — the raw
+    # disk, log entry gone) it must hide the batch's pairs — the raw
     # dataset still shows them — and return to the full exactly-once set
     # after the replay re-commits
     from qafs_spark.streaming.dedup_lsh import dedup_pairs
@@ -2851,7 +2863,7 @@ def test_flat_streaming_dedup_exactly_once_replay(inc_corpus, tmp_path):
         )
 
     assert through_api() == pairs1
-    shutil.rmtree(str(tmp_path / "ix" / "batch_id=1"))
+    crash_batch_1()
     b1_only = [p for p in pairs1 if p not in through_api()]
     assert b1_only  # batch 1's pairs are hidden while unapplied...
     raw = sorted(
@@ -2861,6 +2873,22 @@ def test_flat_streaming_dedup_exactly_once_replay(inc_corpus, tmp_path):
     assert raw == pairs1  # ...though physically present in the raw log
     assert apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
     assert through_api() == pairs1
+
+    # legacy migration: an index written before the log existed (log dir
+    # removed) reads identically via the one-time _SUCCESS scan, and the
+    # next apply_batch backfills the log — after which the scanned and
+    # logged applied sets agree
+    shutil.rmtree(log_path)
+    assert through_api() == pairs1
+    assert not apply_dedup_batch(b1, 1, index_path, pairs_path, **kw)
+    from qafs_spark.pipeline import manifest as mf
+
+    assert apply_dedup_batch(
+        spark.createDataFrame([(100000, "zz yy xx ww vv uu")], ["doc_id", "text"]),
+        2, index_path, pairs_path, **kw,
+    )
+    assert mf.read_log(spark, log_path) == {0, 1, 2}
+    assert through_api() == pairs1  # the new doc pairs with nothing
 
 
 def test_banded_index_matches_incremental(inc_corpus, tmp_path):
@@ -5022,3 +5050,65 @@ def test_inverted_doclens_fold_is_partitioned(spark, tmp_path, monkeypatch):
     assert ix.compact() >= 1
     assert len(doclens_parts(tmp_path)) >= 2
     assert [tuple(r) for r in ix.search(terms, k=10).collect()] == want
+
+
+def test_flat_sink_dedup_pairs_o1_metadata_ops(inc_corpus, tmp_path, monkeypatch):
+    """The flat sink's dedup_pairs() read must cost O(1) FS metadata ops,
+    INDEPENDENT of the batch count (round 10: the applied_log manifest
+    replaced the one-_SUCCESS-probe-per-batch-dir scan): one commit-log
+    parquet read + a constant number of existence probes, and never a
+    directory listing. Counted on a 2-batch vs a 6-batch sink."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    import qafs_spark.storage as st
+    from qafs_spark.streaming.dedup_lsh import apply_dedup_batch, dedup_pairs
+
+    spark = inc_corpus.sparkSession
+    calls = {"exists": 0, "list": 0, "log_reads": 0}
+    orig_exists, orig_list = st.path_exists, st.list_dirs
+    orig_parquet = DataFrameReader.parquet
+
+    def counting_exists(s, p):
+        calls["exists"] += 1
+        return orig_exists(s, p)
+
+    def counting_list(s, p):
+        calls["list"] += 1
+        return orig_list(s, p)
+
+    def counting_parquet(self, *paths, **kw):
+        calls["log_reads"] += sum(
+            p.rstrip("/").endswith(".applied_log") for p in paths
+        )
+        return orig_parquet(self, *paths, **kw)
+
+    monkeypatch.setattr(st, "path_exists", counting_exists)
+    monkeypatch.setattr(st, "list_dirs", counting_list)
+    monkeypatch.setattr(DataFrameReader, "parquet", counting_parquet)
+
+    kw = dict(text_col="text", id_col="doc_id", n=3, num_hashes=32,
+              num_bands=16, threshold=0.3, max_band_size=None)
+
+    def build(tag, nbatches):
+        ix, pr = str(tmp_path / f"ix{tag}"), str(tmp_path / f"pr{tag}")
+        for b in range(nbatches):
+            assert apply_dedup_batch(
+                inc_corpus.filter(F.col("doc_id") % nbatches == b), b, ix, pr,
+                **kw,
+            )
+        return ix, pr
+
+    def cost(ix, pr):
+        calls.update(exists=0, list=0, log_reads=0)
+        rows = sorted(
+            tuple(r) for r in dedup_pairs(spark, ix, pr).collect()
+        )
+        assert rows
+        return dict(calls)
+
+    ix2, pr2 = build("2", 2)
+    ix6, pr6 = build("6", 6)
+    c2, c6 = cost(ix2, pr2), cost(ix6, pr6)
+    assert c2["list"] == c6["list"] == 0      # never a directory listing
+    assert c2["log_reads"] == c6["log_reads"] == 1  # one manifest read
+    assert c2["exists"] == c6["exists"]       # batch-count independent
