@@ -678,6 +678,9 @@ class BandedMinHashIndex:
         seed: Optional[int] = None,
         num_partitions: Optional[int] = None,
         n: Optional[int] = None,
+        docs: Optional[DataFrame] = None,
+        text_col: str = "text",
+        id_col: str = "doc_id",
     ) -> int:
         """Re-derive the index under NEW hashing/banding parameters —
         tune the recall/precision (num_hashes, num_bands, its implied
@@ -689,12 +692,19 @@ class BandedMinHashIndex:
         scratch under the new params (parity-tested).
 
         Changing the shingle size ``n`` needs more than ``sh`` (shingles
-        are n-token windows of the text): it is supported exactly when
-        the index stores its token streams (``store_tokens=True``) —
-        live docs re-shingle from ``toks`` with the same expression
-        ingest uses, so the result is again bit-identical to a fresh
-        build (docs shorter than the new ``n`` drop out, matching
-        ingest's no-shingle contract). Without stored tokens it raises.
+        are n-token windows of the text). Two sources can supply it:
+        the index's own token streams (``store_tokens=True`` — live docs
+        re-shingle from ``toks``), or, for indexes built WITHOUT stored
+        tokens (round 10), a caller-provided source frame —
+        ``rebuild(n=5, docs=corpus_df)`` — holding at least every live
+        document's original text under (``id_col``, ``text_col``).
+        Either way the re-shingling uses the same expressions ingest
+        uses, so the result is bit-identical to a fresh build (docs
+        shorter than the new ``n`` drop out, matching ingest's
+        no-shingle contract; tombstoned or never-indexed ids in ``docs``
+        are ignored). A live id MISSING from ``docs`` raises — silently
+        re-indexing a subset would corrupt the index. With neither
+        source it raises.
 
         Mechanics mirror :meth:`CellVectorIndex.retrain`: one scan of
         the live docs re-derives sig/bands/counts into fully-staged
@@ -709,11 +719,16 @@ class BandedMinHashIndex:
         from .incremental import _grams_from_tokens
 
         self._recover_compaction()
-        if n is not None and int(n) != self.n and not self.store_tokens:
+        if (
+            n is not None
+            and int(n) != self.n
+            and not self.store_tokens
+            and docs is None
+        ):
             raise ValueError(
-                "rebuild(n=...) needs the token streams (build the index "
-                "with store_tokens=True); this index stores only shingle "
-                "hashes, which cannot be re-windowed"
+                "rebuild(n=...) needs a token source: build the index "
+                "with store_tokens=True, or pass the source corpus — "
+                "rebuild(n=..., docs=df) — to re-shingle from text"
             )
         new_cfg = dict(
             num_hashes=self.num_hashes if num_hashes is None else int(num_hashes),
@@ -732,11 +747,6 @@ class BandedMinHashIndex:
             raise ValueError(f"no index at {self.root}")
         target = max(applied)
         reshingle = new_cfg["n"] != self.n
-        self.num_hashes = new_cfg["num_hashes"]
-        self.num_bands = new_cfg["num_bands"]
-        self.seed = new_cfg["seed"]
-        self.num_partitions = new_cfg["num_partitions"]
-        self.n = new_cfg["n"]
 
         doc_cols = ["id", "sh"] + (["toks"] if self.store_tokens else [])
         live = self._minus_deleted(
@@ -747,7 +757,49 @@ class BandedMinHashIndex:
             .filter(self._applied_cond())
             .select(*doc_cols)
         )
-        if reshingle:
+        if reshingle and docs is not None:
+            # validate the source frame BEFORE any instance mutation — a
+            # refused rebuild must leave the instance (and a retry's
+            # reshingle decision) untouched. Every live id must be
+            # present in docs (before the shorter-than-n drop — that
+            # drop matches a fresh build); extras are ignored.
+            live_ids = live.select("id")
+            n_live_stored = live_ids.count()
+            covered = live_ids.join(
+                docs.select(F.col(id_col).alias("id")).distinct(),
+                "id", "left_semi",
+            ).count()
+            if covered < n_live_stored:
+                raise ValueError(
+                    f"rebuild(docs=...) source frame covers {covered} of "
+                    f"{n_live_stored} live indexed documents; every live "
+                    "id must be present to re-shingle losslessly"
+                )
+        self.num_hashes = new_cfg["num_hashes"]
+        self.num_bands = new_cfg["num_bands"]
+        self.seed = new_cfg["seed"]
+        self.num_partitions = new_cfg["num_partitions"]
+        self.n = new_cfg["n"]
+
+        if reshingle and docs is not None:
+            # re-shingle from the caller-provided source corpus (the
+            # no-stored-tokens path): the SAME ingest tokenization,
+            # restricted to the stored live ids
+            from .incremental import minhash_index, minhash_index_with_tokens
+
+            index_fn = (
+                minhash_index_with_tokens if self.store_tokens
+                else minhash_index
+            )
+            live = (
+                index_fn(
+                    docs, text_col, id_col,
+                    self.n, self.num_hashes, self.seed,
+                )
+                .select(*doc_cols)  # sig recomputes below; Catalyst prunes
+                .join(live_ids, "id", "left_semi")
+            )
+        elif reshingle:
             # re-window the stored token streams under the new n — the
             # same staged expressions ingest uses, so sh (and everything
             # derived from it) matches a fresh build bit-for-bit

@@ -5112,3 +5112,68 @@ def test_flat_sink_dedup_pairs_o1_metadata_ops(inc_corpus, tmp_path, monkeypatch
     assert c2["list"] == c6["list"] == 0      # never a directory listing
     assert c2["log_reads"] == c6["log_reads"] == 1  # one manifest read
     assert c2["exists"] == c6["exists"]       # batch-count independent
+
+
+def test_banded_rebuild_changes_shingle_size_from_docs(spark, tmp_path):
+    """rebuild(n=..., docs=frame) re-shingles a NO-stored-tokens index
+    from a caller-provided source corpus (round 10): surviving doc rows
+    are bit-equal to a fresh index built at the new n over the live
+    corpus, tombstoned ids present in the frame stay deleted, the next
+    batch's pairs match the fresh index pair-for-pair, and a frame
+    missing a live id is refused."""
+    import random
+
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    rng = random.Random(53)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(12))) for i in range(30)
+    ]
+    rows.append((98, "just four tokens here"))  # survives n=3, drops at n=5
+    rows.append((99, rows[7][1]))               # clone of 7
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    kw = dict(num_hashes=16, num_bands=8, num_partitions=8)
+    ix = BandedMinHashIndex(spark, str(tmp_path / "plain"), n=3, **kw)
+    assert ix.apply_batch(docs.filter(F.col("doc_id") < 15), 0, threshold=0.5)
+    assert ix.apply_batch(docs.filter(F.col("doc_id") >= 15), 1, threshold=0.5)
+    assert ix.delete_ids([11]) == 1
+
+    # a frame missing live ids is refused (here: half the corpus)
+    with pytest.raises(ValueError, match="covers"):
+        ix.rebuild(n=5, docs=docs.filter(F.col("doc_id") < 15))
+
+    # the full source frame (extras allowed: it still contains the
+    # tombstoned doc 11) re-shingles the live docs under n=5
+    assert ix.rebuild(n=5, docs=docs) == 30  # 32 - tombstone - short doc 98
+    assert ix.n == 5
+
+    fresh = BandedMinHashIndex(spark, str(tmp_path / "fresh"), n=5, **kw)
+    live = docs.filter(F.col("doc_id") != 11)
+    assert fresh.apply_batch(live.filter(F.col("doc_id") < 15), 0, threshold=0.5)
+    assert fresh.apply_batch(live.filter(F.col("doc_id") >= 15), 1, threshold=0.5)
+
+    def doc_snap(i):
+        return sorted(
+            (r["id"], tuple(r["sig"]), tuple(sorted(r["sh"])))
+            for r in i.doc_rows().collect()
+        )
+
+    assert doc_snap(ix) == doc_snap(fresh)
+    ids = {t[0] for t in doc_snap(ix)}
+    assert 11 not in ids and 98 not in ids
+
+    # next batch: the rebuilt index pairs exactly like the fresh one
+    b2 = spark.createDataFrame([(200, rows[3][1])], ["doc_id", "text"])
+    assert ix.apply_batch(b2, 2, threshold=0.5)
+    assert fresh.apply_batch(b2, 2, threshold=0.5)
+
+    def batch2_pairs(i):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in i.pairs().filter(F.col("batch_id") == 2).collect()
+        )
+
+    assert batch2_pairs(ix) == batch2_pairs(fresh)
+    assert (3, 200, 1.0) in batch2_pairs(ix)
