@@ -520,15 +520,32 @@ class BandedMinHashIndex:
         it and its replay would then be skipped as already-applied
         (impossible under in-order streaming, where the only crashed
         batch is the latest; a manual out-of-order apply_batch must be
-        replayed or its directories deleted first)."""
+        replayed or its directories deleted first).
+
+        The scan covers the PAIRS dataset too (round 10): a batch that
+        crashed after its pairs write but before any other dataset write
+        leaves a pairs-only directory no marker-dataset scan can see;
+        letting the watermark advance over it would make a later
+        compact_pairs() fold those phantom pairs into ``pairs_hist``
+        permanently (and skip the batch's replay) — so it is refused
+        here, while the applied log still has per-batch fidelity."""
         dirs = []
         for d in fs_storage.list_dirs(self.spark, self.counts_path):
             if d.startswith("batch_id="):
                 dirs.append(int(d.split("=", 1)[1]))
+        pairs_dirs = [
+            int(d.split("=", 1)[1])
+            for d in fs_storage.list_dirs(self.spark, self.pairs_path)
+            if d.startswith("batch_id=")
+        ]
         through = self._compacted_through()
         marked = self._applied_set()
         applied = [b for b in dirs if b <= through or b in marked]
-        unapplied = sorted(set(dirs) - set(applied))
+        unapplied = sorted(
+            b
+            for b in set(dirs) | set(pairs_dirs)
+            if not (b <= through or b in marked)
+        )
         if applied and unapplied and min(unapplied) < max(applied):
             raise ValueError(
                 f"batch dirs {unapplied} at {self.root} never durably "
@@ -1013,6 +1030,11 @@ class BandedMinHashIndex:
         Marker-committed and crash-finishable (:mod:`pairs_fold`);
         **run quiesced**, like compact. Returns directories folded."""
         self._recover_compaction()
+        # validates that no phantom (pairs-only, never-committed) batch
+        # dir sits below the fold target — folding it into pairs_hist
+        # would be permanent (round 10, defense-in-depth: compact()
+        # refuses to advance the watermark over one in the first place)
+        self._fold_targets()
         n = pairs_fold.fold(
             self.spark, self.pairs_path, self.pairs_hist_path,
             self.pairs_folded_path, self.pairs_fold_marker_path,

@@ -243,15 +243,27 @@ class CellVectorIndex:
     def _fold_targets(self) -> list:
         """Applied batch ids eligible for folding (compaction/retrain
         source set); raises on an unapplied batch dir below the fold
-        target — see BandedMinHashIndex._fold_targets."""
+        target — see BandedMinHashIndex._fold_targets. Scans the pairs
+        dataset too (round 10): a pairs-only crashed batch is invisible
+        to the vectors scan but must not be overtaken by the watermark
+        (compact_pairs would fold its phantom pairs permanently)."""
         dirs = []
         for d in fs_storage.list_dirs(self.spark, self.vectors_path):
             if d.startswith("batch_id="):
                 dirs.append(int(d.split("=", 1)[1]))
+        pairs_dirs = [
+            int(d.split("=", 1)[1])
+            for d in fs_storage.list_dirs(self.spark, self.pairs_path)
+            if d.startswith("batch_id=")
+        ]
         through = self._compacted_through()
         marked = self._applied_set()
         applied = [b for b in dirs if b <= through or b in marked]
-        unapplied = sorted(set(dirs) - set(applied))
+        unapplied = sorted(
+            b
+            for b in set(dirs) | set(pairs_dirs)
+            if not (b <= through or b in marked)
+        )
         if applied and unapplied and min(unapplied) < max(applied):
             raise ValueError(
                 f"batch dirs {unapplied} at {self.root} never durably "
@@ -582,6 +594,9 @@ class CellVectorIndex:
         committed, crash-finishable, output bit-identical; **run
         quiesced**). Returns directories folded."""
         self._recover_compaction()
+        # phantom-pairs-dir validation, matching the banded index
+        # (round 10 — see BandedMinHashIndex.compact_pairs)
+        self._fold_targets()
         n = pairs_fold.fold(
             self.spark, self.pairs_path, self.pairs_hist_path,
             self.pairs_folded_path, self.pairs_fold_marker_path,

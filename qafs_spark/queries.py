@@ -14,6 +14,18 @@ hash-match bit-for-bit):
   hash functions;
 * cosines / float ratios are rounded (6 dp) where they appear as values;
   ranking tiebreaks are always (score DESC, id ASC);
+* float-compare tolerance contract: cosine flows through two summation
+  orders — the JVM expression path (``similarity.cosine_pre``, a
+  sequential left fold, which DuckDB's ``list_sum`` replays) and the
+  Arrow path (``cosine_pre_batch``, numpy einsum's blocked reduction,
+  used on pair-join hot paths). Both promote to float64 first; the
+  deviation is bounded by reduction-order rounding (measured ≤4e-16 on a
+  2M-pair fixture, zero 1e-6 flips). Any query whose oracle compares a
+  RAW float (not an integer-frozen or 6-dp-rounded value) must use the
+  expression path; einsum-scored paths may only feed rounded/frozen
+  compares — a value within ~1e-15 of a 6-dp rounding boundary or of a
+  threshold could legitimately differ, which the fixtures don't contain
+  (they would be regenerated, not worked around, if one ever did);
 * every aggregate/computed column is aliased identically on both sides.
 
 The events table doubles as the feature-store fixture: ``time`` =

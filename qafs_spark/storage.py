@@ -69,19 +69,28 @@ def list_dirs(spark: SparkSession, path: str) -> List[str]:
 
 def dir_signature(spark: SparkSession, path: str):
     """Cheap change signature of a SMALL directory: (file count, total
-    bytes, max mtime), or None when missing. One listStatus — O(entries),
-    so only suitable for bounded datasets (e.g. the indexes' deletes/
-    tombstones, folded away at every compaction). Works on object stores
-    too (it does not rely on directory-mtime semantics)."""
+    bytes, max mtime, md5-of-name-set), or None when missing. One
+    listStatus — O(entries), so only suitable for bounded datasets (e.g.
+    the indexes' deletes/tombstones, folded away at every compaction).
+    Works on object stores too (it does not rely on directory-mtime
+    semantics). The name-set hash (round 10) closes the theoretical
+    collision where a dataset is deleted and re-created with identical
+    count/size inside one mtime granule (1s on some filesystems) — new
+    part-file names (task UUIDs) change the signature even then."""
+    import hashlib
+
     fs, jpath = _fs_and_path(spark, path)
     if not fs.exists(jpath):
         return None
     count, size, mtime = 0, 0, 0
+    names = []
     for status in fs.listStatus(jpath):
         count += 1
         size += int(status.getLen())
         mtime = max(mtime, int(status.getModificationTime()))
-    return (count, size, mtime)
+        names.append(status.getPath().getName())
+    name_md5 = hashlib.md5("\n".join(sorted(names)).encode()).hexdigest()
+    return (count, size, mtime, name_md5)
 
 
 def mkdirs(spark: SparkSession, path: str) -> None:

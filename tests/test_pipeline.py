@@ -5177,3 +5177,99 @@ def test_banded_rebuild_changes_shingle_size_from_docs(spark, tmp_path):
 
     assert batch2_pairs(ix) == batch2_pairs(fresh)
     assert (3, 200, 1.0) in batch2_pairs(ix)
+
+
+def test_fold_targets_refuse_phantom_pairs_dir(inc_corpus, tmp_path):
+    """A batch that crashed after its PAIRS write but before any other
+    dataset write is invisible to the marker-dataset scan; the watermark
+    must not advance over it (compact_pairs would fold the phantom pairs
+    into pairs_hist permanently and the batch's replay would be skipped).
+    compact()/compact_pairs() refuse until the batch is replayed or its
+    directory deleted (round 10, ADVICE)."""
+    from qafs_spark.pipeline.banded_index import BandedMinHashIndex
+
+    spark = inc_corpus.sparkSession
+    ix = BandedMinHashIndex(
+        spark, str(tmp_path / "ix"), num_hashes=16, num_bands=8,
+        num_partitions=8,
+    )
+    assert ix.apply_batch(inc_corpus.filter(F.col("doc_id") % 2 == 0), 0,
+                          threshold=0.3)
+    assert ix.apply_batch(inc_corpus.filter(F.col("doc_id") % 2 == 1), 2,
+                          threshold=0.3)
+
+    # phantom: batch 1's pairs landed, nothing else did (no counts dir,
+    # no applied_log entry) — and batch 2 > 1 already committed
+    spark.createDataFrame(
+        [(1, 2, 0.9)], "id_a long, id_b long, jaccard double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "ix" / "pairs" / "batch_id=1"))
+
+    with pytest.raises(ValueError, match="never durably committed"):
+        ix.compact()
+    with pytest.raises(ValueError, match="never durably committed"):
+        ix.compact_pairs()
+    # replaying the batch (the operator fix) clears the refusal
+    assert ix.apply_batch(
+        inc_corpus.filter(F.col("doc_id") % 2 == 1).limit(0).unionByName(
+            spark.createDataFrame(
+                [(100001, "aa bb cc dd ee ff gg")], ["doc_id", "text"]
+            )
+        ),
+        1, threshold=0.3,
+    )
+    assert ix.compact() >= 1
+
+
+def test_semantic_pairs_auto_tier_warns_once(spark):
+    """Crossing target_cell_size flips the DEFAULT from exact all-pairs
+    to the approximate auto-IVF tier — default-arg callers get ONE
+    process-wide warning when that first happens (round 10, ADVICE)."""
+    import warnings as w
+
+    from qafs_spark.pipeline import semdedup as sdd
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    sdd._AUTO_TIER_WARNED = False
+    with pytest.warns(UserWarning, match="auto-IVF"):
+        sdd.semantic_pairs(
+            df, "embedding", "vec_id", threshold=0.99,
+            target_cell_size=4, ivf_cell_rows=4,
+        ).collect()
+    with w.catch_warnings():
+        w.simplefilter("error")  # a second warning would raise
+        sdd.semantic_pairs(
+            df, "embedding", "vec_id", threshold=0.99,
+            target_cell_size=4, ivf_cell_rows=4,
+        ).collect()
+    # under the short-circuit (n <= target_cell_size) nothing warns
+    sdd._AUTO_TIER_WARNED = False
+    with w.catch_warnings():
+        w.simplefilter("error")
+        sdd.semantic_pairs(df, "embedding", "vec_id", threshold=0.99).collect()
+
+
+def test_dir_signature_includes_name_set(spark, tmp_path):
+    """dir_signature must change when a dataset is deleted and re-created
+    with identical file count/size inside one mtime granule — the
+    part-file NAME set breaks the tie (round 10, ADVICE)."""
+    import os
+    import shutil
+
+    from qafs_spark import storage as st
+
+    d = str(tmp_path / "sig")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.bin"), "wb") as f:
+        f.write(b"xxxx")
+    s1 = st.dir_signature(spark, d)
+    assert s1 is not None and len(s1) == 4
+    shutil.rmtree(d)
+    os.makedirs(d)
+    with open(os.path.join(d, "b.bin"), "wb") as f:
+        f.write(b"xxxx")  # same count, same size, possibly same mtime sec
+    s2 = st.dir_signature(spark, d)
+    assert s2 is not None and s1 != s2
+    assert st.dir_signature(spark, str(tmp_path / "missing")) is None

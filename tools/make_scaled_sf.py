@@ -18,7 +18,17 @@ like a bigger corpus, not like K exact clones:
   clones of every doc would turn minhash/jaccard into a different,
   artificially quadratic workload).
 * embeddings: vectors are cyclically rotated per replica (norm-preserving,
-  direction-changing) so ANN buckets spread instead of stacking.
+  direction-changing) so ANN buckets spread instead of stacking — EXCEPT a
+  deterministic ~9% subset per replica (base ``vec_id % 11 == k % 11``)
+  which is PLANTED as a true near-duplicate of its replica-0 base:
+  ``v' = v + 0.1·rot_k(v)``, whose cosine with ``v`` is bounded below by
+  ``1/sqrt(1+0.1²) ≈ 0.99504`` for ANY rotation alignment — comfortably
+  above the 0.85 dedup threshold and tight enough that hyperplane
+  sub-bucketing keeps ~0.97 per-bit pair survival. Round 10: gives the scaled fixture a
+  KNOWN ground-truth pair set (base_id, base_id + k·offset) so guard /
+  recall measurements at 100k+ vectors are non-vacuous (the pure-rotation
+  fixture had zero true pairs at 0.85). ``planted_pairs()`` below
+  reconstructs the set.
 
 Usage: python tools/make_scaled_sf.py <src_sf_dir> <dst_dir> <factor>
 """
@@ -112,21 +122,66 @@ def scale(spark, src: str, dst: str, factor: int) -> None:
 
     replicate("documents", doc_rep)
 
-    def emb_rep(d, k):
-        d = d.withColumn("vec_id", F.col("vec_id") + F.lit(k * offsets["embeddings"]))
-        if k:
-            n = F.size("embedding")
-            d = d.withColumn(
-                "embedding",
-                F.concat(
-                    F.slice("embedding", k + 1, 4096),
-                    F.slice("embedding", 1, k),
-                ).cast("array<float>"),
-            )
-            _ = n
-        return d
+    replicate(
+        "embeddings", lambda d, k: _emb_rep(d, k, offsets["embeddings"])
+    )
 
-    replicate("embeddings", emb_rep)
+
+def _emb_rep(d, k: int, off: int):
+    """One embeddings replica: rotation for spread, planted near-dups for
+    ground truth (module docstring)."""
+    if k:
+        rotated = F.concat(
+            F.slice("embedding", k + 1, 4096),
+            F.slice("embedding", 1, k),
+        )
+        planted = (F.col("vec_id") % 11) == (k % 11)  # base id, pre-offset
+        d = d.withColumn(
+            "embedding",
+            F.when(
+                planted,
+                # near-dup of the replica-0 base: v + 0.1*rot(v);
+                # cos(v, v') >= 1/sqrt(1.01) ~ 0.99504 for any v
+                F.zip_with(
+                    "embedding", rotated,
+                    lambda x, y: x + F.lit(0.1) * y,
+                ),
+            ).otherwise(rotated).cast("array<float>"),
+        )
+    return d.withColumn("vec_id", F.col("vec_id") + F.lit(k * off))
+
+
+def scale_embeddings(spark, src: str, dst_file: str, factor: int) -> int:
+    """Build JUST the scaled embeddings table (the guard/recall benches
+    need nothing else). Returns the replica id offset."""
+    base = spark.read.parquet(f"{src}/embeddings.parquet")
+    off = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    out = None
+    for k in range(factor):
+        rep = _emb_rep(base, k, off)
+        out = rep if out is None else out.unionByName(rep)
+    out.coalesce(max(1, factor // 2)).write.mode("overwrite").parquet(
+        dst_file
+    )
+    return off
+
+
+def planted_pairs(spark, src: str, factor: int):
+    """Ground-truth near-dup pairs the scaled fixture contains BY
+    CONSTRUCTION: for each replica k>0, base vectors with
+    ``vec_id % 11 == k % 11`` were blended (not rotated), so
+    (base_id, base_id + k*offset) has cosine >= ~0.99504. Returns a
+    DataFrame (id_a, id_b) with id_a < id_b."""
+    base = spark.read.parquet(f"{src}/embeddings.parquet").select("vec_id")
+    off = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    out = None
+    for k in range(1, factor):
+        rep = base.filter((F.col("vec_id") % 11) == (k % 11)).select(
+            F.col("vec_id").alias("id_a"),
+            (F.col("vec_id") + F.lit(k * off)).alias("id_b"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
 
 
 def main() -> int:
