@@ -674,23 +674,33 @@ class CellVectorIndex:
         )
 
     def _cell_guard(self, stored, probed, cents, max_cell_size):
-        """Sub-bucket OVERSIZED cells before the pair join.
+        """Sub-bucket OVERSIZED cells before the pair join — with
+        MULTIPROBE on the batch side (round 10).
 
         Per-cell occupancy (live stored rows in the probed cells + the
         batch's probe rows) is one column-pruned aggregate over data the
         join reads anyway, collected driver-side (≤ nlist rows). Cells
         over ``max_cell_size`` get a ``__sub`` hyperplane sign-pattern
-        bucket (the :func:`dedup.embedding_dedup_pairs` candidate recipe,
-        adaptive plane count so buckets land ~max_cell_size) that the
-        join conditions additionally equate — capping the quadratic term
-        at ~max_cell_size² per bucket regardless of skew or quantizer
-        staleness. Near-identical vectors almost always share the full
-        sign pattern, so the recall trade is the same one the LSH tier
-        makes; with no oversized cell the plan and pair set are
-        UNCHANGED (bit-parity, which keeps small-fixture oracle replays
-        exact). Returns (stored, probed, extra_cond | None)."""
-        import math
+        bucket that the join conditions additionally equate. The batch
+        (broadcast) side probes its own bucket PLUS every 1-bit flip —
+        the :func:`similarity.lsh_topk` multiprobe recipe — so a pair at
+        cosine c survives unless its sign patterns differ in ≥2 of the
+        ``planes`` bits: survival = q^p + p·q^(p-1)(1-q) with
+        q = 1 − acos(c)/π (≈0.997 at c=0.995, p=3 — measured 0.88→0.997
+        of the quantizer ceiling on the 100k planted fixture vs the old
+        exact-equality guard). The plane count p is the smallest with
+        ``worst·(p+1)/2^p ≤ max_cell_size`` — the (p+1)× probe expansion
+        is COUNTED, so per-bucket membership still lands under the cap
+        and the within-cell quadratic term stays bounded (~max_cell²/(p+1)
+        per bucket) regardless of skew or quantizer staleness. With no
+        oversized cell the plan and pair set are UNCHANGED (bit-parity,
+        which keeps small-fixture oracle replays exact).
 
+        Returns (stored, probed_plain, probed_expanded, extra_cond|None):
+        join the plain frames on the LEFT and the expanded frame as the
+        broadcast RIGHT — the expanded probe values of one row are
+        distinct, so every (a, b) pair still joins at most once and no
+        new dedup shuffle is needed."""
         from .similarity import hyperplane_bucket
 
         counts = (
@@ -702,18 +712,28 @@ class CellVectorIndex:
             .collect()
         )
         if not counts:
-            return stored, probed, None
+            return stored, probed, probed, None
         worst = max(int(r["n"]) for r in counts)
-        planes = max(1, math.ceil(math.log2(worst / int(max_cell_size))))
+        planes = 1
+        while worst * (planes + 1) / (2 ** planes) > int(max_cell_size):
+            planes += 1
         big = [int(r["cell"]) for r in counts]
         dim = len(cents[0])
-        sub = F.when(
+        hb = hyperplane_bucket(F.col("vec"), dim, planes, seed=42)
+        sub = F.when(F.col("cell").isin(big), hb).otherwise(
+            F.lit(-1).cast("long")
+        )
+        deltas = F.array(
+            *[F.lit(x).cast("long") for x in [0] + [1 << i for i in range(planes)]]
+        )
+        subs = F.when(
             F.col("cell").isin(big),
-            hyperplane_bucket(F.col("vec"), dim, planes, seed=42),
-        ).otherwise(F.lit(-1).cast("long"))
+            F.transform(deltas, lambda d: hb.bitwiseXOR(d)),
+        ).otherwise(F.array(F.lit(-1).cast("long")))
         return (
             stored.withColumn("__sub", sub),
             probed.withColumn("__sub", sub),
+            probed.withColumn("__sub", F.explode(subs)),
             F.col("a.__sub") == F.col("b.__sub"),
         )
 
@@ -751,7 +771,7 @@ class CellVectorIndex:
         ).persist()  # storage assignment: argmax cell
         self._persisted.append(assigned)
         if tier == "exact":
-            probed = assigned
+            probed_a = probed_b = assigned
             stored = self._stored(None, exclude_batch_id, empty_like=assigned)
             old_cond = F.col("a.id") != F.col("b.id")
             new_cond = F.col("a.id") < F.col("b.id")
@@ -765,8 +785,9 @@ class CellVectorIndex:
             same_cell = F.col("a.cell") == F.col("b.cell")
             old_cond = same_cell & (F.col("a.id") != F.col("b.id"))
             new_cond = same_cell & (F.col("a.id") < F.col("b.id"))
+            probed_a = probed_b = probed
             if max_cell_size is not None:
-                stored, probed, guard = self._cell_guard(
+                stored, probed_a, probed_b, guard = self._cell_guard(
                     stored, probed, cents, max_cell_size
                 )
                 if guard is not None:
@@ -787,12 +808,15 @@ class CellVectorIndex:
         # so each pair joins exactly once — NO dedup shuffle on the big
         # stream; batch-batch: a.id < b.id kills the orientation mirror,
         # and only multiprobe (both sides multi-cell) can still duplicate
-        # a pair through a second shared cell
+        # a pair through a second shared cell. The guard's multiprobe
+        # sub-bucket expansion lives ONLY on the broadcast b side
+        # (probed_b) — one row's expanded values are distinct, so it adds
+        # no duplication either way.
         old_pairs = score(
-            stored.alias("a").join(F.broadcast(probed.alias("b")), old_cond)
+            stored.alias("a").join(F.broadcast(probed_b.alias("b")), old_cond)
         )
         new_pairs = score(
-            probed.alias("a").join(F.broadcast(probed.alias("b")), new_cond)
+            probed_a.alias("a").join(F.broadcast(probed_b.alias("b")), new_cond)
         )
         if tier != "exact" and nprobe > 1:
             new_pairs = new_pairs.dropDuplicates(["id_a", "id_b"])

@@ -43,6 +43,7 @@ def main() -> int:
     ap.add_argument("--work", default="/tmp/qafs_guard_recall")
     ap.add_argument("--threshold", type=float, default=0.85)
     ap.add_argument("--nlist", type=int, default=16)
+    ap.add_argument("--nprobe", type=int, default=1)
     args = ap.parse_args()
 
     from qafs_spark.session import get_spark
@@ -66,7 +67,7 @@ def main() -> int:
         t0 = time.time()
         ix.apply_batch(
             emb, 0, vec_col="embedding", id_col="vec_id",
-            threshold=args.threshold, tier="ivf",
+            threshold=args.threshold, tier="ivf", nprobe=args.nprobe,
             max_cell_size=max_cell_size,
         )
         dt = time.time() - t0
@@ -82,6 +83,7 @@ def main() -> int:
         "n_planted_pairs": n_planted,
         "threshold": args.threshold,
         "nlist": args.nlist,
+        "nprobe": args.nprobe,
         "guarded": guarded,
         "unguarded": unguarded,
         "survival_vs_unguarded": round(
