@@ -152,9 +152,22 @@ def dedup_pairs(spark, index_path: str, pairs_path: str) -> DataFrame:
         # very first batch's pairs write) — same contract as
         # pairs_fold.read_all
         return spark.createDataFrame([], empty_schema)
-    return df.filter(
-        F.col("batch_id").isin([str(int(b)) for b in sorted(applied)])
-    ).select("id_a", "id_b", "jaccard", "batch_id")
+    # the flat sink has no compaction watermark to bound the applied
+    # predicate (the class indexes' _applied_cond shape), but streaming
+    # batch ids are contiguous from 0, so the contiguous prefix folds
+    # into one comparison and the isin literal holds only the GAP ids
+    # (an in-flight replay window) — the plan stays O(1)-sized instead
+    # of carrying one literal per batch ever committed
+    w = -1
+    for b in sorted(applied):
+        if b != w + 1:
+            break
+        w = b
+    rest = [str(int(b)) for b in sorted(applied) if b > w]
+    cond = F.col("batch_id").cast("long") <= F.lit(w)
+    if rest:
+        cond = cond | F.col("batch_id").isin(rest)
+    return df.filter(cond).select("id_a", "id_b", "jaccard", "batch_id")
 
 
 def streaming_minhash_dedup(
