@@ -5278,3 +5278,74 @@ def test_dir_signature_includes_name_set(spark, tmp_path):
     s2 = st.dir_signature(spark, d)
     assert s2 is not None and s1 != s2
     assert st.dir_signature(spark, str(tmp_path / "missing")) is None
+
+
+def test_scaled_fixture_planted_pairs_are_true_near_dups(spark):
+    """The scale fixture's PLANTED ground truth must be true by
+    construction: every (base, replica) pair reconstructed by
+    tools/make_scaled_sf.planted_pairs has cosine >= 0.995 in the
+    generated data (the 0.1-blend lower bound 1/sqrt(1.01)), and the
+    exact dedup operator recovers ALL of them at threshold 0.85 —
+    pinning the fixture definition the guard-recall bench depends on."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import tempfile
+
+    from make_scaled_sf import planted_pairs, scale_embeddings
+
+    from qafs_spark.pipeline.dedup import embedding_dedup_pairs
+
+    src = "/root/testdata/sf0.001"
+    dst = os.path.join(tempfile.mkdtemp(), "emb_x3.parquet")
+    scale_embeddings(spark, src, dst, 3)
+    emb = spark.read.parquet(dst)
+    planted = planted_pairs(spark, src, 3)
+    n_planted = planted.count()
+    assert n_planted > 0
+    found = embedding_dedup_pairs(
+        emb, "embedding", "vec_id", threshold=0.85, use_lsh=False
+    ).select("id_a", "id_b")
+    hits = planted.join(found, ["id_a", "id_b"], "left_semi").count()
+    assert hits == n_planted  # exact tier recovers every planted pair
+
+
+def test_clustered_fixture_exact_ivf_agreement(spark):
+    """On a CLUSTERED corpus (the regime real dedup data lives in), the
+    IVF tier's keep-set must agree with exact — Jaccard >= 0.9 at the
+    user-scale threshold, with the IVF tier FORCED (no short-circuit).
+    Pins the round-10 agreement-fixture result at test scale."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from agreement_fixture_bench import clustered_embeddings
+
+    from qafs_spark.pipeline import semdedup as sdd
+
+    rows = clustered_embeddings(600, clusters_per_1k=50, dim=64, seed=42)
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = sdd.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.85, k_iters=3, exact=True
+    ).select("id", F.col("keep").alias("keep_e"))
+    approx = sdd.semantic_dedup(
+        df, "embedding", "vec_id", threshold=0.85, k_iters=3, nlist=4, nprobe=2
+    ).select("id", F.col("keep").alias("keep_x"))
+    j = exact.join(approx, "id").agg(
+        F.sum((F.col("keep_e") & F.col("keep_x")).cast("long")).alias("i"),
+        F.sum((F.col("keep_e") | F.col("keep_x")).cast("long")).alias("u"),
+    ).collect()[0]
+    assert j["u"] > 0 and j["i"] / j["u"] >= 0.9
