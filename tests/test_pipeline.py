@@ -5349,3 +5349,40 @@ def test_clustered_fixture_exact_ivf_agreement(spark):
         F.sum((F.col("keep_e") | F.col("keep_x")).cast("long")).alias("u"),
     ).collect()[0]
     assert j["u"] > 0 and j["i"] / j["u"] >= 0.9
+
+
+def test_flat_sink_gap_predicate_hides_only_the_gap(inc_corpus, tmp_path):
+    """The flat sink's applied predicate folds the contiguous batch
+    prefix into one comparison and carries ONLY gap ids as isin
+    literals (round 10). Semantics pin: with batches {0, 2} applied and
+    1 crashed (a replay window), batch 1's pairs are hidden while batch
+    2's — beyond the gap — stay visible; once 1 replays, the full set
+    returns."""
+    import shutil
+
+    from qafs_spark.pipeline import manifest
+    from qafs_spark.streaming.dedup_lsh import apply_dedup_batch, dedup_pairs
+
+    spark = inc_corpus.sparkSession
+    ix = str(tmp_path / "ix")
+    pr = str(tmp_path / "pairs")
+    kw = dict(text_col="text", id_col="doc_id", n=3, num_hashes=32,
+              num_bands=16, threshold=0.3, max_band_size=None)
+    for b in range(3):
+        assert apply_dedup_batch(
+            inc_corpus.filter(F.col("doc_id") % 3 == b), b, ix, pr, **kw
+        )
+    full = sorted(tuple(r) for r in dedup_pairs(spark, ix, pr).collect())
+    assert full and any(t[3] == "1" for t in full)
+
+    # manufacture the gap: log says {0, 2}, batch 1 unapplied
+    shutil.rmtree(ix + ".applied_log")
+    manifest.append(spark, ix + ".applied_log", [0, 2])
+    gap = sorted(tuple(r) for r in dedup_pairs(spark, ix, pr).collect())
+    assert not any(t[3] == "1" for t in gap)      # the gap is hidden
+    assert any(t[3] == "2" for t in gap)          # beyond-gap stays visible
+    assert [t for t in gap if t[3] != "1"] == [t for t in full if t[3] != "1"]
+
+    # replay closes the gap
+    manifest.append(spark, ix + ".applied_log", [1])
+    assert sorted(tuple(r) for r in dedup_pairs(spark, ix, pr).collect()) == full
