@@ -583,8 +583,15 @@ def embedding_dedup_pairs(
     exact cosine verifies. use_lsh=False does the exact quadratic join —
     the oracle path for small data. Pass ``dim`` explicitly to keep plan
     construction job-free (the ``.first()`` fallback runs a driver job).
+
+    The bucket stage is Arrow-batched (round 10,
+    :func:`similarity.hyperplane_bucket_batch` — one matmul per batch
+    instead of num_planes interpreted HOF dots per row); no oracle
+    replays this path (every catalog/semdedup caller uses
+    ``use_lsh=False``), and both join sides share the one bucket column,
+    so candidate semantics are unchanged.
     """
-    from .similarity import cosine_pre_batch, hyperplane_bucket, norm
+    from .similarity import cosine_pre_batch, hyperplane_bucket_batch, norm
 
     # norms staged once per ROW (bit-equal to per-pair cosine, ~3x fewer
     # array aggregates in the quadratic pair stage — see cosine_pre)
@@ -596,7 +603,10 @@ def embedding_dedup_pairs(
     if use_lsh:
         if dim is None:
             dim = len(df.select(vec_col).first()[0])
-        v = v.withColumn("bucket", hyperplane_bucket(F.col("vec"), dim, num_planes, seed))
+        v = v.withColumn(
+            "bucket",
+            hyperplane_bucket_batch(F.col("vec"), dim, num_planes, seed),
+        )
         a, b = v.alias("a"), v.alias("b")
         cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
     else:
