@@ -55,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import storage as fs_storage
-from . import manifest, pairs_fold
+from . import lease, manifest, pairs_fold
 from .dedup import DEFAULT_MAX_BAND_SIZE, lsh_band_keys
 from .incremental import minhash_index, minhash_index_with_tokens
 
@@ -294,6 +294,12 @@ class BandedMinHashIndex:
 
         ``ids`` is a list of ids or a one-column DataFrame. Returns the
         number of tombstones appended."""
+        # round 11: refuse new writes while a maintenance writer
+        # holds the root's lease (lease.py) — maintenance renames
+        # live datasets aside; a batch landing mid-swap could be
+        # orphaned. One small-file read per batch.
+        if getattr(self, "_lease_depth", 0) == 0:
+            lease.refuse_if_held(self.spark, self.root, "delete_ids")
         if isinstance(ids, DataFrame):
             df = ids.toDF("id").distinct()
         else:
@@ -574,6 +580,12 @@ class BandedMinHashIndex:
         ``batch_id=N`` directory, and all probe reads exclude it, so a
         replay after any partial failure reproduces identical output.
         """
+        # round 11: refuse new writes while a maintenance writer
+        # holds the root's lease (lease.py) — maintenance renames
+        # live datasets aside; a batch landing mid-swap could be
+        # orphaned. One small-file read per batch.
+        if getattr(self, "_lease_depth", 0) == 0:
+            lease.refuse_if_held(self.spark, self.root, "apply_batch")
         self._recover_compaction()
         self._sync_tombstones()
         if self.batch_applied(batch_id):
@@ -688,6 +700,7 @@ class BandedMinHashIndex:
         )
         self._applied_cache = (set(), True)
 
+    @lease.maintenance_op("rebuild")
     def rebuild(
         self,
         num_hashes: Optional[int] = None,
@@ -884,6 +897,7 @@ class BandedMinHashIndex:
         self._ct_cache = int(target)
         return n_live
 
+    @lease.maintenance_op("compact")
     def compact(self) -> int:
         """Fold every applied batch's directories into one, and collapse
         band-count deltas to one row per band. Returns the number of
@@ -1018,6 +1032,7 @@ class BandedMinHashIndex:
             "id_a long, id_b long, jaccard double, batch_id long",
         )
 
+    @lease.maintenance_op("compact_pairs")
     def compact_pairs(self) -> int:
         """Fold the pairs log's per-batch directories at or below the
         compaction watermark into ``pairs_hist`` (batch_id kept as a
@@ -1053,6 +1068,7 @@ class BandedMinHashIndex:
             .select("id", "sig", "sh")
         )
 
+    @lease.maintenance_op("scrub_pairs")
     def scrub_pairs(self, ids) -> int:
         """GDPR-complete removal from the pairs LOG: rewrite it dropping
         every pair touching ``ids`` (a list or one-column DataFrame).

@@ -168,12 +168,14 @@ def hyperplane_bucket_batch(
     """:func:`hyperplane_bucket`, Arrow-batched: one numpy matmul + sign
     pack per batch instead of ``num_planes`` interpreted HOF dot
     expressions per row (the :func:`cosine_pre_batch` fast-path class).
+    The sign-determining dot products use ``np.einsum`` (a fixed-order
+    reduction) rather than BLAS ``@``, so a given vector hashes to the
+    same bucket regardless of Arrow batch composition or BLAS
+    threading — both sides of a self-join see identical assignments.
     Bucket ids match the expression variant up to float summation order
     (a sign flip needs |dot| ≲ 1e-13). Use on bulk NON-oracle paths
-    (e.g. the vector index's cell guard, where both join sides use the
-    same function so assignments stay consistent); keep the EXPRESSION
-    variant wherever a DuckDB oracle replays the buckets
-    (``lsh_ann_topk``)."""
+    (e.g. the vector index's cell guard); keep the EXPRESSION variant
+    wherever a DuckDB oracle replays the buckets (``lsh_ann_topk``)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -188,7 +190,7 @@ def hyperplane_bucket_batch(
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
         M = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
-        bits = (M @ P.T) >= 0
+        bits = np.einsum("ij,kj->ik", M, P) >= 0
         return pd.Series((bits @ weights).astype("int64"))
 
     return bucket(vec)
@@ -307,7 +309,11 @@ def ivf_centroids(
 
 def _cell_assigner(centroids: List[List[float]]):
     """Vectorized pandas UDF: argmax cosine(vec, centroid) per batch — one
-    numpy matmul per Arrow batch, no per-row Python."""
+    numpy contraction per Arrow batch, no per-row Python. Uses
+    ``np.einsum`` (fixed-order reduction, like :func:`cosine_pre_batch`)
+    rather than BLAS ``@`` so a vector's cell does not depend on Arrow
+    batch composition or BLAS threading — near-tie argmaxes stay stable
+    across ingest/query/self-join evaluations."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -318,13 +324,16 @@ def _cell_assigner(centroids: List[List[float]]):
     def assign(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        return pd.Series((M @ Cn.T).argmax(axis=1).astype("int32"))
+        sims = np.einsum("ij,kj->ik", M, Cn)
+        return pd.Series(sims.argmax(axis=1).astype("int32"))
 
     return assign
 
 
 def _probe_cells(centroids: List[List[float]], nprobe: int):
-    """Vectorized pandas UDF: indices of the `nprobe` nearest cells."""
+    """Vectorized pandas UDF: indices of the `nprobe` nearest cells.
+    ``np.einsum`` for the same batch-independence reason as
+    :func:`_cell_assigner` (nprobe=1 must reproduce its assignment)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -335,7 +344,7 @@ def _probe_cells(centroids: List[List[float]], nprobe: int):
     def probes(vecs: pd.Series) -> pd.Series:
         M = np.stack(vecs.map(lambda v: np.asarray(v, dtype="float64")))
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = M @ Cn.T
+        sims = np.einsum("ij,kj->ik", M, Cn)
         # stable sort so exact-cosine ties break on the FIRST max index,
         # matching _cell_assigner's argmax — nprobe=1 must reproduce the
         # storage assignment bit-for-bit (duplicate centroids are easy to

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import storage as fs_storage
-from . import manifest
+from . import lease, manifest
 from .text import tokens
 
 # doclens fold sizing: one row per live document (two narrow columns), so
@@ -145,6 +145,12 @@ class InvertedIndex:
     def delete_ids(self, ids) -> int:
         """Tombstone documents; probes and corpus scalars exclude them
         immediately, :meth:`compact` drops their rows physically."""
+        # round 11: refuse new writes while a maintenance writer
+        # holds the root's lease (lease.py) — maintenance renames
+        # live datasets aside; a batch landing mid-swap could be
+        # orphaned. One small-file read per batch.
+        if getattr(self, "_lease_depth", 0) == 0:
+            lease.refuse_if_held(self.spark, self.root, "delete_ids")
         if isinstance(ids, DataFrame):
             df = ids.toDF("id").distinct()
         else:
@@ -273,6 +279,12 @@ class InvertedIndex:
         batch committed). Ids must be disjoint from stored ids.
         Zero-token documents contribute no rows (same contract as
         bm25_topk's token stream)."""
+        # round 11: refuse new writes while a maintenance writer
+        # holds the root's lease (lease.py) — maintenance renames
+        # live datasets aside; a batch landing mid-swap could be
+        # orphaned. One small-file read per batch.
+        if getattr(self, "_lease_depth", 0) == 0:
+            lease.refuse_if_held(self.spark, self.root, "apply_batch")
         self._recover_compaction()
         self._sync_tombstones()
         if self.batch_applied(batch_id):
@@ -450,6 +462,7 @@ class InvertedIndex:
         )
         self._applied_cache = (set(), True)
 
+    @lease.maintenance_op("rebuild")
     def rebuild(self, num_partitions: int) -> int:
         """Re-partition the index under a NEW term-prefix modulus — the
         knob that bounds probe fan-out — without re-tokenizing anything:
@@ -515,6 +528,7 @@ class InvertedIndex:
         self._ct_cache = int(target)
         return n_live
 
+    @lease.maintenance_op("compact")
     def compact(self) -> int:
         """Fold applied batch directories into one and drop tombstoned
         documents physically (rename-aside swap, crash-recoverable; run

@@ -35,6 +35,12 @@ Two dedup tiers, the package's standard pattern:
   set is bit-equal to :func:`semdedup.semantic_pairs` (IVF tier)
   restricted to batch-touching pairs — parity-tested; ``nprobe>1`` is the
   cross-cell recall knob (superset of nprobe=1, like SemDeDup multiprobe).
+  The INGEST default is ``nprobe=2`` (round 11, matching
+  ``semantic_pairs``): planted-pair recall at 100k vectors measures
+  0.9921 at nprobe=2 vs 0.9084 at nprobe=1 (cell-boundary pairs are the
+  quantizer's loss, not the guard's) — only nprobe=2 meets the repo's
+  ≥0.95 recall bar, so the default must too. ``nprobe=1`` remains the
+  explicit semantic_pairs-parity / minimum-read setting.
 
 The reference engine has no vector surface at all; this module is part of
 the mandated LLM-training-data extension alongside semdedup/similarity.
@@ -49,7 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import storage as fs_storage
-from . import manifest, pairs_fold
+from . import lease, manifest, pairs_fold
 
 # Ingest-dedup cell cap: a cell past this size gets sub-bucketed by
 # hyperplane sign patterns before the within-cell pair join, capping the
@@ -309,6 +315,12 @@ class CellVectorIndex:
         :meth:`banded_index.BandedMinHashIndex.delete_ids`): probes
         anti-join the broadcast tombstone set immediately; :meth:`compact`
         removes the rows physically and clears the tombstones."""
+        # round 11: refuse new writes while a maintenance writer
+        # holds the root's lease (lease.py) — maintenance renames
+        # live datasets aside; a batch landing mid-swap could be
+        # orphaned. One small-file read per batch.
+        if getattr(self, "_lease_depth", 0) == 0:
+            lease.refuse_if_held(self.spark, self.root, "delete_ids")
         if isinstance(ids, DataFrame):
             df = ids.toDF("id").distinct()
         else:
@@ -406,6 +418,7 @@ class CellVectorIndex:
         )
         self._applied_cache = (set(), True)
 
+    @lease.maintenance_op("retrain")
     def retrain(self, nlist: Optional[int] = None) -> int:
         """Re-train the coarse quantizer on the LIVE stored vectors and
         reassign every vector to its new cell — the remedy for
@@ -500,6 +513,7 @@ class CellVectorIndex:
             )
         return self._ct_cache
 
+    @lease.maintenance_op("compact")
     def compact(self) -> int:
         """Fold all applied batch directories into one and drop
         tombstoned vectors physically (rename-aside swap with crash
@@ -586,6 +600,7 @@ class CellVectorIndex:
             "id_a long, id_b long, cosine double, batch_id long",
         )
 
+    @lease.maintenance_op("compact_pairs")
     def compact_pairs(self) -> int:
         """Fold pairs-log batch directories at or below the compaction
         watermark into ``pairs_hist`` — same contract, protocol, and
@@ -606,6 +621,7 @@ class CellVectorIndex:
         self._pf_cache = None
         return n
 
+    @lease.maintenance_op("scrub_pairs")
     def scrub_pairs(self, ids) -> int:
         """GDPR-complete removal from the pairs log — same contract and
         rename-aside rewrite as
@@ -753,7 +769,7 @@ class CellVectorIndex:
         id_col: str = "vec_id",
         threshold: float = 0.85,
         tier: str = "ivf",
-        nprobe: int = 1,
+        nprobe: int = 2,
         exclude_batch_id: Optional[int] = None,
         max_cell_size: Optional[int] = DEFAULT_MAX_CELL_SIZE,
     ) -> Tuple[DataFrame, DataFrame]:
@@ -767,6 +783,9 @@ class CellVectorIndex:
         values, collected driver-side) prunes the scan to matching cell
         partitions; stored vectors join on their single storage cell, so
         nprobe=1 replays the batch IVF tier exactly (parity-tested).
+        Default nprobe=2 (round 11): recovers cell-boundary pairs the
+        quantizer splits — the measured-recall setting (module
+        docstring); pass nprobe=1 explicitly for the parity tier.
         Cells past ``max_cell_size`` rows are sub-bucketed by hyperplane
         sign patterns first (see :meth:`_cell_guard` — the
         ``max_band_size`` analogue; ``None`` disables), so a skewed cell
@@ -855,13 +874,19 @@ class CellVectorIndex:
         id_col: str = "vec_id",
         threshold: float = 0.85,
         tier: str = "ivf",
-        nprobe: int = 1,
+        nprobe: int = 2,
         max_cell_size: Optional[int] = DEFAULT_MAX_CELL_SIZE,
     ) -> bool:
         """Dedup ``batch`` against index + itself and commit, exactly
         once. Pairs first, vectors, then one applied-log append (the log
         entry is the applied marker); all writes overwrite the batch's
         own directory and all reads exclude it."""
+        # round 11: refuse new writes while a maintenance writer
+        # holds the root's lease (lease.py) — maintenance renames
+        # live datasets aside; a batch landing mid-swap could be
+        # orphaned. One small-file read per batch.
+        if getattr(self, "_lease_depth", 0) == 0:
+            lease.refuse_if_held(self.spark, self.root, "apply_batch")
         self._recover_compaction()
         self._sync_tombstones()
         if self.batch_applied(batch_id):

@@ -26,6 +26,17 @@ hash-match bit-for-bit):
   compares — a value within ~1e-15 of a 6-dp rounding boundary or of a
   threshold could legitimately differ, which the fixtures don't contain
   (they would be regenerated, not worked around, if one ever did);
+* the same tie-distance rule covers candidate **membership** decisions in
+  the two ANN oracles (``lsh_ann_topk`` sign bits; ``ivf_ann_topk``
+  argmax-cell assignment and probe-cell ranking): Spark computes them via
+  numpy einsum (fixed-order float64 reduction), DuckDB replays them as
+  ``list_sum`` folds — different summation orders, not bit-equal. A flip
+  needs two cell/plane cosines within ~1e-15 of each other (or a dot
+  within ~1e-15 of zero) on md5-seeded continuous-valued fixtures, which
+  is the same measure-zero class as the value-compare hazard above and
+  carries the same policy: if a regenerated fixture ever lands on such a
+  tie, regenerate the fixture (the catalog does not add per-query
+  epsilon fudge to candidate selection);
 * every aggregate/computed column is aliased identically on both sides.
 
 The events table doubles as the feature-store fixture: ``time`` =

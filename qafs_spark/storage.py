@@ -98,5 +98,49 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(jpath)
 
 
+def create_file_atomic(spark: SparkSession, path: str, content: str) -> bool:
+    """Create ``path`` with ``content`` iff it does not already exist —
+    Hadoop ``FileSystem.create(path, overwrite=false)``, the FS layer's
+    compare-and-swap: on HDFS and local filesystems the namespace insert
+    is atomic, so exactly one of N concurrent callers returns True (the
+    rest get FileAlreadyExists → False). On S3A the create-time check is
+    best-effort (object stores check at close), which is why the lease
+    protocol that uses this also verifies by read-back after close —
+    see :mod:`pipeline.lease`."""
+    fs, jpath = _fs_and_path(spark, path)
+    try:
+        out = fs.create(jpath, False)
+    except Exception:
+        return False
+    try:
+        data = content.encode("utf-8")
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    return True
+
+
+def read_small_file(spark: SparkSession, path: str):
+    """Full contents of a SMALL file as str, or None when missing or
+    unreadable (a concurrent delete between exists and open reads as
+    missing — callers treat None as 'no lease')."""
+    fs, jpath = _fs_and_path(spark, path)
+    try:
+        stream = fs.open(jpath)
+    except Exception:
+        return None
+    try:
+        # py4j passes arrays by VALUE, so stream.read(buf) can't fill a
+        # Python bytearray — read JVM-side via commons-io (bundled with
+        # Hadoop) and ship the finished string across the gateway once.
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    except Exception:
+        return None
+    finally:
+        stream.close()
+
+
 def join(*parts: str) -> str:
     return posixpath.join(*parts)

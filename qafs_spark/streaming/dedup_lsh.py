@@ -226,7 +226,7 @@ def streaming_semantic_dedup(
     nlist: int = 16,
     threshold: float = 0.85,
     tier: str = "ivf",
-    nprobe: int = 1,
+    nprobe: int = 2,
     trigger_available_now: bool = True,
 ):
     """Exactly-once streaming SEMANTIC near-dup detection over the

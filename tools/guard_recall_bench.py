@@ -43,7 +43,9 @@ def main() -> int:
     ap.add_argument("--work", default="/tmp/qafs_guard_recall")
     ap.add_argument("--threshold", type=float, default=0.85)
     ap.add_argument("--nlist", type=int, default=16)
-    ap.add_argument("--nprobe", type=int, default=1)
+    # default: OMIT nprobe so the run measures apply_batch's own ingest
+    # default (nprobe=2 since round 11) — the config a user actually gets
+    ap.add_argument("--nprobe", type=int, default=None)
     args = ap.parse_args()
 
     from qafs_spark.session import get_spark
@@ -64,11 +66,12 @@ def main() -> int:
         root = os.path.join(args.work, f"ix_{tag}")
         shutil.rmtree(root, ignore_errors=True)
         ix = CellVectorIndex(spark, root, nlist=args.nlist)
+        kw = {} if args.nprobe is None else {"nprobe": args.nprobe}
         t0 = time.time()
         ix.apply_batch(
             emb, 0, vec_col="embedding", id_col="vec_id",
-            threshold=args.threshold, tier="ivf", nprobe=args.nprobe,
-            max_cell_size=max_cell_size,
+            threshold=args.threshold, tier="ivf",
+            max_cell_size=max_cell_size, **kw,
         )
         dt = time.time() - t0
         found = ix.pairs().select("id_a", "id_b")
@@ -83,7 +86,7 @@ def main() -> int:
         "n_planted_pairs": n_planted,
         "threshold": args.threshold,
         "nlist": args.nlist,
-        "nprobe": args.nprobe,
+        "nprobe": args.nprobe if args.nprobe is not None else "default(2)",
         "guarded": guarded,
         "unguarded": unguarded,
         "survival_vs_unguarded": round(

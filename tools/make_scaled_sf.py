@@ -22,7 +22,10 @@ like a bigger corpus, not like K exact clones:
   deterministic ~9% subset per replica (base ``vec_id % 11 == k % 11``)
   which is PLANTED as a true near-duplicate of its replica-0 base:
   ``v' = v + 0.1·rot_k(v)``, whose cosine with ``v`` is bounded below by
-  ``1/sqrt(1+0.1²) ≈ 0.99504`` for ANY rotation alignment — comfortably
+  ``sqrt(1-0.1²) ≈ 0.99499`` for ANY rotation alignment (writing
+  ``c = cos(v, rot_k v)``, ``cos(v,v') = (1+0.1c)/sqrt(1.01+0.2c)`` is
+  minimized at ``c = -0.1``, giving ``sqrt(0.99)``; the oft-quoted
+  ``1/sqrt(1.01) ≈ 0.99504`` is only the ``c = 0`` value) — comfortably
   above the 0.85 dedup threshold and tight enough that hyperplane
   sub-bucketing keeps ~0.97 per-bit pair survival. Round 10: gives the scaled fixture a
   KNOWN ground-truth pair set (base_id, base_id + k·offset) so guard /
@@ -141,7 +144,8 @@ def _emb_rep(d, k: int, off: int):
             F.when(
                 planted,
                 # near-dup of the replica-0 base: v + 0.1*rot(v);
-                # cos(v, v') >= 1/sqrt(1.01) ~ 0.99504 for any v
+                # cos(v, v') >= sqrt(0.99) ~ 0.99499 for any v
+                # (minimum at cos(v, rot v) = -0.1; see module docstring)
                 F.zip_with(
                     "embedding", rotated,
                     lambda x, y: x + F.lit(0.1) * y,
@@ -170,7 +174,7 @@ def planted_pairs(spark, src: str, factor: int):
     """Ground-truth near-dup pairs the scaled fixture contains BY
     CONSTRUCTION: for each replica k>0, base vectors with
     ``vec_id % 11 == k % 11`` were blended (not rotated), so
-    (base_id, base_id + k*offset) has cosine >= ~0.99504. Returns a
+    (base_id, base_id + k*offset) has cosine >= sqrt(0.99) ≈ 0.99499. Returns a
     DataFrame (id_a, id_b) with id_a < id_b."""
     base = spark.read.parquet(f"{src}/embeddings.parquet").select("vec_id")
     off = base.agg(F.max("vec_id")).collect()[0][0] + 1
