@@ -5352,6 +5352,76 @@ def test_scaled_fixture_planted_pairs_are_true_near_dups(spark):
     assert hits == n_planted  # exact tier recovers every planted pair
 
 
+def test_scaled_fixture_replicas_past_dim_are_not_clones(spark):
+    """Round 11: replica factors past the vector dimension (64) compose
+    the cyclic rotation with a per-replica Rademacher sign diagonal —
+    pure rotation wraps at dim, which would make replicas k and k+64
+    EXACT clones (quadratic accidental pair structure). Pins: (a) the
+    k<64 output is byte-identical to the rotation-only definition (the
+    standing sf1/100k fixtures don't change), (b) replica k+dim differs
+    from replica k for non-planted rows, (c) planted pairs at k>=64
+    still satisfy the sqrt(0.99) cosine bound (T_k is orthogonal)."""
+    import math
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from make_scaled_sf import _emb_rep
+
+    from qafs_spark.pipeline.similarity import cosine
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(40)
+    off = 10_000
+    r3 = _emb_rep(base, 3, off).select(
+        (F.col("vec_id") - 3 * off).alias("vec_id"),
+        F.col("embedding").alias("e3"),
+    )
+    # (a) k < dim: plain rotation, no sign flips (j = k//64 = 0)
+    rot3 = base.select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") % 11) == 3,
+            F.zip_with(
+                "embedding",
+                F.concat(F.slice("embedding", 4, 4096),
+                         F.slice("embedding", 1, 3)),
+                lambda x, y: x + F.lit(0.1) * y,
+            ),
+        ).otherwise(
+            F.concat(F.slice("embedding", 4, 4096),
+                     F.slice("embedding", 1, 3))
+        ).cast("array<float>").alias("want"),
+    )
+    assert r3.join(rot3, "vec_id").filter(
+        F.col("e3") != F.col("want")
+    ).count() == 0
+    # (b) k = 3 + 64 shares the rotation but NOT the sign pattern
+    r67 = _emb_rep(base, 67, off).select(
+        (F.col("vec_id") - 67 * off).alias("vec_id"),
+        F.col("embedding").alias("e67"),
+    )
+    joined = r3.join(r67, "vec_id").filter((F.col("vec_id") % 11) != 3)
+    assert joined.count() > 0
+    assert joined.filter(F.col("e3") == F.col("e67")).count() == 0
+    # (c) planted rows at k=67 are true near-dups of their base
+    planted = _emb_rep(base, 67, off).select(
+        (F.col("vec_id") - 67 * off).alias("vec_id"),
+        F.col("embedding").alias("rep"),
+    ).filter((F.col("vec_id") % 11) == (67 % 11))
+    cos_min = base.join(planted, "vec_id").select(
+        cosine(F.col("embedding"), F.col("rep")).alias("c")
+    ).agg(F.min("c")).collect()[0][0]
+    assert planted.count() > 0 and cos_min >= math.sqrt(0.99) - 1e-9
+
+
 def test_clustered_fixture_exact_ivf_agreement(spark):
     """On a CLUSTERED corpus (the regime real dedup data lives in), the
     IVF tier's keep-set must agree with exact — Jaccard >= 0.9 at the

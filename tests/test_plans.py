@@ -628,3 +628,33 @@ def test_inverted_index_search_plan_shape(spark, tmp_path):
     assert "In(term" in pushed or "EqualTo(term" in pushed
     pf = ", ".join(partition_filters(out))
     assert "term_pfx" in pf
+
+
+def test_resample_family_global_window_counts_pinned(spark):
+    """Round-11 verdict task 6: the resample/ffill family's unpartitioned
+    windows are EXACTLY the documented one-row-per-bucket carry windows
+    (operators/ffill.py pass 2 — 'all rows' is #buckets, never data
+    rows), and their per-query counts are pinned so a REAL data-row
+    global window can't hide among the benign ones. Spark 4 constant-
+    folds a literal partitionBy key out of the spec (verified — the
+    lit(0) silencing trick does not work), so the exactly-asserted-count
+    route is the enforceable one. A count INCREASE here means someone
+    added an unpartitioned window — audit it before re-pinning."""
+    from qafs_spark.plans.evidence import global_window_count
+    from qafs_spark.queries import QUERIES
+
+    pinned = {
+        "resample_asof": 1,            # one two-pass ffill carry
+        "resample_anchored_month": 1,  # same shape, anchored grid
+        "resample_downsample_month": 0,
+        "resample_downsample": 0,
+        "align_ffill": 1,              # multi-feature pivot + one carry
+        "resample_interpolate": 2,     # forward + backward anchor carries
+        "resample_nearest": 2,
+        "resample_percolumn": 2,
+    }
+    got = {
+        name: global_window_count(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        for name in pinned
+    }
+    assert got == pinned

@@ -130,22 +130,39 @@ def scale(spark, src: str, dst: str, factor: int) -> None:
     )
 
 
-def _emb_rep(d, k: int, off: int):
-    """One embeddings replica: rotation for spread, planted near-dups for
-    ground truth (module docstring)."""
+def _emb_rep(d, k: int, off: int, dim: int = 64):
+    """One embeddings replica: an orthogonal per-replica transform for
+    spread, planted near-dups for ground truth (module docstring).
+
+    The transform is T_k = D_{k//dim} · rot_{k mod dim}: a cyclic
+    rotation composed, for k >= dim (round 11 — rotation alone wraps at
+    the vector dimension, which would make replicas k and k+dim EXACT
+    clones and explode the pair structure quadratically), with a
+    Rademacher diagonal whose signs are the bits of k//dim. (rot, signs)
+    is unique per k, T_k is orthogonal (norm-preserving), and for
+    k < dim the sign pattern is all-+1 so existing fixtures (factors
+    <= 64, incl. the standing sf1 and the 100k guard fixture) are
+    BYTE-IDENTICAL to the pre-round-11 definition. The planted-pair
+    cosine bound sqrt(0.99) holds for ANY orthogonal T, same proof."""
     if k:
         rotated = F.concat(
-            F.slice("embedding", k + 1, 4096),
-            F.slice("embedding", 1, k),
+            F.slice("embedding", (k % dim) + 1, 4096),
+            F.slice("embedding", 1, k % dim),
         )
+        j = k // dim
+        if j:
+            signs = F.array(
+                *[F.lit(-1.0 if (j >> i) & 1 else 1.0) for i in range(dim)]
+            )
+            rotated = F.zip_with(rotated, signs, lambda x, s: x * s)
         planted = (F.col("vec_id") % 11) == (k % 11)  # base id, pre-offset
         d = d.withColumn(
             "embedding",
             F.when(
                 planted,
-                # near-dup of the replica-0 base: v + 0.1*rot(v);
+                # near-dup of the replica-0 base: v + 0.1*T_k(v);
                 # cos(v, v') >= sqrt(0.99) ~ 0.99499 for any v
-                # (minimum at cos(v, rot v) = -0.1; see module docstring)
+                # (minimum at cos(v, T_k v) = -0.1; see module docstring)
                 F.zip_with(
                     "embedding", rotated,
                     lambda x, y: x + F.lit(0.1) * y,
