@@ -132,14 +132,17 @@ def semantic_pairs(
     ~linearly in ``nprobe`` (duplicated (id, vec, cell) rows + pair
     dedup), the published multiprobe-IVF trade.
 
-    Scale shape of the IVF tier: one scan + cell-assign (map-only), one
-    shuffle of (id, vec, cell) on the cell id, quadratic work bounded per
-    cell. Size ``nlist`` ∝ corpus/target_cell_size so cells stay O(10⁴)
-    rows; the self-join is hinted shuffle_hash so the assigned frame is
-    computed once and reused (ReusedExchange), never broadcast-duplicated.
+    Scale shape of the IVF tier: one scan + cell-assign (map-only), ONE
+    shuffle of (id, vec, __n, cell) on the cell id, then blocked
+    within-cell scoring (round 11): each cell arrives as one
+    ``applyInPandas`` group and scores as chunked einsum blocks, so
+    Arrow/shuffle volume is linear in assigned rows — the candidate
+    PAIRS never materialize as rows. Size ``nlist`` ∝
+    corpus/ivf_cell_rows so cells stay O(10³) rows and per-cell
+    quadratic work is bounded.
     """
     from .dedup import embedding_dedup_pairs
-    from .similarity import _cell_assigner, _probe_cells, cosine_pre_batch, ivf_train, norm
+    from .similarity import _cell_assigner, _probe_cells, ivf_train, norm
 
     if exact:
         if nlist is not None or centroids is not None:
@@ -187,20 +190,58 @@ def semantic_pairs(
             norm(F.col(vec_col)).alias("__n"),
             assign(F.col(vec_col)).alias("cell"),
         )
-    a, b = v.alias("a"), v.hint("shuffle_hash").alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+    # Blocked per-cell scoring (round 11): ONE shuffle of
+    # (id, vec, __n, cell) on the cell id — same exchange the old
+    # self-join paid — then each cell scores as chunked einsum blocks
+    # inside applyInPandas. The old shape (shuffle-hash self-join +
+    # per-pair Arrow scorer) shipped BOTH vectors through Arrow once per
+    # candidate pair — ~n·ivf_cell_rows/2 pairs × 1KB dominates ingest
+    # at 10⁶+ rows; blocked ships each vector once per probed cell.
+    # Cosine bits are IDENTICAL (same float64 promotion, same
+    # fixed-order einsum reduction per output element — the numpy
+    # ij,kj->ik contract equals pairwise ij,ij->i exactly; pytest-pinned
+    # in the vector-index twin), so the exact-tier short-circuit parity
+    # and the DuckDB oracle replays are unaffected.
+    thr = float(threshold)
+
+    def _block(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_pre_batch(
-                F.col("a.vec"), F.col("b.vec"), F.col("a.__n"), F.col("b.__n")
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy(dtype="int64")
+        M = np.stack(pdf["vec"].map(lambda x: np.asarray(x, dtype="float64")))
+        nn = pdf["__n"].to_numpy(dtype="float64")
+        outs = []
+        for lo in range(0, len(ids), 2048):  # bound the sims block
+            hi = min(lo + 2048, len(ids))
+            sims = np.einsum("ij,kj->ik", M[lo:hi], M) / np.outer(
+                nn[lo:hi], nn
+            )
+            mask = (sims >= thr) & (ids[lo:hi, None] < ids[None, :])
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[lo:hi][ai],
+                            "id_b": ids[bi],
+                            "cosine": sims[ai, bi],
+                        }
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
+    pairs = v.groupBy("cell").applyInPandas(
+        _block, "id_a long, id_b long, cosine double"
     )
     if nprobe > 1:
         # a pair sharing several probed cells surfaces once per shared

@@ -762,6 +762,109 @@ class CellVectorIndex:
             F.col("a.__sub") == F.col("b.__sub"),
         )
 
+    # -- blocked pair scoring (round 11) ------------------------------------
+
+    def _collect_blocks(self, probed_b: DataFrame, keyed: bool):
+        """Materialize the (broadcast-sized) b side driver-side as
+        per-(cell[, __sub]) numpy blocks and ship ONE Python broadcast.
+
+        The r10 shape broadcast-JOINED the b side and scored each
+        candidate pair through an Arrow pandas_udf — which ships BOTH
+        vectors per candidate PAIR, so Arrow volume grows with the
+        within-cell quadratic (measured: a 250k-vector batch at 1M
+        corpus moves ~100s of GB through Arrow and dominates ingest).
+        Blocked scoring ships each vector ONCE — the b side in this
+        broadcast (same driver-sized contract as the old
+        ``F.broadcast``), the a side once through ``mapInPandas`` — and
+        does the within-cell work as one einsum per (a-chunk, cell)
+        block. Float contract: identical promotion (float64 before the
+        product) and identical fixed-order einsum reduction over the
+        vector axis, so cosines are BIT-EQUAL to ``cosine_pre_batch``
+        (asserted in tests)."""
+        import numpy as np
+
+        cols = ["id", "vec", "__n", "cell"] + (["__sub"] if keyed else [])
+        pdf = probed_b.select(*cols).toPandas()
+        blocks = {}
+        if len(pdf):
+            keys = ["cell", "__sub"] if keyed else ["cell"]
+            for key, g in pdf.groupby(keys, sort=False):
+                k = key if isinstance(key, tuple) else (key,)
+                blocks[tuple(int(x) for x in k)] = (
+                    g["id"].to_numpy(dtype="int64"),
+                    np.stack(
+                        g["vec"].map(
+                            lambda v: np.asarray(v, dtype="float64")
+                        )
+                    ),
+                    g["__n"].to_numpy(dtype="float64"),
+                )
+        return self.spark.sparkContext.broadcast(blocks)
+
+    @staticmethod
+    def _blocked_score(
+        frame: DataFrame, bvar, keyed: bool, mode: str, threshold: float
+    ) -> DataFrame:
+        """(id_a, id_b, cosine) pairs of ``frame`` rows against the
+        broadcast blocks sharing their (cell[, __sub]) key. ``mode``:
+        ``"old"`` keeps a.id != b.id (stored-vs-batch), ``"new"`` keeps
+        a.id < b.id (batch-vs-batch, kills the orientation mirror)."""
+        cols = ["id", "vec", "__n", "cell"] + (["__sub"] if keyed else [])
+        keys = ["cell", "__sub"] if keyed else ["cell"]
+
+        def fn(pdfs):
+            import numpy as np
+            import pandas as pd
+
+            blocks = bvar.value
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                outs = []
+                for key, g in pdf.groupby(keys, sort=False):
+                    k = key if isinstance(key, tuple) else (key,)
+                    hit = blocks.get(tuple(int(x) for x in k))
+                    if hit is None:
+                        continue
+                    bids, BM, bn = hit
+                    A = np.stack(
+                        g["vec"].map(lambda v: np.asarray(v, dtype="float64"))
+                    )
+                    an = g["__n"].to_numpy(dtype="float64")
+                    aids = g["id"].to_numpy(dtype="int64")
+                    for lo in range(0, len(aids), 2048):  # bound sims block
+                        hi = min(lo + 2048, len(aids))
+                        sims = np.einsum(
+                            "ij,kj->ik", A[lo:hi], BM
+                        ) / np.outer(an[lo:hi], bn)
+                        if mode == "old":
+                            mask = (sims >= threshold) & (
+                                aids[lo:hi, None] != bids[None, :]
+                            )
+                        else:
+                            mask = (sims >= threshold) & (
+                                aids[lo:hi, None] < bids[None, :]
+                            )
+                        ai, bi = np.nonzero(mask)
+                        if not len(ai):
+                            continue
+                        ia, ib = aids[lo:hi][ai], bids[bi]
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "id_a": np.minimum(ia, ib),
+                                    "id_b": np.maximum(ia, ib),
+                                    "cosine": sims[ai, bi],
+                                }
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs)
+
+        return frame.select(*cols).mapInPandas(
+            fn, "id_a long, id_b long, cosine double"
+        )
+
     def dedup_batch(
         self,
         new_vecs: DataFrame,
@@ -840,12 +943,38 @@ class CellVectorIndex:
         # sub-bucket expansion lives ONLY on the broadcast b side
         # (probed_b) — one row's expanded values are distinct, so it adds
         # no duplication either way.
-        old_pairs = score(
-            stored.alias("a").join(F.broadcast(probed_b.alias("b")), old_cond)
-        )
-        new_pairs = score(
-            probed_a.alias("a").join(F.broadcast(probed_b.alias("b")), new_cond)
-        )
+        if tier == "exact":
+            # oracle tier: broadcast join + per-pair Arrow scorer, the
+            # SQL-replayable shape (small corpora by contract)
+            old_pairs = score(
+                stored.alias("a").join(
+                    F.broadcast(probed_b.alias("b")), old_cond
+                )
+            )
+            new_pairs = score(
+                probed_a.alias("a").join(
+                    F.broadcast(probed_b.alias("b")), new_cond
+                )
+            )
+        else:
+            # scale tier (round 11): blocked per-cell scoring. The b side
+            # ships ONCE as a Python broadcast of per-(cell[,__sub])
+            # numpy blocks; stored/batch a-rows stream through
+            # mapInPandas and score one einsum block per cell — Arrow
+            # volume linear in rows instead of candidate pairs (the
+            # broadcast-join + per-pair scorer moved both vectors per
+            # CANDIDATE, which dominated ingest at 1M vectors). Pair
+            # semantics and cosine bits match the join shape exactly
+            # (same key equality, same id conditions, same float64
+            # promotion and einsum reduction order — parity-tested).
+            keyed = "__sub" in probed_b.columns
+            bvar = self._collect_blocks(probed_b, keyed)
+            old_pairs = self._blocked_score(
+                stored, bvar, keyed, "old", threshold
+            )
+            new_pairs = self._blocked_score(
+                probed_a, bvar, keyed, "new", threshold
+            )
         if tier != "exact" and nprobe > 1:
             new_pairs = new_pairs.dropDuplicates(["id_a", "id_b"])
         return old_pairs.unionByName(new_pairs), assigned
@@ -927,8 +1056,6 @@ class CellVectorIndex:
         neighbor id, the package's ANN convention."""
         from pyspark.sql import Window
 
-        from .similarity import cosine_pre_batch
-
         self._recover_compaction()  # incl. finishing a committed retrain
         cents = self.centroids()
         if cents is None:
@@ -936,23 +1063,77 @@ class CellVectorIndex:
         q = self._assigned(queries, id_col, vec_col, cents, nprobe)
         cells = [r[0] for r in q.select("cell").distinct().collect()]
         stored = self._stored(cells, None, empty_like=q, applied_only=True)
-        scored = (
-            stored.alias("s")
-            .join(
-                F.broadcast(q.alias("q")),
-                (F.col("s.cell") == F.col("q.cell"))
-                & (F.col("s.id") != F.col("q.id")),
-            )
-            .select(
-                F.col("q.id").alias("query_id"),
-                F.col("s.id").alias("neighbor_id"),
-                cosine_pre_batch(
-                    F.col("q.vec"), F.col("s.vec"),
-                    F.col("q.__n"), F.col("s.__n"),
-                ).alias("cosine"),
-            )
-            # stored vectors are single-cell, so each (query, neighbor)
-            # joins exactly once even at nprobe = nlist — no dedup shuffle
+        # Blocked scoring (round 11, same shape as dedup_batch's scale
+        # tier): queries ship ONCE as per-cell numpy blocks, stored rows
+        # stream through mapInPandas scoring one einsum block per cell,
+        # and each task pre-reduces to its local top-k per query (a
+        # query's global top-k row is by definition inside every task's
+        # local top-k, so the reduction is lossless) — the rank window
+        # then shuffles ≤ k·tasks rows per query instead of every
+        # candidate. Stored vectors are single-cell, so each (query,
+        # neighbor) scores exactly once even at nprobe = nlist; cosine
+        # bits match the per-pair scorer exactly (einsum contract,
+        # pytest-pinned), so the DuckDB oracle replay is unaffected.
+        bvar = self._collect_blocks(q, keyed=False)
+        kk = int(k)
+
+        def fn(pdfs):
+            import numpy as np
+            import pandas as pd
+
+            blocks = bvar.value
+            for pdf in pdfs:
+                if pdf.empty:
+                    continue
+                outs = []
+                for cell, g in pdf.groupby(["cell"], sort=False):
+                    key = (int(cell[0] if isinstance(cell, tuple) else cell),)
+                    hit = blocks.get(key)
+                    if hit is None:
+                        continue
+                    qids, QM, qn = hit
+                    S = np.stack(
+                        g["vec"].map(lambda v: np.asarray(v, dtype="float64"))
+                    )
+                    sn = g["__n"].to_numpy(dtype="float64")
+                    sids = g["id"].to_numpy(dtype="int64")
+                    for lo in range(0, len(sids), 2048):
+                        hi = min(lo + 2048, len(sids))
+                        sims = np.einsum(
+                            "ij,kj->ik", S[lo:hi], QM
+                        ) / np.outer(sn[lo:hi], qn)
+                        si, qi = np.nonzero(
+                            sids[lo:hi, None] != qids[None, :]
+                        )
+                        if not len(si):
+                            continue
+                        outs.append(
+                            pd.DataFrame(
+                                {
+                                    "query_id": qids[qi],
+                                    "neighbor_id": sids[lo:hi][si],
+                                    "cosine": sims[si, qi],
+                                }
+                            )
+                        )
+                if not outs:
+                    continue
+                allp = pd.concat(outs)
+                # local lossless top-k per query: Spark ranks cosine DESC
+                # with NaN GREATEST, ties on neighbor_id ASC — replicate
+                # with a NaN→+inf sort key so the kept set is exactly the
+                # window's candidates
+                skey = allp["cosine"].to_numpy(dtype="float64").copy()
+                skey[np.isnan(skey)] = np.inf
+                allp = allp.assign(__sk=-skey).sort_values(
+                    ["query_id", "__sk", "neighbor_id"], kind="stable"
+                )
+                yield allp.groupby("query_id", sort=False).head(kk).drop(
+                    columns="__sk"
+                )
+
+        scored = stored.select("id", "vec", "__n", "cell").mapInPandas(
+            fn, "query_id long, neighbor_id long, cosine double"
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id").asc()

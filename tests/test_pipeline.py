@@ -3378,6 +3378,36 @@ def test_vector_index_ingest_default_nprobe_is_2(vec_corpus, tmp_path):
     idx.unpersist_intermediates()
 
 
+def test_vector_index_blocked_scorer_bit_parity_with_exact(vec_corpus, tmp_path):
+    """Round 11: the IVF tier's blocked per-cell scorer (one einsum
+    block per cell, vectors shipped once) must be BIT-equal to the exact
+    tier's per-pair Arrow scorer on shared pairs — same float64
+    promotion, same fixed-order einsum reduction (numpy contract
+    verified: ij,kj->ik == pairwise ij,ij->i exactly). No rounding in
+    the comparison. Also covers the guard-engaged path (max_cell_size=8
+    forces sub-bucketed blocks)."""
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    spark = vec_corpus.sparkSession
+    old = vec_corpus.filter(F.col("vec_id") % 2 == 0)
+    new = vec_corpus.filter(F.col("vec_id") % 2 == 1)
+    idx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=4)
+    assert idx.apply_batch(old, 0, threshold=0.3, tier="exact")
+    exact, _ = idx.dedup_batch(new, threshold=0.3, tier="exact")
+    exact_map = {
+        (r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()
+    }
+    for mcs in (None, 8):  # guard off / forced on
+        ivf, _ = idx.dedup_batch(
+            new, threshold=0.3, tier="ivf", max_cell_size=mcs
+        )
+        rows = ivf.collect()
+        assert rows
+        for r in rows:  # ivf ⊆ exact, cosine bit-equal (== on doubles)
+            assert exact_map[(r["id_a"], r["id_b"])] == r["cosine"]
+    idx.unpersist_intermediates()
+
+
 def test_vector_index_exactly_once_and_frozen_quantizer(vec_corpus, tmp_path):
     """Replay of a completed batch is a no-op; replay after the vectors
     write died re-commits to identical state; reopening with different
