@@ -586,12 +586,19 @@ def embedding_dedup_pairs(
 
     The bucket stage is Arrow-batched (round 10,
     :func:`similarity.hyperplane_bucket_batch` — one matmul per batch
-    instead of num_planes interpreted HOF dots per row); no oracle
-    replays this path (every catalog/semdedup caller uses
-    ``use_lsh=False``), and both join sides share the one bucket column,
-    so candidate semantics are unchanged.
+    instead of num_planes interpreted HOF dots per row), and the LSH
+    tier's pair scoring is BLOCKED per bucket (round 11,
+    :func:`similarity.blocked_self_pairs` — Arrow volume linear in
+    rows, not candidate pairs; cosine bits unchanged). No oracle
+    replays the LSH path (every catalog/semdedup caller uses
+    ``use_lsh=False``, which keeps the SQL-replayable join shape).
     """
-    from .similarity import cosine_pre_batch, hyperplane_bucket_batch, norm
+    from .similarity import (
+        blocked_self_pairs,
+        cosine_pre_batch,
+        hyperplane_bucket_batch,
+        norm,
+    )
 
     # norms staged once per ROW (bit-equal to per-pair cosine, ~3x fewer
     # array aggregates in the quadratic pair stage — see cosine_pre)
@@ -607,13 +614,10 @@ def embedding_dedup_pairs(
             "bucket",
             hyperplane_bucket_batch(F.col("vec"), dim, num_planes, seed),
         )
-        a, b = v.alias("a"), v.alias("b")
-        cond = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-    else:
-        a, b = v.alias("a"), v.alias("b")
-        cond = F.col("a.id") < F.col("b.id")
+        return blocked_self_pairs(v, "bucket", threshold)
+    a, b = v.alias("a"), v.alias("b")
     return (
-        a.join(b, cond)
+        a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -193,56 +193,14 @@ def semantic_pairs(
     # Blocked per-cell scoring (round 11): ONE shuffle of
     # (id, vec, __n, cell) on the cell id — same exchange the old
     # self-join paid — then each cell scores as chunked einsum blocks
-    # inside applyInPandas. The old shape (shuffle-hash self-join +
-    # per-pair Arrow scorer) shipped BOTH vectors through Arrow once per
-    # candidate pair — ~n·ivf_cell_rows/2 pairs × 1KB dominates ingest
-    # at 10⁶+ rows; blocked ships each vector once per probed cell.
-    # Cosine bits are IDENTICAL (same float64 promotion, same
-    # fixed-order einsum reduction per output element — the numpy
-    # ij,kj->ik contract equals pairwise ij,ij->i exactly; pytest-pinned
-    # in the vector-index twin), so the exact-tier short-circuit parity
-    # and the DuckDB oracle replays are unaffected.
-    thr = float(threshold)
+    # (similarity.blocked_self_pairs; the old shuffle-hash self-join +
+    # per-pair Arrow scorer shipped BOTH vectors per candidate pair —
+    # the measured 1M-corpus bottleneck). Cosine bits are identical, so
+    # the exact-tier short-circuit parity and the DuckDB oracle replays
+    # are unaffected.
+    from .similarity import blocked_self_pairs
 
-    def _block(pdf):
-        import numpy as np
-        import pandas as pd
-
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series([], dtype="int64"),
-                "id_b": pd.Series([], dtype="int64"),
-                "cosine": pd.Series([], dtype="float64"),
-            }
-        )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["id"].to_numpy(dtype="int64")
-        M = np.stack(pdf["vec"].map(lambda x: np.asarray(x, dtype="float64")))
-        nn = pdf["__n"].to_numpy(dtype="float64")
-        outs = []
-        for lo in range(0, len(ids), 2048):  # bound the sims block
-            hi = min(lo + 2048, len(ids))
-            sims = np.einsum("ij,kj->ik", M[lo:hi], M) / np.outer(
-                nn[lo:hi], nn
-            )
-            mask = (sims >= thr) & (ids[lo:hi, None] < ids[None, :])
-            ai, bi = np.nonzero(mask)
-            if len(ai):
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[lo:hi][ai],
-                            "id_b": ids[bi],
-                            "cosine": sims[ai, bi],
-                        }
-                    )
-                )
-        return pd.concat(outs) if outs else empty
-
-    pairs = v.groupBy("cell").applyInPandas(
-        _block, "id_a long, id_b long, cosine double"
-    )
+    pairs = blocked_self_pairs(v, "cell", threshold)
     if nprobe > 1:
         # a pair sharing several probed cells surfaces once per shared
         # cell; cosine is deterministic, so the copies are identical

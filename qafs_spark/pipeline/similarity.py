@@ -196,6 +196,66 @@ def hyperplane_bucket_batch(
     return bucket(vec)
 
 
+def blocked_self_pairs(
+    v: DataFrame, key: str, threshold: float
+) -> DataFrame:
+    """(id_a, id_b, cosine) with id_a < id_b and cosine >= threshold,
+    candidates restricted to rows sharing ``key`` — scored as blocked
+    per-group einsum (round 11).
+
+    ``v`` must carry (id, vec, __n, <key>). One shuffle of those rows on
+    the key, then each group scores as chunked ``ij,kj->ik`` einsum
+    blocks inside ``applyInPandas`` — Arrow volume linear in rows; the
+    candidate pairs never materialize as join rows (the old self-join +
+    per-pair :func:`cosine_pre_batch` shape shipped both vectors per
+    CANDIDATE — the measured 1M-corpus bottleneck). Cosine bits equal
+    the per-pair path exactly: same float64 promotion, and numpy
+    evaluates each ``ik`` output element with the same fixed-order
+    reduction as the pairwise ``ij,ij->i`` contract (pytest-pinned in
+    the vector-index twin). Callers owning multi-key rows (multiprobe)
+    dedup afterwards, as with the join shape."""
+    thr = float(threshold)
+
+    def _block(pdf):
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy(dtype="int64")
+        M = np.stack(pdf["vec"].map(lambda x: np.asarray(x, dtype="float64")))
+        nn = pdf["__n"].to_numpy(dtype="float64")
+        outs = []
+        for lo in range(0, len(ids), 2048):  # bound the sims block
+            hi = min(lo + 2048, len(ids))
+            sims = np.einsum("ij,kj->ik", M[lo:hi], M) / np.outer(
+                nn[lo:hi], nn
+            )
+            mask = (sims >= thr) & (ids[lo:hi, None] < ids[None, :])
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[lo:hi][ai],
+                            "id_b": ids[bi],
+                            "cosine": sims[ai, bi],
+                        }
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
+    return v.groupBy(key).applyInPandas(
+        _block, "id_a long, id_b long, cosine double"
+    )
+
+
 def lsh_topk(
     data: DataFrame,
     queries: DataFrame,

@@ -52,6 +52,11 @@ def main() -> int:
     ap.add_argument("--threshold", type=float, default=0.85)
     ap.add_argument("--skip-banded", action="store_true")
     ap.add_argument("--skip-semdedup", action="store_true")
+    # --serve / --retrain reuse the index a prior ingest run left in
+    # --work (error if absent) and SKIP ingest: ANN serving latency at
+    # scale (10k queries, k=10, nprobe 1 and 2) / quantizer retrain cost
+    ap.add_argument("--serve", action="store_true")
+    ap.add_argument("--retrain", action="store_true")
     args = ap.parse_args()
 
     from qafs_spark.session import get_spark
@@ -69,6 +74,35 @@ def main() -> int:
     emb = spark.read.parquet(emb_path)
     n = emb.count()
     out = {"n_vectors": n, "nlist": args.nlist, "batches": args.batches}
+
+    if args.serve or args.retrain:
+        vroot = os.path.join(args.work, "vx")
+        if not os.path.exists(vroot):
+            print("no ingested index at", vroot, file=sys.stderr)
+            return 1
+        vx = CellVectorIndex(spark, vroot, nlist=args.nlist)
+        if args.serve:
+            queries = emb.filter(F.col("vec_id") % 100 == 0)  # ~n/100
+            nq = queries.count()
+            serve = {"n_queries": nq}
+            for npb in (1, 2):
+                t0 = time.time()
+                got = vx.search(queries, k=10, nprobe=npb).count()
+                serve[f"nprobe{npb}"] = {
+                    "sec": round(time.time() - t0, 1), "rows": got,
+                }
+                print(f"# search nprobe={npb}: {serve[f'nprobe{npb}']}",
+                      file=sys.stderr)
+            out["search"] = serve
+        if args.retrain:
+            t0 = time.time()
+            moved = vx.retrain(nlist=args.nlist * 2)
+            out["retrain"] = {"sec": round(time.time() - t0, 1),
+                              "rows_reassigned": moved,
+                              "new_nlist": args.nlist * 2}
+            print(f"# retrain: {out['retrain']}", file=sys.stderr)
+        print(json.dumps(out))
+        return 0
 
     # -- vector index ingest, DEFAULT config, equal batches ---------------
     vroot = os.path.join(args.work, "vx")
