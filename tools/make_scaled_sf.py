@@ -172,18 +172,32 @@ def _emb_rep(d, k: int, off: int, dim: int = 64):
     return d.withColumn("vec_id", F.col("vec_id") + F.lit(k * off))
 
 
-def scale_embeddings(spark, src: str, dst_file: str, factor: int) -> int:
+def scale_embeddings(
+    spark, src: str, dst_file: str, factor: int, chunk: int = 50
+) -> int:
     """Build JUST the scaled embeddings table (the guard/recall benches
-    need nothing else). Returns the replica id offset."""
+    need nothing else). Returns the replica id offset.
+
+    Replicas are written in ``chunk``-wide appends (round 11): a
+    factor-F single union is an F-way plan whose analysis/execution
+    memory grows with F — a 1000-way union OOM-killed a ~10 GB driver
+    cgroup — while chunked appends bound the live plan at ``chunk``
+    branches with identical output rows. For ``factor <= chunk`` the
+    write is one overwrite with the same coalesce as before, so the
+    standing ≤50× fixtures are byte-identical to prior rounds."""
     base = spark.read.parquet(f"{src}/embeddings.parquet")
     off = base.agg(F.max("vec_id")).collect()[0][0] + 1
-    out = None
-    for k in range(factor):
-        rep = _emb_rep(base, k, off)
-        out = rep if out is None else out.unionByName(rep)
-    out.coalesce(max(1, factor // 2)).write.mode("overwrite").parquet(
-        dst_file
-    )
+    for c0 in range(0, factor, chunk):
+        c1 = min(c0 + chunk, factor)
+        out = None
+        for k in range(c0, c1):
+            rep = _emb_rep(base, k, off)
+            out = rep if out is None else out.unionByName(rep)
+        (
+            out.coalesce(max(1, (c1 - c0) // 2))
+            .write.mode("overwrite" if c0 == 0 else "append")
+            .parquet(dst_file)
+        )
     return off
 
 
