@@ -62,7 +62,17 @@ from pyspark.sql import SparkSession
 from .. import storage as fs_storage
 
 LEASE_FILE = "_maintenance_lease"
+# Maintenance TTL sizing (round 11): the TTL must outlive the SLOWEST
+# honest run of the op, because there is no renewal thread — a live
+# maintenance op whose lease expires mid-run would get taken over and
+# the two writers would interleave, the exact corruption the lease
+# exists to prevent. Index rewrites (compact/rebuild/retrain) are
+# minutes locally but HOURS at 100-TB scale, so their decorators use
+# DEFAULT_REWRITE_TTL_SEC; the trade is that a CRASHED writer blocks
+# the next maintenance window until expiry — operators who know the
+# holder is dead break the glass with :func:`force_release`.
 DEFAULT_TTL_SEC = 3600.0
+DEFAULT_REWRITE_TTL_SEC = 6 * 3600.0
 
 
 class LeaseHeldError(RuntimeError):
@@ -191,11 +201,16 @@ class MaintenanceLease:
         self.release()
 
 
-def maintenance_op(op: str, ttl_sec: float = DEFAULT_TTL_SEC):
+def maintenance_op(op: str, ttl_sec: float = DEFAULT_REWRITE_TTL_SEC):
     """Decorator for index maintenance METHODS (``self`` has ``.spark``
     and ``.root``): acquire the root's lease for the duration, reentrant
     within one instance (a lease-held method calling another skips the
-    second acquire — depth-tracked, no FS round-trip)."""
+    second acquire — depth-tracked, no FS round-trip). Default TTL is
+    the REWRITE tier (6h): these ops are full dataset rewrites that run
+    hours at cluster scale and have no renewal thread, and an expiring
+    lease under a LIVE op would re-admit the interleaving it prevents
+    (see the module-constant note; crashed-holder recovery before
+    expiry is :func:`force_release`)."""
     import functools
 
     def deco(fn):
@@ -217,6 +232,24 @@ def maintenance_op(op: str, ttl_sec: float = DEFAULT_TTL_SEC):
         return wrapper
 
     return deco
+
+
+def force_release(spark: SparkSession, root: str) -> Optional[dict]:
+    """Break-glass: delete ``root``'s lease file unconditionally and
+    return the record it held (None if there was none). For the
+    operator who KNOWS the holder is dead but cannot wait out the TTL.
+    Never called by library code — a live holder whose lease is
+    force-released will collide with the next writer, which is exactly
+    the judgement call this hands to the human."""
+    rec = _parse(
+        fs_storage.read_small_file(
+            spark, fs_storage.join(root.rstrip("/"), LEASE_FILE)
+        )
+    )
+    fs_storage.delete_path(
+        spark, fs_storage.join(root.rstrip("/"), LEASE_FILE)
+    )
+    return rec
 
 
 def refuse_if_held(spark: SparkSession, root: str, what: str) -> None:

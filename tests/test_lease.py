@@ -79,6 +79,35 @@ def test_lease_corrupt_file_is_takeover_not_brick(spark, tmp_path):
     lease.release()
 
 
+def test_force_release_breaks_glass_and_ttl_tiers(spark, tmp_path):
+    """force_release deletes a live lease unconditionally (the operator's
+    break-glass for a known-dead holder before TTL expiry) and returns
+    the held record; the maintenance decorator defaults to the 6h
+    REWRITE TTL (full dataset rewrites run hours at scale and have no
+    renewal thread)."""
+    import inspect
+
+    from qafs_spark.pipeline.lease import (
+        DEFAULT_REWRITE_TTL_SEC,
+        force_release,
+        maintenance_op,
+    )
+
+    root = str(tmp_path / "ix")
+    assert force_release(spark, root) is None  # nothing held: no-op
+    holder = MaintenanceLease(spark, root, op="compact")
+    holder.acquire()
+    rec = force_release(spark, root)
+    assert rec and rec["owner"] == holder.owner and rec["op"] == "compact"
+    # glass broken: a new writer acquires immediately, no TTL wait
+    MaintenanceLease(spark, root, op="rebuild").acquire().release()
+    # the stale holder's release is a clean no-op
+    assert holder.release() is False
+    assert inspect.signature(maintenance_op).parameters[
+        "ttl_sec"
+    ].default == DEFAULT_REWRITE_TTL_SEC == 6 * 3600.0
+
+
 def test_refuse_if_held_probe(spark, tmp_path):
     root = str(tmp_path / "ix")
     refuse_if_held(spark, root, "apply_batch")  # no lease: no-op
