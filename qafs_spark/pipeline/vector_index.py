@@ -1119,12 +1119,21 @@ class CellVectorIndex:
                 if not outs:
                     continue
                 allp = pd.concat(outs)
-                # local lossless top-k per query: Spark ranks cosine DESC
-                # with NaN GREATEST, ties on neighbor_id ASC — replicate
-                # with a NaN→+inf sort key so the kept set is exactly the
-                # window's candidates
+                # local lossless top-k per query, keyed EXACTLY like the
+                # global rank window: cosine DESC, ties neighbor ASC. A
+                # zero-norm vector's 0/0 cosine is NaN here but arrives
+                # at the window as NULL (Arrow's pandas conversion is
+                # nan-as-null), and NULL orders LAST under DESC — so the
+                # local key maps NaN to -inf; mapping it greatest would
+                # let a zero-norm row displace a real candidate from a
+                # task's top-k and then sink globally (lossy). Net
+                # contract (pinned in tests): zero-norm neighbors rank
+                # AFTER every real cosine, with NULL cosine — vs the
+                # join shape's JVM NaN-ranks-first, a deliberate,
+                # documented improvement (a zero-norm vector is never a
+                # meaningful best match).
                 skey = allp["cosine"].to_numpy(dtype="float64").copy()
-                skey[np.isnan(skey)] = np.inf
+                skey[np.isnan(skey)] = -np.inf
                 allp = allp.assign(__sk=-skey).sort_values(
                     ["query_id", "__sk", "neighbor_id"], kind="stable"
                 )

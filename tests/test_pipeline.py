@@ -3408,6 +3408,50 @@ def test_vector_index_blocked_scorer_bit_parity_with_exact(vec_corpus, tmp_path)
     idx.unpersist_intermediates()
 
 
+def test_vector_index_blocked_paths_zero_norm_semantics(spark, tmp_path):
+    """Zero-norm vectors produce 0/0 cosines. Pins the blocked paths'
+    semantics: dedup pair stages DROP them (NaN >= threshold is false,
+    matching the join+filter shape), and search ranks them LAST with a
+    NULL cosine (the NaN arrives as Arrow null; the local top-k keys
+    NaN as -inf to stay consistent with the window's NULLS-LAST-DESC —
+    a documented improvement over the JVM join shape's
+    NaN-ranks-first)."""
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    rows = [(i, [float(i + 1), 1.0, 0.5]) for i in range(12)]
+    rows.append((99, [0.0, 0.0, 0.0]))  # zero-norm
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    idx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=2)
+    assert idx.apply_batch(df, 0, threshold=0.5)
+    # dedup: no pair may touch the zero-norm id, in either tier
+    for tier in ("ivf", "exact"):
+        pairs, _ = idx.dedup_batch(
+            df.limit(0).union(df.filter(F.col("vec_id") < 6)),
+            threshold=0.5, tier=tier, exclude_batch_id=None,
+        )
+        ids = {x for r in pairs.collect() for x in (r["id_a"], r["id_b"])}
+        assert 99 not in ids and ids
+        idx.unpersist_intermediates()
+    # search: the zero-norm STORED vector ranks LAST (NULL cosine) and
+    # never displaces a real candidate from top-k
+    got = idx.search(
+        df.filter(F.col("vec_id") < 3), k=20, nprobe=2
+    ).collect()
+    assert got
+    for q in {r["query_id"] for r in got}:
+        rows = sorted(
+            (r for r in got if r["query_id"] == q), key=lambda r: r["rank"]
+        )
+        assert rows[-1]["neighbor_id"] == 99 and rows[-1]["cosine"] is None
+        assert all(
+            r["neighbor_id"] != 99 and r["cosine"] is not None
+            for r in rows[:-1]
+        )
+    # and at small k the zero-norm row is NOT in the top-k at all
+    top2 = idx.search(df.filter(F.col("vec_id") < 3), k=2, nprobe=2).collect()
+    assert all(r["neighbor_id"] != 99 for r in top2) and top2
+
+
 def test_vector_index_exactly_once_and_frozen_quantizer(vec_corpus, tmp_path):
     """Replay of a completed batch is a no-op; replay after the vectors
     write died re-commits to identical state; reopening with different
