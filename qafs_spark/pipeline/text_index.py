@@ -279,12 +279,14 @@ class InvertedIndex:
         batch committed). Ids must be disjoint from stored ids.
         Zero-token documents contribute no rows (same contract as
         bm25_topk's token stream)."""
-        # round 11: refuse new writes while a maintenance writer
-        # holds the root's lease (lease.py) — maintenance renames
-        # live datasets aside; a batch landing mid-swap could be
-        # orphaned. One small-file read per batch.
+        # round 11 entry probe + round 12 fence capture: the token is
+        # re-verified just before the applied-log append, so maintenance
+        # acquiring mid-batch aborts the commit loudly (lease.py) and
+        # the batch stays replayable.
+        start_fence = None
         if getattr(self, "_lease_depth", 0) == 0:
             lease.refuse_if_held(self.spark, self.root, "apply_batch")
+            start_fence = lease.fence_token(self.spark, self.root)
         self._recover_compaction()
         self._sync_tombstones()
         if self.batch_applied(batch_id):
@@ -316,6 +318,10 @@ class InvertedIndex:
             )
             dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
             dl.write.mode("overwrite").parquet(j(self.doclens_path, bdir))
+            if getattr(self, "_lease_depth", 0) == 0:
+                lease.verify_commit_fence(
+                    self.spark, self.root, start_fence, "apply_batch"
+                )
             self._log_applied(int(batch_id))
         finally:
             tf.unpersist()
@@ -515,6 +521,8 @@ class InvertedIndex:
             .mode("overwrite")
             .parquet(self.doclens_path.rstrip("/") + ".__rebuild__")
         )
+        # staging done — extend the lease before committing (round 12)
+        lease.renew_active(self)
         self.spark.createDataFrame(
             [(int(target),)], "through long"
         ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
@@ -563,6 +571,8 @@ class InvertedIndex:
                 .mode("overwrite")
                 .parquet(staging)
             )
+            # staging done — extend the lease before each swap (round 12)
+            lease.renew_active(self)
             fs_storage.delete_path(self.spark, old)
             fs_storage.rename_path(self.spark, path, old)
             fs_storage.rename_path(self.spark, staging, path)

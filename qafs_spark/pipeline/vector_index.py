@@ -488,6 +488,11 @@ class CellVectorIndex:
             [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
             "cell int, centroid array<double>",
         ).repartition(1).write.mode("overwrite").parquet(cstage)
+        # staging (the hours-at-scale phase) is done — extend the lease
+        # before committing, so a run slower than the TTL still swaps
+        # under a live lease (round 12; raises BEFORE mutating if the
+        # lease was already lost to takeover)
+        lease.renew_active(self)
         # watermark first (it only asserts what is already true), then the
         # intent marker makes the staged retrain the committed state
         self.spark.createDataFrame(
@@ -547,6 +552,8 @@ class CellVectorIndex:
             .mode("overwrite")
             .parquet(staging)
         )
+        # staging done — extend the lease before the swap (round 12)
+        lease.renew_active(self)
         fs_storage.delete_path(self.spark, old)
         fs_storage.rename_path(self.spark, self.vectors_path, old)
         fs_storage.rename_path(self.spark, staging, self.vectors_path)
@@ -1009,13 +1016,23 @@ class CellVectorIndex:
         """Dedup ``batch`` against index + itself and commit, exactly
         once. Pairs first, vectors, then one applied-log append (the log
         entry is the applied marker); all writes overwrite the batch's
-        own directory and all reads exclude it."""
-        # round 11: refuse new writes while a maintenance writer
-        # holds the root's lease (lease.py) — maintenance renames
-        # live datasets aside; a batch landing mid-swap could be
-        # orphaned. One small-file read per batch.
+        own directory and all reads exclude it.
+
+        Maintenance coexistence (round 12): entry refuses while a lease
+        is held AND captures the root's fence token; the token (plus a
+        fresh held-probe) is re-verified immediately before the
+        applied-log append, so a maintenance window that OPENED while
+        this batch was mid-flight aborts the commit loudly
+        (:class:`lease.LeaseHeldError`) instead of landing a directory
+        in a tree maintenance is renaming aside. The aborted batch's
+        directories are replay-overwritten byte-identically by the next
+        apply_batch call with the same batch_id."""
+        # round 11 entry probe + round 12 fence capture: one or two
+        # small-file reads per batch, apply_batch cadence not row cadence
+        start_fence = None
         if getattr(self, "_lease_depth", 0) == 0:
             lease.refuse_if_held(self.spark, self.root, "apply_batch")
+            start_fence = lease.fence_token(self.spark, self.root)
         self._recover_compaction()
         self._sync_tombstones()
         if self.batch_applied(batch_id):
@@ -1034,6 +1051,10 @@ class CellVectorIndex:
                 .mode("overwrite")
                 .parquet(j(self.vectors_path, bdir))
             )
+            if getattr(self, "_lease_depth", 0) == 0:
+                lease.verify_commit_fence(
+                    self.spark, self.root, start_fence, "apply_batch"
+                )
             self._log_applied(int(batch_id))
         finally:
             self.unpersist_intermediates()

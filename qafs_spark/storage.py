@@ -101,12 +101,15 @@ def mkdirs(spark: SparkSession, path: str) -> None:
 def create_file_atomic(spark: SparkSession, path: str, content: str) -> bool:
     """Create ``path`` with ``content`` iff it does not already exist —
     Hadoop ``FileSystem.create(path, overwrite=false)``, the FS layer's
-    compare-and-swap: on HDFS and local filesystems the namespace insert
-    is atomic, so exactly one of N concurrent callers returns True (the
-    rest get FileAlreadyExists → False). On S3A the create-time check is
-    best-effort (object stores check at close), which is why the lease
-    protocol that uses this also verifies by read-back after close —
-    see :mod:`pipeline.lease`."""
+    compare-and-swap. Atomicity is store-dependent: on HDFS the
+    namespace insert is atomic (exactly one of N concurrent callers
+    returns True). On the LOCAL filesystem it is best-effort only —
+    RawLocalFileSystem implements overwrite=false as exists-then-open,
+    a TOCTOU window in which two same-host racers can both pass — and
+    on S3A the check happens at close. Both non-HDFS cases are why the
+    lease protocol that uses this also verifies by read-back after
+    close (and why that verify is itself best-effort inside the
+    microsecond overwrite window) — see :mod:`pipeline.lease`."""
     fs, jpath = _fs_and_path(spark, path)
     try:
         out = fs.create(jpath, False)

@@ -240,3 +240,128 @@ def test_banded_and_text_index_maintenance_is_leased(spark, tmp_path):
     assert tix.compact() >= 0
     refuse_if_held(spark, bix.root, "apply_batch")
     refuse_if_held(spark, tix.root, "apply_batch")
+
+
+# -- round 12: release TOCTOU, renew, commit-time fence ----------------------
+
+
+def test_release_toctou_restores_takeover_lease(spark, tmp_path):
+    """The r11-verdict nit: a takeover landing BETWEEN release's
+    ownership read and its delete must not lose the new holder's lease.
+    Injected by wrapping the holder's current() so the takeover fires
+    right after the read; the rename-aside release then sees the foreign
+    token and renames the taker's lease back untouched."""
+    root = str(tmp_path / "ix")
+    dead = MaintenanceLease(spark, root, op="compact", ttl_sec=0.05)
+    dead.acquire()
+    time.sleep(0.1)  # expired; holder is slow, not crashed
+    taker = MaintenanceLease(spark, root, op="rebuild")
+    orig = dead.current
+    fired = {}
+
+    def race_current():
+        rec = orig()
+        if not fired:
+            fired["x"] = True
+            taker.acquire()  # expiry takeover inside the TOCTOU window
+        return rec
+
+    dead.current = race_current
+    assert dead.release() is False  # lost — and deleted NOTHING
+    assert taker.current()["owner"] == taker.owner  # taker's lease intact
+    assert taker.release() is True
+
+
+def test_renew_extends_live_holder(spark, tmp_path):
+    root = str(tmp_path / "ix")
+    a = MaintenanceLease(spark, root, op="compact", ttl_sec=30.0)
+    a.acquire()
+    before = float(a.current()["expires_at"])
+    a.renew(ttl_sec=3600.0)
+    after = float(a.current()["expires_at"])
+    assert after > before + 1000  # fresh, longer TTL from now
+    assert a.current()["owner"] == a.owner
+    # still excludes other writers, and release still works
+    with pytest.raises(LeaseHeldError):
+        MaintenanceLease(spark, root, op="rebuild").acquire()
+    assert a.release() is True
+
+
+def test_renew_after_takeover_raises_and_preserves_new_holder(spark, tmp_path):
+    """A holder that outlived its TTL and lost the lease must get
+    LeaseHeldError from renew() — BEFORE mutating anything — and the new
+    holder's lease must survive the attempt."""
+    root = str(tmp_path / "ix")
+    slow = MaintenanceLease(spark, root, op="compact", ttl_sec=0.05)
+    slow.acquire()
+    time.sleep(0.1)
+    taker = MaintenanceLease(spark, root, op="rebuild")
+    taker.acquire()
+    with pytest.raises(LeaseHeldError, match="lost to expiry takeover"):
+        slow.renew()
+    assert taker.current()["owner"] == taker.owner
+    assert taker.release() is True
+
+
+def test_fence_token_changes_on_every_acquire(spark, tmp_path):
+    from qafs_spark.pipeline.lease import fence_token, verify_commit_fence
+
+    root = str(tmp_path / "ix")
+    assert fence_token(spark, root) is None  # no maintenance ever
+    verify_commit_fence(spark, root, None, "apply_batch")  # passes
+    a = MaintenanceLease(spark, root, op="compact")
+    a.acquire()
+    t1 = fence_token(spark, root)
+    assert t1 is not None
+    a.release()
+    assert fence_token(spark, root) == t1  # release does not bump
+    verify_commit_fence(spark, root, t1, "apply_batch")  # same window: ok
+    b = MaintenanceLease(spark, root, op="rebuild")
+    b.acquire()
+    b.release()
+    t2 = fence_token(spark, root)
+    assert t2 is not None and t2 != t1
+    # a batch that started under t1 must abort even though no lease is
+    # live any more — the window opened and closed mid-batch
+    with pytest.raises(LeaseHeldError, match="fence"):
+        verify_commit_fence(spark, root, t1, "apply_batch")
+
+
+def test_apply_batch_aborts_at_commit_on_midflight_maintenance(
+    spark, small_vec_index
+):
+    """Round-12 verdict task 3: a batch already mid-flight when
+    maintenance acquires must abort AT COMMIT (not land its applied-log
+    entry), stay unapplied, and replay cleanly afterwards. The
+    mid-flight acquire is injected by wrapping dedup_batch — entry
+    probes have already passed by the time it runs. The maintenance
+    writer even RELEASES before the commit check, proving the fence
+    catches the opened-and-closed-mid-batch schedule a point probe
+    misses."""
+    idx, df = small_vec_index
+    batch = df.filter(F.col("vec_id") % 2 == 1)
+    orig = idx.dedup_batch
+    fired = {}
+
+    def midflight(*args, **kwargs):
+        out = orig(*args, **kwargs)
+        if not fired:
+            fired["x"] = True
+            m = MaintenanceLease(spark, idx.root, op="compact")
+            m.acquire()
+            m.release()  # opened AND closed while the batch is in flight
+        return out
+
+    idx.dedup_batch = midflight
+    with pytest.raises(LeaseHeldError, match="aborted at commit"):
+        idx.apply_batch(batch, 1, threshold=0.3)
+    idx.dedup_batch = orig
+    # not applied: the log append never ran (fresh instance re-reads FS)
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    fresh = CellVectorIndex(spark, idx.root, nlist=4)
+    assert not fresh.batch_applied(1)
+    # replay after maintenance: byte-identical recommit succeeds
+    assert fresh.apply_batch(batch, 1, threshold=0.3)
+    assert fresh.batch_applied(1)
+    refuse_if_held(spark, idx.root, "apply_batch")

@@ -1,0 +1,238 @@
+"""Round-12 verdict task 1: the hot-cell sub-bucket guard on
+``semantic_pairs``' blocked per-cell path.
+
+The r11 finding: the auto-IVF tier sizes ``nlist`` for the AVERAGE cell,
+then ``blocked_self_pairs`` materializes each cell as ONE pandas group in
+ONE task — a hot k-means cell on clustered real-world embeddings becomes
+a single-task quadratic plus an executor OOM. The guard ports the vector
+index's ``max_cell_size`` idea (vector_index.py ``_cell_guard``) into the
+self-pair path: oversized cells are split by hyperplane sign-pattern
+sub-buckets with SYMMETRIC 1-bit multiprobe (every row explodes to its
+own bucket plus each 1-bit flip), so a pair survives whenever its sign
+patterns differ in <= 2 bits — strictly better survival than the
+one-sided (p+1)-probe at identical per-bucket cost, because both factors
+of the blow-up are counted by the same ``worst*(p+1)/2^p <= cap`` sizing
+rule.
+
+Pinned here:
+* the guard never engages below the cap (bit-parity with the unguarded
+  plan — what keeps the catalog oracle replays hash-exact);
+* on a SKEWED fixture (one cell holding >= 30% of vectors) per-task
+  group sizes stay bounded by the cap;
+* recall on planted near-dup pairs inside the hot cell stays >= 0.95 vs
+  the exact tier;
+* ``semantic_dedup`` end-to-end on the skewed fixture agrees with the
+  exact keep-set.
+"""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from qafs_spark.pipeline.semdedup import semantic_dedup, semantic_pairs
+from qafs_spark.pipeline.similarity import (
+    _self_pair_guard,
+    blocked_self_pairs,
+    norm,
+)
+
+DIM = 8
+# four well-separated unit centroids (axes 0..3)
+CENTS = [[1.0 if j == i else 0.0 for j in range(DIM)] for i in range(4)]
+
+
+def _unit(v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def _skewed_rows(n_hot=500, n_cold=700, n_planted=40, seed=11):
+    """(rows, planted_pairs): ~42% of vectors in cell 0 (DIVERSE residual
+    spread — the guard's target case; a hot cell of literal duplicates
+    has irreducibly quadratic OUTPUT), the rest spread over cells 1..3.
+    ``n_planted`` near-dup pairs (cosine ~0.999) planted INSIDE the hot
+    cell, so the exact tier finds them all and any guard loss shows up
+    as recall."""
+    rng = random.Random(seed)
+    rows, planted = [], []
+    vid = 0
+
+    def noisy(center, spread):
+        return _unit([c + rng.gauss(0, spread) for c in center])
+
+    for _ in range(n_hot):
+        rows.append((vid, noisy(CENTS[0], 0.45)))
+        vid += 1
+    for i in range(n_cold):
+        rows.append((vid, noisy(CENTS[1 + i % 3], 0.45)))
+        vid += 1
+    for _ in range(n_planted):
+        base = noisy(CENTS[0], 0.45)
+        dup = _unit([x + rng.gauss(0, 0.004) for x in base])
+        rows.append((vid, base))
+        rows.append((vid + 1, dup))
+        planted.append((vid, vid + 1))
+        vid += 2
+    return rows, planted
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rows, planted = _skewed_rows()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(8)
+    df = df.persist()
+    df.count()
+    yield df, planted
+    df.unpersist()
+
+
+def _assigned(df):
+    from qafs_spark.pipeline.similarity import _cell_assigner
+
+    assign = _cell_assigner(CENTS)
+    return df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm(F.col("embedding")).alias("__n"),
+        assign(F.col("embedding")).alias("cell"),
+    )
+
+
+def test_guard_disengaged_below_cap_is_bit_parity(spark, skewed):
+    """Cap above the worst cell: _self_pair_guard returns None and the
+    guarded call returns the IDENTICAL pair set (same plan family), so
+    catalog fixtures (which never reach the cap) replay hash-exact."""
+    df, _ = skewed
+    v = _assigned(df)
+    assert _self_pair_guard(v, "cell", 100_000, DIM) is None
+    base = sorted(
+        map(tuple, blocked_self_pairs(v, "cell", 0.95).collect())
+    )
+    guarded = sorted(
+        map(
+            tuple,
+            blocked_self_pairs(
+                v, "cell", 0.95, max_cell_size=100_000, dim=DIM
+            ).collect(),
+        )
+    )
+    assert guarded == base and len(base) > 0
+
+
+def test_guard_bounds_per_task_group_sizes(spark, skewed):
+    """The metric assert: after the guard explodes the hot cell into
+    sub-buckets, NO (cell, __sub) group exceeds the cap — the per-task
+    quadratic is bounded regardless of the skew that sized it."""
+    df, _ = skewed
+    v = _assigned(df)
+    cap = 64
+    res = _self_pair_guard(v, "cell", cap, DIM)
+    assert res is not None
+    v2, planes, big = res
+    assert 0 in big  # the hot cell was the one flagged
+    # sizing rule: worst*(planes+1)/2^planes <= cap
+    worst = (
+        v.groupBy("cell").count().agg(F.max("count")).first()[0]
+    )
+    assert worst * (planes + 1) / (2 ** planes) <= cap
+    sizes = (
+        v2.groupBy("cell", "__sub")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .first()["mx"]
+    )
+    assert sizes <= cap, f"hot sub-bucket {sizes} exceeds cap {cap}"
+    # non-hot cells are untouched: single __sub = -1 bucket each
+    subs = (
+        v2.filter(~F.col("cell").isin([int(b) for b in big]))
+        .select("__sub")
+        .distinct()
+        .collect()
+    )
+    assert [r["__sub"] for r in subs] == [-1]
+
+
+def test_guard_recall_on_planted_pairs(spark, skewed):
+    """Guarded IVF pairs must keep >= 0.95 of the planted hot-cell
+    near-dup pairs the exact tier finds (survival at cosine ~0.999 is
+    P(hamming<=2) ~ 0.999 at the planes the sizing picks)."""
+    df, planted = skewed
+    exact = semantic_pairs(df, threshold=0.99, exact=True)
+    got_exact = {
+        (r["id_a"], r["id_b"]) for r in exact.collect()
+    }
+    for p in planted:
+        assert p in got_exact  # fixture sanity: exact finds every plant
+    guarded = semantic_pairs(
+        df, threshold=0.99, centroids=CENTS, max_cell_size=64
+    )
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    hits = sum(1 for p in planted if p in got)
+    recall = hits / len(planted)
+    assert recall >= 0.95, f"planted recall {recall} < 0.95"
+    # and nothing invented: every guarded pair is a true >=thr pair
+    assert got <= got_exact
+
+
+def test_guard_pairs_subset_of_unguarded_ivf(spark, skewed):
+    """The guard only ever REMOVES candidate pairs (sub-bucket splits);
+    cosines of surviving pairs are bit-identical to the unguarded
+    blocked path."""
+    df, _ = skewed
+    unguarded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_pairs(
+            df, threshold=0.97, centroids=CENTS, max_cell_size=None
+        ).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in semantic_pairs(
+            df, threshold=0.97, centroids=CENTS, max_cell_size=64
+        ).collect()
+    }
+    assert set(guarded) <= set(unguarded)
+    for k, c in guarded.items():
+        assert c == unguarded[k]  # bit-equal einsum contract
+
+
+def test_semantic_dedup_on_skewed_fixture_agrees_with_exact(spark, skewed):
+    """End-to-end keep/drop on the skewed fixture under the guard: every
+    row decided, and the keep-set agrees with the exact tier (Jaccard
+    >= 0.5 — the certification bar keep_set_agreement ships)."""
+    from qafs_spark.pipeline.semdedup import keep_set_agreement
+
+    df, _ = skewed
+    exact = semantic_dedup(df, threshold=0.99, exact=True)
+    approx = semantic_dedup(
+        df, threshold=0.99, centroids=CENTS, max_cell_size=64
+    )
+    assert approx.count() == df.count()
+    row = keep_set_agreement(exact, approx).first()
+    assert row["agreement_ok"]
+
+
+def test_auto_tier_default_cap_engages_on_oversized_cell(spark):
+    """The DEFAULT semantic_pairs call carries the cap: with a tiny
+    explicit quantizer that funnels everything into few cells, pairs
+    still come back (completion is the point — pre-guard this shape is
+    one unbounded task) and per-call plumbing (dedup of multiprobe
+    copies) holds."""
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            _unit([1.0 + rng.gauss(0, 0.3)] + [rng.gauss(0, 0.3)] * (DIM - 1)),
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_pairs(
+        df, threshold=0.95, centroids=CENTS, max_cell_size=48
+    )
+    got = out.collect()
+    assert len(got) == len({(r["id_a"], r["id_b"]) for r in got})  # deduped
+    for r in got:
+        assert r["id_a"] < r["id_b"]
