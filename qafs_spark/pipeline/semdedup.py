@@ -63,6 +63,17 @@ from pyspark.sql import functions as F
 #   while cells stay big enough that near-dup recall holds.
 DEFAULT_TARGET_CELL_SIZE = 4096
 DEFAULT_IVF_CELL_ROWS = 1024
+# Hot-cell hard cap for the blocked pair stage (round-12 verdict task 1):
+# nlist sizes cells for the AVERAGE (ivf_cell_rows); a hot k-means cell on
+# clustered real-world embeddings can hold a large corpus fraction, and
+# blocked_self_pairs materializes each cell as ONE applyInPandas group in
+# ONE task. Cells past this cap are split into verified-bounded hyperplane
+# sub-buckets with symmetric multiprobe (similarity._self_pair_guard) —
+# same 4096 the persisted vector index uses (~10⁷ cosines per task, and
+# 4× the average-cell target so quantizer noise never trips it). Gate
+# fixtures (≤2000 embeddings) can never reach it, so guarded calls are
+# bit-equal there and the DuckDB oracle replays stay exact.
+DEFAULT_PAIR_CELL_CAP = 4096
 
 # One-time signal that the DEFAULT call crossed from exact all-pairs into
 # the approximate auto-IVF tier (round-9 default flip): default-arg
@@ -103,6 +114,7 @@ def semantic_pairs(
     exact: bool = False,
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
     ivf_cell_rows: int = DEFAULT_IVF_CELL_ROWS,
+    max_cell_size: Optional[int] = DEFAULT_PAIR_CELL_CAP,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
@@ -120,9 +132,15 @@ def semantic_pairs(
     restriction. A duplicate pair split across two cells is missed; that
     is the published algorithm's deliberate recall trade, certified
     against the exact tier by the ``semantic_dedup_agreement`` catalog
-    query. (Residual cell skew is bounded by the quantizer — Lloyd
-    iterations balance the coarse cells; the persisted-index ingest path
-    additionally hard-caps cells, ``vector_index.DEFAULT_MAX_CELL_SIZE``.)
+    query. Cell skew is HARD-CAPPED (round 12): a cell whose occupancy
+    exceeds ``max_cell_size`` — a hot k-means cell on clustered data, or
+    a stale explicit quantizer — is split into verified-bounded
+    hyperplane sub-buckets with symmetric multiprobe before the pair
+    shuffle (:func:`similarity._self_pair_guard`), so per-task work and
+    memory stay bounded by the cap regardless of skew; the survival
+    trade is measured on the planted skewed fixture
+    (``tests/test_semdedup_guard.py``). ``max_cell_size=None`` disables
+    the guard (pre-round-12 behavior).
 
     ``nprobe`` > 1 is the recall knob for that trade: each vector lands in
     its ``nprobe`` nearest cells (multiprobe assignment), so a pair split
@@ -200,7 +218,10 @@ def semantic_pairs(
     # are unaffected.
     from .similarity import blocked_self_pairs
 
-    pairs = blocked_self_pairs(v, "cell", threshold)
+    pairs = blocked_self_pairs(
+        v, "cell", threshold,
+        max_cell_size=max_cell_size, dim=len(centroids[0]),
+    )
     if nprobe > 1:
         # a pair sharing several probed cells surfaces once per shared
         # cell; cosine is deterministic, so the copies are identical
@@ -222,6 +243,7 @@ def semantic_dedup(
     exact: bool = False,
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
     ivf_cell_rows: int = DEFAULT_IVF_CELL_ROWS,
+    max_cell_size: Optional[int] = DEFAULT_PAIR_CELL_CAP,
 ) -> DataFrame:
     """Per-row keep/drop decision: (id, cluster, keep) for EVERY input row.
 
@@ -252,7 +274,7 @@ def semantic_dedup(
     pairs = semantic_pairs(
         df, vec_col, id_col, threshold, nlist, centroids, train_iters,
         nprobe=nprobe, exact=exact, target_cell_size=target_cell_size,
-        ivf_cell_rows=ivf_cell_rows,
+        ivf_cell_rows=ivf_cell_rows, max_cell_size=max_cell_size,
     )
     labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
     return (

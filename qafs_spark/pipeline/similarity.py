@@ -196,8 +196,101 @@ def hyperplane_bucket_batch(
     return bucket(vec)
 
 
+def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
+    """Hot-cell sub-bucket guard for the SELF-pair blocked path
+    (round-12 verdict task 1 — the :meth:`vector_index._cell_guard` idea
+    re-derived for a groupBy shape, where there is no broadcast side to
+    multiprobe asymmetrically).
+
+    One column-pruned occupancy aggregate over the rows the pair stage
+    shuffles anyway; when no group exceeds ``cap`` returns None and the
+    caller's plan is UNCHANGED (bit-parity — what keeps the small-fixture
+    oracle replays exact). Oversized keys get a hyperplane sign-pattern
+    sub-bucket with SYMMETRIC 1-bit multiprobe: every hot row explodes to
+    its own bucket PLUS each 1-bit flip, groups form on (key, __sub), and
+    a pair survives whenever its patterns differ in <= 2 of the ``p``
+    bits (own∩own at distance 0, own∩flip at 1, flip∩flip at 2) —
+    survival Σ_{j<=2} C(p,j)·q^(p-j)(1-q)^j with q = 1 − acos(c)/π,
+    STRICTLY better than the one-sided guard's j<=1 at the same
+    (p+1)/2^p expansion, which the sizing rule counts:
+    ``worst·(p+1)/2^p <= cap``.
+
+    Sign patterns are only as diverse as the data: a hot cell whose
+    members share a dominant direction (tight cluster) concentrates in
+    few patterns, so the expected-case sizing is VERIFIED — the exploded
+    occupancy is re-counted and ``p`` grows (<= 16 planes) until the
+    observed max group fits the cap. A group that still exceeds the cap
+    at 16 planes is a near-duplicate blob whose PAIR OUTPUT is itself
+    quadratic — no candidate pruning can bound that; we warn and proceed
+    (the task is then output-bound, not candidate-bound).
+
+    Returns (v_exploded, planes, big_keys) or None."""
+    import warnings
+
+    cap = int(cap)
+    counts = (
+        v.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .collect()
+    )
+    if not counts:
+        return None
+    worst = max(int(r["n"]) for r in counts)
+    planes = 1
+    while worst * (planes + 1) / (2 ** planes) > cap:
+        planes += 1
+    big = [int(r[key]) for r in counts]
+    if dim is None:
+        dim = len(v.select("vec").first()[0])
+    while True:
+        hb = hyperplane_bucket_batch(F.col("vec"), int(dim), planes, seed=42)
+        deltas = F.array(
+            *[
+                F.lit(x).cast("long")
+                for x in [0] + [1 << i for i in range(planes)]
+            ]
+        )
+        subs = F.when(
+            F.col(key).isin(big),
+            F.transform(deltas, lambda d: F.col("__hb").bitwiseXOR(d)),
+        ).otherwise(F.array(F.lit(-1).cast("long")))
+        v2 = (
+            v.withColumn("__hb", hb)
+            .withColumn("__sub", F.explode(subs))
+            .drop("__hb")
+        )
+        if planes >= 16:
+            warnings.warn(
+                f"_self_pair_guard: a group still exceeds cap={cap} at "
+                "16 hyperplane bits — the hot cell is a near-duplicate "
+                "blob whose pair OUTPUT is quadratic; proceeding with "
+                "the 16-bit split.",
+                stacklevel=3,
+            )
+            return v2, planes, big
+        observed = (
+            v2.filter(F.col(key).isin(big))
+            .groupBy(key, "__sub")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("mx"))
+            .first()["mx"]
+        )
+        if observed is None or observed <= cap:
+            return v2, planes, big
+        # correlated signs (shared dominant direction): the expected-case
+        # formula undershot — grow p by the observed overshoot and retry
+        import math
+
+        planes = min(16, planes + max(1, math.ceil(math.log2(observed / cap))))
+
+
 def blocked_self_pairs(
-    v: DataFrame, key: str, threshold: float
+    v: DataFrame,
+    key: str,
+    threshold: float,
+    max_cell_size: Optional[int] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) with id_a < id_b and cosine >= threshold,
     candidates restricted to rows sharing ``key`` — scored as blocked
@@ -213,7 +306,18 @@ def blocked_self_pairs(
     evaluates each ``ik`` output element with the same fixed-order
     reduction as the pairwise ``ij,ij->i`` contract (pytest-pinned in
     the vector-index twin). Callers owning multi-key rows (multiprobe)
-    dedup afterwards, as with the join shape."""
+    dedup afterwards, as with the join shape.
+
+    ``max_cell_size`` (round 12) arms the hot-group guard: a group whose
+    occupancy exceeds it is split into verified-bounded hyperplane
+    sub-buckets with symmetric 1-bit multiprobe before the shuffle (see
+    :func:`_self_pair_guard`), so one skewed key can never hand a single
+    ``applyInPandas`` task quadratic work (or an ``np.stack`` OOM) in
+    the corpus. Engaging the guard adds a pair-level
+    ``dropDuplicates`` (a pair can share several probed sub-buckets;
+    copies are identical since cosine is deterministic); when no group
+    exceeds the cap the plan and pair set are BIT-IDENTICAL to the
+    unguarded call. ``dim`` skips a driver-side first() probe."""
     thr = float(threshold)
 
     def _block(pdf):
@@ -251,6 +355,14 @@ def blocked_self_pairs(
                 )
         return pd.concat(outs) if outs else empty
 
+    if max_cell_size is not None:
+        res = _self_pair_guard(v, key, int(max_cell_size), dim)
+        if res is not None:
+            v2, _planes, _big = res
+            pairs = v2.groupBy(key, "__sub").applyInPandas(
+                _block, "id_a long, id_b long, cosine double"
+            )
+            return pairs.dropDuplicates(["id_a", "id_b"])
     return v.groupBy(key).applyInPandas(
         _block, "id_a long, id_b long, cosine double"
     )
