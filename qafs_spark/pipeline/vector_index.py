@@ -67,6 +67,106 @@ from . import lease, manifest, pairs_fold
 DEFAULT_MAX_CELL_SIZE = 4096
 
 
+class _SharedBlocks:
+    """Node-shared distribution of the blocked scorer's b side
+    (round 12): four mmap-able ``.npy`` artifacts (ids int64[N],
+    vecs float64[N,d], norms float64[N], pos int64[M]) shipped via
+    ``SparkContext.addFile`` (TorrentBroadcast-style, one fetch per
+    executor node), plus a tiny per-key ``(start, stop)`` range index
+    over ``pos`` that rides in the task closure. Every Python worker on a node
+    opens the SAME file with ``np.load(mmap_mode="r")``, so the OS page
+    cache holds ONE physical copy per node no matter how many workers
+    score against it — vs the Python-broadcast dict each worker
+    deserialized privately (node footprint block_bytes × workers, the
+    r11-measured OOM at 2M vectors on local[32]). Slices stay views;
+    einsum reads pages lazily; bit-equality with the in-memory shape is
+    pytest-pinned.
+
+    Lifecycle: the driver-side staging copy must OUTLIVE the tasks that
+    score against it (executors re-fetch from the source path and verify
+    contents at first use — measured in local mode, same on a cluster),
+    so :meth:`cleanup` (called by the index's
+    ``unpersist_intermediates``) removes BOTH the staging copy and the
+    local app-dir copy — callers must materialize the returned
+    pair/search frames first, the same contract the persisted
+    intermediates already carry. On a multi-node cluster, executor-local
+    fetched copies are reclaimed by the app teardown (the standard
+    SparkFiles lifetime); per-batch disk cost is one block-set per node,
+    page-cache-backed.
+
+    Rows are stored ONCE; the per-key lookup goes through a 4th artifact
+    of int64 row POSITIONS, so the guard's (p+1)-way multiprobe
+    expansion multiplies 8-byte positions, never 8·d-byte vectors —
+    both driver-side (the plain-frame collect stays inside the
+    maxResultSize contract; the expanded-frame collect measured 7.2M
+    rows / >1 GiB task results on the 1M drift fixture) and on disk.
+
+    ``arrs``: {"ids": int64[N], "vecs": float64[N,d], "norms":
+    float64[N], "pos": int64[M]}; ``index``: key tuple → (start, stop)
+    into ``pos``."""
+
+    def __init__(self, spark, arrs: dict, index: dict) -> None:
+        import os
+        import tempfile
+        import uuid as _uuid
+
+        import numpy as np
+
+        tag = f"qsblk-{_uuid.uuid4().hex}"
+        self.index = index
+        # staging lives until cleanup(): executors fetch-verify against
+        # the source path at first use
+        self.names = {}
+        self._stage = tempfile.mkdtemp(prefix=tag)
+        for name, a in arrs.items():
+            fname = f"{tag}-{name}.npy"
+            path = os.path.join(self._stage, fname)
+            np.save(path, a, allow_pickle=False)
+            spark.sparkContext.addFile(path)
+            self.names[name] = fname
+
+    def load(self):
+        """Executor/worker side: open the node-local artifact copies as
+        read-only memory maps. (Driver side resolves too — local mode
+        and unit tests.)"""
+        import numpy as np
+        from pyspark import SparkFiles
+
+        return (
+            np.load(SparkFiles.get(self.names["ids"]), mmap_mode="r"),
+            np.load(SparkFiles.get(self.names["vecs"]), mmap_mode="r"),
+            np.load(SparkFiles.get(self.names["norms"]), mmap_mode="r"),
+            np.load(SparkFiles.get(self.names["pos"]), mmap_mode="r"),
+        )
+
+    def cleanup(self) -> None:
+        """Remove the staging copy and (best-effort) the local app-dir
+        copy — deterministic reclamation per micro-batch, vs the r11
+        Python broadcasts that accumulated until GC (the ADVICE leak).
+        Only call after the frames scored against these blocks are
+        materialized; a re-execution afterwards would have to refetch
+        and will fail loudly, same as a destroyed broadcast."""
+        import os
+        import shutil
+
+        from pyspark import SparkFiles
+
+        shutil.rmtree(getattr(self, "_stage", ""), ignore_errors=True)
+        for fname in self.names.values():
+            try:
+                os.remove(os.path.join(SparkFiles.getRootDirectory(), fname))
+            except OSError:
+                pass
+
+    def __getstate__(self):
+        # names + index only — the handle pickles into task closures
+        return {"names": self.names, "index": self.index}
+
+    def __setstate__(self, state):
+        self.names = state["names"]
+        self.index = state["index"]
+
+
 class CellVectorIndex:
     """Persisted IVF-partitioned vector index rooted at ``root``."""
 
@@ -94,6 +194,7 @@ class CellVectorIndex:
         self.pairs_folded_path = j(root, "pairs_folded")
         self.pairs_fold_marker_path = j(root, "pairs_fold_commit")
         self._persisted: list = []
+        self._shared_blocks: list = []  # _SharedBlocks artifacts (r12)
         # per-instance metadata caches (watermark, tombstones, quantizer,
         # meta validation): tiny fixed parquet reads otherwise repeated
         # every micro-batch — see banded_index for the rationale.
@@ -719,11 +820,15 @@ class CellVectorIndex:
         oversized cell the plan and pair set are UNCHANGED (bit-parity,
         which keeps small-fixture oracle replays exact).
 
-        Returns (stored, probed_plain, probed_expanded, extra_cond|None):
-        join the plain frames on the LEFT and the expanded frame as the
-        broadcast RIGHT — the expanded probe values of one row are
-        distinct, so every (a, b) pair still joins at most once and no
-        new dedup shuffle is needed."""
+        Returns (stored, probed_plain, probed_expanded, extra_cond|None,
+        planes): join the plain frames on the LEFT and the expanded
+        frame as the broadcast RIGHT — the expanded probe values of one
+        row are distinct, so every (a, b) pair still joins at most once
+        and no new dedup shuffle is needed. The blocked tier instead
+        collects the PLAIN frame and expands over row positions inside
+        :meth:`_collect_blocks`, using ``planes`` to derive the deltas
+        (round 12 — the expanded collect broke the driver contract
+        under drift skew)."""
         from .similarity import hyperplane_bucket_batch
 
         counts = (
@@ -735,7 +840,7 @@ class CellVectorIndex:
             .collect()
         )
         if not counts:
-            return stored, probed, probed, None
+            return stored, probed, probed, None, 0
         worst = max(int(r["n"]) for r in counts)
         planes = 1
         while worst * (planes + 1) / (2 ** planes) > int(max_cell_size):
@@ -767,55 +872,125 @@ class CellVectorIndex:
             .withColumn("__sub", F.explode(subs))
             .drop("__hb"),
             F.col("a.__sub") == F.col("b.__sub"),
+            planes,
         )
 
-    # -- blocked pair scoring (round 11) ------------------------------------
+    # -- blocked pair scoring (round 11; node-shared blocks round 12) --------
 
-    def _collect_blocks(self, probed_b: DataFrame, keyed: bool):
+    def _collect_blocks(
+        self, probed_b: DataFrame, keyed: bool, deltas=None
+    ):
         """Materialize the (broadcast-sized) b side driver-side as
-        per-(cell[, __sub]) numpy blocks and ship ONE Python broadcast.
+        per-(cell[, __sub]) numpy blocks and ship them ONCE PER NODE as
+        mmap-able ``.npy`` artifacts (:class:`_SharedBlocks`).
 
         The r10 shape broadcast-JOINED the b side and scored each
         candidate pair through an Arrow pandas_udf — which ships BOTH
         vectors per candidate PAIR, so Arrow volume grows with the
         within-cell quadratic (measured: a 250k-vector batch at 1M
         corpus moves ~100s of GB through Arrow and dominates ingest).
-        Blocked scoring ships each vector ONCE — the b side in this
-        broadcast (same driver-sized contract as the old
-        ``F.broadcast``), the a side once through ``mapInPandas`` — and
-        does the within-cell work as one einsum per (a-chunk, cell)
-        block. Float contract: identical promotion (float64 before the
-        product) and identical fixed-order einsum reduction over the
-        vector axis, so cosines are BIT-EQUAL to ``cosine_pre_batch``
-        (asserted in tests)."""
+        Blocked scoring ships each vector ONCE — the b side in the
+        shared artifact (same driver-sized contract as the old
+        ``F.broadcast``; NOTE the collect runs Spark jobs at CALL time,
+        not first-action time), the a side once through ``mapInPandas``
+        — and does the within-cell work as one einsum per (a-chunk,
+        cell) block. Round 12: a Python-broadcast dict was deserialized
+        by EVERY Python worker, so node RAM footprint scaled as
+        block_bytes × workers (the measured local[32]→local[16] OOM at
+        2M vectors) and the broadcasts were never destroyed (they
+        accumulated across streaming micro-batches). The SparkFiles +
+        ``np.load(mmap_mode="r")`` shape keeps ONE on-disk copy per node
+        that all workers map through shared page cache, and
+        :meth:`unpersist_intermediates` removes it deterministically.
+        Float contract: identical promotion (float64 before the product)
+        and identical fixed-order einsum reduction over the vector axis,
+        so cosines are BIT-EQUAL to ``cosine_pre_batch`` (asserted in
+        tests).
+
+        ``deltas`` (guard engaged): ``probed_b`` is the PLAIN frame — one
+        row per probe with its OWN ``__sub`` — and the (p+1)-way
+        multiprobe expansion happens HERE over int64 row positions: a
+        hot row registers under key ``(cell, sub^d)`` for every delta,
+        but its vector is stored once. (Collecting the pre-expanded
+        frame instead blew the driver contract on the 1M drift fixture:
+        7.2M rows / >1 GiB of task results at planes=11.) A guarded
+        a-row's own key then hits a b-row's range iff their patterns
+        differ in <= 1 bit — exactly the join tier's
+        ``a.__sub == b.__sub(expanded)`` semantics."""
         import numpy as np
 
         cols = ["id", "vec", "__n", "cell"] + (["__sub"] if keyed else [])
         pdf = probed_b.select(*cols).toPandas()
-        blocks = {}
-        if len(pdf):
-            keys = ["cell", "__sub"] if keyed else ["cell"]
-            for key, g in pdf.groupby(keys, sort=False):
-                k = key if isinstance(key, tuple) else (key,)
-                blocks[tuple(int(x) for x in k)] = (
-                    g["id"].to_numpy(dtype="int64"),
-                    np.stack(
-                        g["vec"].map(
-                            lambda v: np.asarray(v, dtype="float64")
-                        )
-                    ),
-                    g["__n"].to_numpy(dtype="float64"),
+        n = len(pdf)
+        if n:
+            ids = pdf["id"].to_numpy(dtype="int64")
+            vecs = np.stack(
+                pdf["vec"].map(lambda v: np.asarray(v, dtype="float64"))
+            )
+            norms = pdf["__n"].to_numpy(dtype="float64")
+            cellv = pdf["cell"].to_numpy(dtype="int64")
+        else:
+            ids = np.empty(0, dtype="int64")
+            vecs = np.empty((0, 0), dtype="float64")
+            norms = np.empty(0, dtype="float64")
+            cellv = np.empty(0, dtype="int64")
+        pos_parts, kc_parts, ks_parts = [], [], []
+        if keyed and n:
+            subv = pdf["__sub"].to_numpy(dtype="int64")
+            if deltas:
+                cold = np.nonzero(subv == -1)[0]
+                pos_parts.append(cold)
+                kc_parts.append(cellv[cold])
+                ks_parts.append(np.full(len(cold), -1, dtype="int64"))
+                hot = np.nonzero(subv != -1)[0]
+                for d in deltas:
+                    pos_parts.append(hot)
+                    kc_parts.append(cellv[hot])
+                    ks_parts.append(subv[hot] ^ np.int64(d))
+            else:
+                pos_parts.append(np.arange(n, dtype="int64"))
+                kc_parts.append(cellv)
+                ks_parts.append(subv)
+        elif n:
+            pos_parts.append(np.arange(n, dtype="int64"))
+            kc_parts.append(cellv)
+            ks_parts.append(np.zeros(n, dtype="int64"))
+        index = {}
+        if pos_parts:
+            pos = np.concatenate(pos_parts).astype("int64")
+            kc = np.concatenate(kc_parts)
+            ks = np.concatenate(ks_parts)
+            order = np.lexsort((ks, kc))
+            pos, kc, ks = pos[order], kc[order], ks[order]
+            bounds = np.flatnonzero(
+                np.r_[True, (kc[1:] != kc[:-1]) | (ks[1:] != ks[:-1])]
+            )
+            bounds = np.r_[bounds, len(pos)]
+            for i in range(len(bounds) - 1):
+                lo = int(bounds[i])
+                key = (
+                    (int(kc[lo]), int(ks[lo])) if keyed else (int(kc[lo]),)
                 )
-        return self.spark.sparkContext.broadcast(blocks)
+                index[key] = (lo, int(bounds[i + 1]))
+        else:
+            pos = np.empty(0, dtype="int64")
+        handle = _SharedBlocks(
+            self.spark,
+            {"ids": ids, "vecs": vecs, "norms": norms, "pos": pos},
+            index,
+        )
+        self._shared_blocks.append(handle)
+        return handle
 
     @staticmethod
     def _blocked_score(
         frame: DataFrame, bvar, keyed: bool, mode: str, threshold: float
     ) -> DataFrame:
         """(id_a, id_b, cosine) pairs of ``frame`` rows against the
-        broadcast blocks sharing their (cell[, __sub]) key. ``mode``:
-        ``"old"`` keeps a.id != b.id (stored-vs-batch), ``"new"`` keeps
-        a.id < b.id (batch-vs-batch, kills the orientation mirror)."""
+        node-shared blocks (:class:`_SharedBlocks` handle ``bvar``)
+        sharing their (cell[, __sub]) key. ``mode``: ``"old"`` keeps
+        a.id != b.id (stored-vs-batch), ``"new"`` keeps a.id < b.id
+        (batch-vs-batch, kills the orientation mirror)."""
         cols = ["id", "vec", "__n", "cell"] + (["__sub"] if keyed else [])
         keys = ["cell", "__sub"] if keyed else ["cell"]
 
@@ -823,17 +998,24 @@ class CellVectorIndex:
             import numpy as np
             import pandas as pd
 
-            blocks = bvar.value
+            ids_all, vecs_all, nn_all, pos_all = bvar.load()
+            index = bvar.index
             for pdf in pdfs:
                 if pdf.empty:
                     continue
                 outs = []
                 for key, g in pdf.groupby(keys, sort=False):
                     k = key if isinstance(key, tuple) else (key,)
-                    hit = blocks.get(tuple(int(x) for x in k))
-                    if hit is None:
+                    rng = index.get(tuple(int(x) for x in k))
+                    if rng is None:
                         continue
-                    bids, BM, bn = hit
+                    blo, bhi = rng
+                    rows = np.asarray(pos_all[blo:bhi])
+                    # fancy-index pulls ONLY this bucket's rows off the
+                    # node-shared map (bounded by the cell cap)
+                    bids = np.asarray(ids_all[rows])
+                    BM = np.asarray(vecs_all[rows])
+                    bn = np.asarray(nn_all[rows])
                     A = np.stack(
                         g["vec"].map(lambda v: np.asarray(v, dtype="float64"))
                     )
@@ -924,13 +1106,15 @@ class CellVectorIndex:
             old_cond = same_cell & (F.col("a.id") != F.col("b.id"))
             new_cond = same_cell & (F.col("a.id") < F.col("b.id"))
             probed_a = probed_b = probed
+            guard_deltas = None
             if max_cell_size is not None:
-                stored, probed_a, probed_b, guard = self._cell_guard(
+                stored, probed_a, probed_b, guard, planes = self._cell_guard(
                     stored, probed, cents, max_cell_size
                 )
                 if guard is not None:
                     old_cond = old_cond & guard
                     new_cond = new_cond & guard
+                    guard_deltas = [0] + [1 << i for i in range(planes)]
 
         def score(joined):
             return joined.select(
@@ -965,17 +1149,21 @@ class CellVectorIndex:
             )
         else:
             # scale tier (round 11): blocked per-cell scoring. The b side
-            # ships ONCE as a Python broadcast of per-(cell[,__sub])
-            # numpy blocks; stored/batch a-rows stream through
-            # mapInPandas and score one einsum block per cell — Arrow
+            # ships ONCE per node as mmap-able per-(cell[,__sub]) numpy
+            # blocks (_SharedBlocks, round 12); stored/batch a-rows
+            # stream through mapInPandas and score one einsum block per
+            # cell — Arrow
             # volume linear in rows instead of candidate pairs (the
             # broadcast-join + per-pair scorer moved both vectors per
             # CANDIDATE, which dominated ingest at 1M vectors). Pair
             # semantics and cosine bits match the join shape exactly
             # (same key equality, same id conditions, same float64
             # promotion and einsum reduction order — parity-tested).
-            keyed = "__sub" in probed_b.columns
-            bvar = self._collect_blocks(probed_b, keyed)
+            # the b side collects from the PLAIN probed frame (one row
+            # per probe, own __sub); the guard's multiprobe expansion
+            # happens over row positions inside _collect_blocks
+            keyed = "__sub" in probed_a.columns
+            bvar = self._collect_blocks(probed_a, keyed, deltas=guard_deltas)
             old_pairs = self._blocked_score(
                 stored, bvar, keyed, "old", threshold
             )
@@ -990,6 +1178,12 @@ class CellVectorIndex:
         for df in self._persisted:
             df.unpersist()
         self._persisted = []
+        # round 12: shared block artifacts are removed deterministically
+        # (the r11 Python broadcasts accumulated across streaming
+        # micro-batches until GC happened to reclaim them)
+        for h in self._shared_blocks:
+            h.cleanup()
+        self._shared_blocks = []
 
     # -- exactly-once batch application ------------------------------------
 
@@ -1085,7 +1279,11 @@ class CellVectorIndex:
         cells = [r[0] for r in q.select("cell").distinct().collect()]
         stored = self._stored(cells, None, empty_like=q, applied_only=True)
         # Blocked scoring (round 11, same shape as dedup_batch's scale
-        # tier): queries ship ONCE as per-cell numpy blocks, stored rows
+        # tier; round 12: the query blocks ship once per NODE as
+        # mmap-able artifacts, reclaimed at this instance's next
+        # unpersist_intermediates — materialize search results before
+        # interleaving new ingest on the same instance): queries ship
+        # ONCE as per-cell numpy blocks, stored rows
         # stream through mapInPandas scoring one einsum block per cell,
         # and each task pre-reduces to its local top-k per query (a
         # query's global top-k row is by definition inside every task's
@@ -1102,17 +1300,22 @@ class CellVectorIndex:
             import numpy as np
             import pandas as pd
 
-            blocks = bvar.value
+            ids_all, vecs_all, nn_all, pos_all = bvar.load()
+            index = bvar.index
             for pdf in pdfs:
                 if pdf.empty:
                     continue
                 outs = []
                 for cell, g in pdf.groupby(["cell"], sort=False):
                     key = (int(cell[0] if isinstance(cell, tuple) else cell),)
-                    hit = blocks.get(key)
-                    if hit is None:
+                    rng = index.get(key)
+                    if rng is None:
                         continue
-                    qids, QM, qn = hit
+                    qlo, qhi = rng
+                    qrows = np.asarray(pos_all[qlo:qhi])
+                    qids = np.asarray(ids_all[qrows])
+                    QM = np.asarray(vecs_all[qrows])  # node-shared map
+                    qn = np.asarray(nn_all[qrows])
                     S = np.stack(
                         g["vec"].map(lambda v: np.asarray(v, dtype="float64"))
                     )

@@ -365,3 +365,30 @@ def test_apply_batch_aborts_at_commit_on_midflight_maintenance(
     assert fresh.apply_batch(batch, 1, threshold=0.3)
     assert fresh.batch_applied(1)
     refuse_if_held(spark, idx.root, "apply_batch")
+
+
+def test_shared_block_artifacts_reclaimed_per_batch(spark, small_vec_index):
+    """Round-12 ADVICE fix: the blocked scorer's b-side artifacts are
+    removed deterministically by unpersist_intermediates (apply_batch's
+    finally), so a long-running streaming ingest holds at most one
+    batch's blocks instead of accumulating one Python broadcast per
+    micro-batch."""
+    import os
+
+    idx, df = small_vec_index
+    assert idx._shared_blocks == []  # apply_batch reclaimed its own
+    pairs, _ = idx.dedup_batch(
+        df.filter(F.col("vec_id") % 2 == 1), threshold=0.3,
+    )
+    assert len(idx._shared_blocks) == 1
+    h = idx._shared_blocks[0]
+    stage_files = [
+        os.path.join(h._stage, f) for f in h.names.values()
+    ]
+    for p in stage_files:
+        assert os.path.exists(p)
+    pairs.count()  # materialize before reclaiming
+    idx.unpersist_intermediates()
+    assert idx._shared_blocks == []
+    for p in stage_files:
+        assert not os.path.exists(p)

@@ -3517,14 +3517,14 @@ def test_vector_index_cell_guard_caps_oversized_cells(spark, tmp_path):
     cents = vx._ensure_centroids(df, "vec_id", "embedding")
     assigned = vx._assigned(df, "vec_id", "embedding", cents, nprobe=1)
     empty = assigned.limit(0)
-    _, pa, pb, cond = vx._cell_guard(empty, assigned, cents, 8)
-    assert cond is not None
+    _, pa, pb, cond, planes = vx._cell_guard(empty, assigned, cents, 8)
+    assert cond is not None and planes >= 1
     # multiprobe expansion (round 10): the broadcast side carries its own
     # sub-bucket plus every 1-bit flip — (planes+1) rows per source row —
     # while the plain side is unexpanded, so pairs join at most once
     n_plain, n_exp = pa.count(), pb.count()
     assert n_exp > n_plain and n_exp % n_plain == 0
-    _, pa, pb, cond = vx._cell_guard(empty, assigned, cents, 4096)
+    _, pa, pb, cond, planes = vx._cell_guard(empty, assigned, cents, 4096)
     assert cond is None and pa is pb  # disengaged: untouched frames
     vx.unpersist_intermediates()
 

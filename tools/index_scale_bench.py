@@ -57,23 +57,42 @@ def main() -> int:
     # scale (10k queries, k=10, nprobe 1 and 2) / quantizer retrain cost
     ap.add_argument("--serve", action="store_true")
     ap.add_argument("--retrain", action="store_true")
+    # --skewed: the clustered fixture (make_scaled_sf.scale_embeddings_
+    # skewed — ~30% of rows blended toward one direction) instead of the
+    # uniform rotations; additionally reports semantic_pairs' planted-
+    # pair recall, since the guard's sub-bucketing is the live code
+    # path there (round-12 verdict task 2)
+    ap.add_argument("--skewed", action="store_true")
+    # --drift (with --skewed): cold rows fill batches 0..B-2, the hot
+    # 30% arrives ONLY in the last batch — the quantizer (frozen at
+    # batch 0) never saw the hot mass, so its cells go genuinely hot:
+    # the regime k-means absorbs when it trains on the full data (the
+    # static-skew 100k probe measured only ~6x max/min occupancy) but
+    # cannot absorb under data drift. This is the _cell_guard /
+    # _self_pair_guard engagement proof at scale.
+    ap.add_argument("--drift", action="store_true")
     args = ap.parse_args()
 
     from qafs_spark.session import get_spark
     from qafs_spark.pipeline.banded_index import BandedMinHashIndex
     from qafs_spark.pipeline.vector_index import CellVectorIndex
-    from make_scaled_sf import scale_embeddings
+    from make_scaled_sf import scale_embeddings, scale_embeddings_skewed
 
     spark = get_spark(app_name="index-scale-bench")
     base_n = spark.read.parquet(f"{args.src}/embeddings.parquet").count()
     factor = max(1, args.vectors // base_n)
-    emb_path = os.path.join(args.work, f"embeddings_x{factor}.parquet")
+    stem = "embeddings_skew" if args.skewed else "embeddings"
+    emb_path = os.path.join(args.work, f"{stem}_x{factor}.parquet")
     if not os.path.exists(emb_path):
-        print(f"# building {factor}x embeddings fixture...", file=sys.stderr)
-        scale_embeddings(spark, args.src, emb_path, factor)
+        print(f"# building {factor}x {stem} fixture...", file=sys.stderr)
+        if args.skewed:
+            scale_embeddings_skewed(spark, args.src, emb_path, factor)
+        else:
+            scale_embeddings(spark, args.src, emb_path, factor)
     emb = spark.read.parquet(emb_path)
     n = emb.count()
-    out = {"n_vectors": n, "nlist": args.nlist, "batches": args.batches}
+    out = {"n_vectors": n, "nlist": args.nlist, "batches": args.batches,
+           "skewed": bool(args.skewed)}
 
     if args.serve or args.retrain:
         vroot = os.path.join(args.work, "vx")
@@ -105,19 +124,29 @@ def main() -> int:
         return 0
 
     # -- vector index ingest, DEFAULT config, equal batches ---------------
+    hot = (F.col("vec_id") % 10) < 3  # the skewed fixture's hot selector
+
+    def batch_filter(b: int):
+        if args.drift:
+            if b < args.batches - 1:
+                return (~hot) & (F.col("vec_id") % (args.batches - 1) == b)
+            return hot
+        return F.col("vec_id") % args.batches == b
+
     vroot = os.path.join(args.work, "vx")
     shutil.rmtree(vroot, ignore_errors=True)
     vx = CellVectorIndex(spark, vroot, nlist=args.nlist)
     vrows = []
     for b in range(args.batches):
-        part = emb.filter(F.col("vec_id") % args.batches == b)
+        part = emb.filter(batch_filter(b))
+        rows = part.count() if args.drift else n // args.batches
         t0 = time.time()
         vx.apply_batch(part, b, threshold=args.threshold)
         dt = time.time() - t0
-        rows = n // args.batches
-        vrows.append({"batch": b, "sec": round(dt, 1),
+        vrows.append({"batch": b, "sec": round(dt, 1), "rows": rows,
                       "rows_per_sec": round(rows / dt)})
-        print(f"# vector batch {b}: {dt:.1f}s", file=sys.stderr)
+        print(f"# vector batch {b}: {dt:.1f}s ({rows} rows)",
+              file=sys.stderr)
     out["vector_ingest"] = vrows
 
     # cell-skew histogram over the stored assignments
@@ -143,12 +172,79 @@ def main() -> int:
         from qafs_spark.pipeline import semdedup
 
         t0 = time.time()
-        cnt = semdedup.semantic_pairs(
+        sp = semdedup.semantic_pairs(
             emb, "embedding", "vec_id", threshold=args.threshold
-        ).count()
+        )
+        if args.skewed:
+            # persist so the count and the planted-recall join replay
+            # one pair computation, not two
+            sp = sp.persist()
+        cnt = sp.count()
         out["semantic_pairs"] = {"sec": round(time.time() - t0, 1),
                                  "pairs": cnt}
         print(f"# semantic_pairs: {out['semantic_pairs']}", file=sys.stderr)
+        if args.skewed:
+            from make_scaled_sf import planted_pairs
+
+            pp = planted_pairs(spark, args.src, factor).persist()
+            n_pp = pp.count()
+            hits = sp.join(pp, ["id_a", "id_b"], "inner").count()
+            out["semantic_pairs"]["planted"] = n_pp
+            out["semantic_pairs"]["planted_recall"] = round(hits / n_pp, 4)
+            print(f"# planted recall: {hits}/{n_pp}", file=sys.stderr)
+            sp.unpersist()
+
+            # STALE-quantizer variant: centroids trained on the COLD
+            # 70% only (the drift scenario semantic dedup meets in a
+            # scheduled pipeline: yesterday's quantizer, today's data).
+            # The hot mass funnels into the few cells whose centroids
+            # carry the dominant component — _self_pair_guard is the
+            # live path; record the probed-cell histogram it sees, its
+            # wall-clock, and the planted recall THROUGH the guard.
+            from qafs_spark.pipeline.similarity import (
+                _probe_cells, ivf_train, norm,
+            )
+
+            auto_nlist = max(4, -(-(n * 2) // 1024))
+            t0 = time.time()
+            cents = ivf_train(
+                emb.filter((F.col("vec_id") % 10) >= 3),
+                nlist=auto_nlist, iters=1,
+                data_id="vec_id", data_vec="embedding",
+            )
+            train_sec = round(time.time() - t0, 1)
+            probes = _probe_cells(cents, 2)
+            pocc = (
+                emb.select(
+                    F.explode(probes(F.col("embedding"))).alias("cell")
+                )
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("rows"))
+                .agg(
+                    F.count(F.lit(1)).alias("cells"),
+                    F.expr("percentile_approx(rows, 0.5)").alias("p50"),
+                    F.expr("percentile_approx(rows, 0.99)").alias("p99"),
+                    F.max("rows").alias("max"),
+                ).collect()[0]
+            )
+            t0 = time.time()
+            sp2 = semdedup.semantic_pairs(
+                emb, "embedding", "vec_id", threshold=args.threshold,
+                centroids=cents, nprobe=2,
+            ).persist()
+            cnt2 = sp2.count()
+            hits2 = sp2.join(pp, ["id_a", "id_b"], "inner").count()
+            out["semantic_pairs_stale_quantizer"] = {
+                "train_sec": train_sec, "nlist": auto_nlist,
+                "probed_cells": {k: int(pocc[k])
+                                 for k in ["cells", "p50", "p99", "max"]},
+                "sec": round(time.time() - t0, 1), "pairs": cnt2,
+                "planted_recall": round(hits2 / n_pp, 4),
+            }
+            print(f"# stale-quantizer: "
+                  f"{out['semantic_pairs_stale_quantizer']}",
+                  file=sys.stderr)
+            sp2.unpersist()
+            pp.unpersist()
 
     # -- banded index over the standing sf1 50k docs ----------------------
     if not args.skip_banded:

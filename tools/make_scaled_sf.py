@@ -201,6 +201,60 @@ def scale_embeddings(
     return off
 
 
+def _hot_blend(col, beta: float = 1.0):
+    """Blend a vector toward the fixed hot direction e_0:
+    ``v' = v + beta*|v|*e_0``. With beta=1 the hot mass lies in a 45-deg
+    cone around e_0 — the members share a dominant component (so a
+    coarse/stale quantizer funnels them into FEW cells) while
+    inter-member cosines stay ~0.5 (far below dedup thresholds, so the
+    TRUE pair output stays linear: only the planted blends are near-dup
+    pairs). Norm-changing is fine: every consumer is cosine-based."""
+    nrm = F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+    return F.concat(
+        F.array(F.element_at(col, 1) + F.lit(float(beta)) * nrm),
+        F.slice(col, 2, 4096),
+    )
+
+
+def scale_embeddings_skewed(
+    spark, src: str, dst_file: str, factor: int,
+    hot_mod: int = 10, hot_lt: int = 3, beta: float = 1.0, chunk: int = 50,
+) -> int:
+    """Clustered-skew variant of :func:`scale_embeddings` (round-12
+    verdict task 2): identical replica structure and planted near-dup
+    pairs, but ~``hot_lt/hot_mod`` (default 30%) of every replica's rows
+    — selected by BASE vec_id, so both members of every planted pair get
+    the same treatment and the :func:`planted_pairs` ground truth holds
+    (a shared additive component only raises the pair cosine) — are
+    blended toward one fixed direction (:func:`_hot_blend`). k-means
+    sized for the AVERAGE cell then funnels the hot mass into the few
+    cells whose centroids carry the dominant component: the
+    guard-engagement regime the uniform fixture (max/min occupancy 1.36
+    at 1M, BENCH_NOTES round 11) never reaches. Returns the replica id
+    offset."""
+    base = spark.read.parquet(f"{src}/embeddings.parquet")
+    off = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    for c0 in range(0, factor, chunk):
+        c1 = min(c0 + chunk, factor)
+        out = None
+        for k in range(c0, c1):
+            rep = _emb_rep(base, k, off)
+            hot = ((F.col("vec_id") - F.lit(k * off)) % hot_mod) < hot_lt
+            rep = rep.withColumn(
+                "embedding",
+                F.when(hot, _hot_blend(F.col("embedding"), beta))
+                .otherwise(F.col("embedding"))
+                .cast("array<float>"),
+            )
+            out = rep if out is None else out.unionByName(rep)
+        (
+            out.coalesce(max(1, (c1 - c0) // 2))
+            .write.mode("overwrite" if c0 == 0 else "append")
+            .parquet(dst_file)
+        )
+    return off
+
+
 def planted_pairs(spark, src: str, factor: int):
     """Ground-truth near-dup pairs the scaled fixture contains BY
     CONSTRUCTION: for each replica k>0, base vectors with
