@@ -658,3 +658,59 @@ def test_resample_family_global_window_counts_pinned(spark):
         for name in pinned
     }
     assert got == pinned
+
+
+def test_blocked_self_pairs_guard_plan_shape(spark):
+    """Hot-cell guard (round 12) plan contract: engaged, the ROW stream
+    still shuffles exactly ONCE — on (cell, __sub) — and the only other
+    exchange is the multiprobe pair dedup operating on the
+    threshold-filtered PAIR output, never on row volume. Disengaged,
+    the plan is the unguarded single-shuffle shape with no __sub and no
+    dedup exchange (the bit-parity property the oracle replays rely
+    on). No join operator appears in either shape — candidates never
+    materialize as join rows."""
+    import math
+    import random
+
+    from qafs_spark.pipeline.similarity import (
+        _cell_assigner,
+        blocked_self_pairs,
+        norm,
+    )
+
+    rng = random.Random(9)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    cents = [[1.0] + [0.0] * 7, [0.0, 1.0] + [0.0] * 6]
+    rows = [
+        (i, unit([1.0 + rng.gauss(0, 0.4)] + [rng.gauss(0, 0.4)] * 7))
+        for i in range(240)
+    ] + [
+        (1000 + i, unit([0.0, 1.0] + [rng.gauss(0, 0.1)] * 6))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assign = _cell_assigner(cents)
+    v = df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm(F.col("embedding")).alias("__n"),
+        assign(F.col("embedding")).alias("cell"),
+    )
+    engaged = blocked_self_pairs(v, "cell", 0.9, max_cell_size=32, dim=8)
+    plan = _physical(engaged)
+    assert plan.count("Exchange hashpartitioning") == 2
+    row_ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "__sub" in ln
+    ]
+    assert len(row_ex) == 1  # the single row shuffle, keyed by sub-bucket
+    assert "Join" not in plan and "CartesianProduct" not in plan
+
+    plain = blocked_self_pairs(v, "cell", 0.9, max_cell_size=100_000, dim=8)
+    pplan = _physical(plain)
+    assert pplan.count("Exchange hashpartitioning") == 1
+    assert "__sub" not in pplan and "Join" not in pplan
