@@ -4225,6 +4225,64 @@ def q_semantic_dedup_multiprobe(spark, sf_dir):
     )
 
 
+@register(
+    "semantic_dedup_guarded",
+    # certification row (pattern: semantic_dedup_agreement) for the
+    # round-12 HOT-CELL sub-bucket guard: the cap is sized BELOW the
+    # fixture's average cell (max(8, n//16) vs avg n//8), so
+    # _self_pair_guard ENGAGES at every gate fixture (guard_engaged is
+    # computed from the live occupancy, not assumed), and the guarded
+    # keep-set must clear the same exact-tier agreement bar. The oracle
+    # replays the exact tier's counts; the booleans gate the guard.
+    oracle=f"""
+    WITH {{keeps}}
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_exact,
+           true AS agreement_ok, true AS guard_engaged
+    FROM keeps
+    """.format(keeps=_SQL_SEMDEDUP_KEEPS),
+)
+def q_semantic_dedup_guarded(spark, sf_dir):
+    """Pipeline: certification of the hot-cell sub-bucket guard
+    (round 12, `similarity._self_pair_guard`) — same trained quantizer
+    as the agreement tier, but `max_cell_size` sized below the average
+    cell so the guard engages on the gate fixture itself: cells split
+    into verified hyperplane sub-buckets with symmetric 1-bit
+    multiprobe BEFORE the pair shuffle, and the resulting keep-set must
+    still clear the exact-tier Jaccard bar (missed sub-bucket pairs only
+    ever ADD keeps, so the metric degrades smoothly). ``guard_engaged``
+    re-runs the guard decision on the same assignment and pins that
+    this row actually exercises the engaged path."""
+    from .pipeline.similarity import (
+        _cell_assigner, _self_pair_guard, ivf_train, norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cap = max(8, n // 16)
+    cents = ivf_train(
+        emb, nlist=8, iters=1, data_id="vec_id", data_vec="embedding"
+    )
+    assign = _cell_assigner(cents)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm(F.col("embedding")).alias("__n"),
+        assign(F.col("embedding")).alias("cell"),
+    )
+    engaged = _self_pair_guard(v, "cell", cap, len(cents[0])) is not None
+    exact = sdd.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, k_iters=3, exact=True
+    )
+    guarded = sdd.semantic_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, k_iters=3,
+        centroids=cents, max_cell_size=cap,
+    )
+    return sdd.keep_set_agreement(exact, guarded).withColumn(
+        "guard_engaged", F.lit(bool(engaged))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunking + sequence packing (pipeline/text.py, training-data prep)
 # ---------------------------------------------------------------------------
