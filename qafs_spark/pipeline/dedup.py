@@ -575,6 +575,7 @@ def embedding_dedup_pairs(
     num_planes: int = 8,
     seed: int = 42,
     dim: Optional[int] = None,
+    max_cell_size: Optional[int] = 4096,
 ) -> DataFrame:
     """Pairs of near-identical embeddings (cosine >= threshold).
 
@@ -592,7 +593,15 @@ def embedding_dedup_pairs(
     rows, not candidate pairs; cosine bits unchanged). No oracle
     replays the LSH path (every catalog/semdedup caller uses
     ``use_lsh=False``, which keeps the SQL-replayable join shape).
-    """
+
+    ``max_cell_size`` (round 12): 2^num_planes buckets is a FIXED fan-out
+    — at 100M+ rows even uniform sign patterns put ~n/256 rows in one
+    bucket, and clustered embeddings concentrate further — so the LSH
+    tier carries the same verified hot-group guard as
+    ``semantic_pairs`` (:func:`similarity._self_pair_guard`; its
+    sub-planes use an independent seed, so they split hyperplane
+    buckets rather than replaying their prefix). Under the cap the plan
+    and pair set are bit-identical; ``None`` disables."""
     from .similarity import (
         blocked_self_pairs,
         cosine_pre_batch,
@@ -614,7 +623,9 @@ def embedding_dedup_pairs(
             "bucket",
             hyperplane_bucket_batch(F.col("vec"), dim, num_planes, seed),
         )
-        return blocked_self_pairs(v, "bucket", threshold)
+        return blocked_self_pairs(
+            v, "bucket", threshold, max_cell_size=max_cell_size, dim=dim
+        )
     a, b = v.alias("a"), v.alias("b")
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))

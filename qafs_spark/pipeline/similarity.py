@@ -224,9 +224,18 @@ def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
     quadratic — no candidate pruning can bound that; we warn and proceed
     (the task is then output-bound, not candidate-bound).
 
-    Returns (v_exploded, planes, big_keys) or None."""
+    Returns (v_exploded, planes, big_keys) or None.
+
+    The sub-bucket planes use their OWN seed (1337), distinct from the
+    package's LSH bucketing seed (42): when the caller's groups are
+    THEMSELVES hyperplane buckets (``embedding_dedup_pairs`` LSH tier),
+    same-seed sub-planes would be a prefix of the group key — every row
+    in a group shares them, so the "split" would be one bucket (the
+    verified loop would still catch and out-grow it, but only past the
+    caller's plane count; an independent seed splits immediately)."""
     import warnings
 
+    GUARD_SEED = 1337
     cap = int(cap)
     counts = (
         v.groupBy(key)
@@ -244,7 +253,9 @@ def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
     if dim is None:
         dim = len(v.select("vec").first()[0])
     while True:
-        hb = hyperplane_bucket_batch(F.col("vec"), int(dim), planes, seed=42)
+        hb = hyperplane_bucket_batch(
+            F.col("vec"), int(dim), planes, seed=GUARD_SEED
+        )
         deltas = F.array(
             *[
                 F.lit(x).cast("long")

@@ -238,3 +238,55 @@ def test_auto_tier_default_cap_engages_on_oversized_cell(spark):
     assert len(got) == len({(r["id_a"], r["id_b"]) for r in got})  # deduped
     for r in got:
         assert r["id_a"] < r["id_b"]
+
+
+def test_embedding_dedup_lsh_tier_hot_bucket_guard(spark):
+    """Round 12: the LSH tier of embedding_dedup_pairs carries the same
+    verified hot-group guard — 2^num_planes buckets is a FIXED fan-out,
+    and a shared dominant direction concentrates sign patterns into few
+    buckets. The guard's sub-planes use an independent seed, so they
+    split a hyperplane bucket instead of replaying its prefix (same-seed
+    planes would be constant within the bucket). Guarded pairs embed in
+    the unguarded set with bit-equal cosines; planted clones survive."""
+    from qafs_spark.pipeline.dedup import embedding_dedup_pairs
+
+    rng = random.Random(17)
+    rows = [
+        (i, _unit([1.0 + rng.gauss(0, 0.3)] + [rng.gauss(0, 0.3)] * (DIM - 1)))
+        for i in range(300)
+    ]
+    clones = [(1000 + i, [x + 1e-7 for x in rows[i][1]]) for i in range(12)]
+    df = spark.createDataFrame(rows + clones, ["vec_id", "embedding"])
+    kw = dict(threshold=0.995, use_lsh=True, num_planes=4, dim=DIM)
+    unguarded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dedup_pairs(
+            df, "embedding", "vec_id", max_cell_size=None, **kw
+        ).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_dedup_pairs(
+            df, "embedding", "vec_id", max_cell_size=48, **kw
+        ).collect()
+    }
+    # the fixture must actually be hot: >48 rows share some bucket,
+    # i.e. the unguarded call found pairs and the guard had to engage
+    from qafs_spark.pipeline.similarity import (
+        _self_pair_guard,
+        hyperplane_bucket_batch,
+        norm,
+    )
+
+    v = df.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm(F.col("embedding")).alias("__n"),
+        hyperplane_bucket_batch(F.col("embedding"), DIM, 4, 42).alias("bucket"),
+    )
+    assert _self_pair_guard(v, "bucket", 48, DIM) is not None
+    assert set(guarded) <= set(unguarded)
+    for k, c in guarded.items():
+        assert c == unguarded[k]  # bit-equal einsum contract
+    planted = {(i, 1000 + i) for i in range(12)}
+    assert planted <= set(guarded)  # clones share every guard sign
