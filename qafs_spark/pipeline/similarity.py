@@ -215,14 +215,29 @@ def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
     (p+1)/2^p expansion, which the sizing rule counts:
     ``worst·(p+1)/2^p <= cap``.
 
-    Sign patterns are only as diverse as the data: a hot cell whose
-    members share a dominant direction (tight cluster) concentrates in
-    few patterns, so the expected-case sizing is VERIFIED — the exploded
+    Sub-buckets hash the RESIDUAL ``vec − mean(cell)`` (the IVF-PQ
+    residual-encoding idea), not the raw vector: a hot cell's members
+    share a dominant component by construction — exactly why the cell is
+    hot — and raw-vector planes whose normal correlates with it are
+    sign-DEAD (every member on the same side), so raw hashing
+    concentrates the mass in the majority pattern (measured on the 1M
+    stale-quantizer fixture: a 49.8k-row cell still had an over-cap
+    majority bucket at 16 raw planes). Subtracting the per-cell mean
+    removes the shared component; the residual directions spread, every
+    plane bit goes live, and the same 16-bit budget splits cleanly.
+    Near-dup pairs survive centering whenever their residual norms are
+    comparable to their difference scale (the guard's target regime —
+    hot-but-DIVERSE cells); a cell whose residuals are tiny relative to
+    pair thresholds is a near-duplicate blob whose PAIR OUTPUT is itself
+    quadratic, which no candidate pruning can bound. The per-cell means
+    are one column-pruned aggregate over the flagged cells, broadcast
+    back as a small join.
+
+    The plane count is still VERIFIED, never trusted: the exploded
     occupancy is re-counted and ``p`` grows (<= 16 planes) until the
-    observed max group fits the cap. A group that still exceeds the cap
-    at 16 planes is a near-duplicate blob whose PAIR OUTPUT is itself
-    quadratic — no candidate pruning can bound that; we warn and proceed
-    (the task is then output-bound, not candidate-bound).
+    observed max group fits the cap; a group still over the cap at 16
+    centered planes is the blob case — we warn and proceed (the task is
+    then output-bound, not candidate-bound).
 
     Returns (v_exploded, planes, big_keys) or None.
 
@@ -252,10 +267,33 @@ def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
     big = [int(r[key]) for r in counts]
     if dim is None:
         dim = len(v.select("vec").first()[0])
+    dim = int(dim)
+    # per-flagged-cell means (one pruned aggregate, <= len(big) rows),
+    # broadcast-joined back so the sub-bucket planes hash RESIDUALS
+    mrows = (
+        v.filter(F.col(key).isin(big))
+        .groupBy(key)
+        .agg(*[F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)])
+        .collect()
+    )
+    mdf = v.sparkSession.createDataFrame(
+        [
+            (int(r[key]), [float(r[f"m{i}"]) for i in range(dim)])
+            for r in mrows
+        ],
+        "__gk long, __cmean array<double>",
+    )
+    v = v.join(
+        F.broadcast(mdf),
+        on=F.col(key).cast("long") == F.col("__gk"),
+        how="left",
+    ).drop("__gk")
+    rvec = F.when(
+        F.col("__cmean").isNotNull(),
+        F.zip_with("vec", "__cmean", lambda x, m: x - m),
+    ).otherwise(F.col("vec").cast("array<double>"))
     while True:
-        hb = hyperplane_bucket_batch(
-            F.col("vec"), int(dim), planes, seed=GUARD_SEED
-        )
+        hb = hyperplane_bucket_batch(rvec, dim, planes, seed=GUARD_SEED)
         deltas = F.array(
             *[
                 F.lit(x).cast("long")
@@ -269,17 +307,8 @@ def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
         v2 = (
             v.withColumn("__hb", hb)
             .withColumn("__sub", F.explode(subs))
-            .drop("__hb")
+            .drop("__hb", "__cmean")
         )
-        if planes >= 16:
-            warnings.warn(
-                f"_self_pair_guard: a group still exceeds cap={cap} at "
-                "16 hyperplane bits — the hot cell is a near-duplicate "
-                "blob whose pair OUTPUT is quadratic; proceeding with "
-                "the 16-bit split.",
-                stacklevel=3,
-            )
-            return v2, planes, big
         observed = (
             v2.filter(F.col(key).isin(big))
             .groupBy(key, "__sub")
@@ -288,6 +317,15 @@ def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
             .first()["mx"]
         )
         if observed is None or observed <= cap:
+            return v2, planes, big
+        if planes >= 16:
+            warnings.warn(
+                f"_self_pair_guard: a group of {observed} rows still "
+                f"exceeds cap={cap} at 16 centered hyperplane bits — the "
+                "hot cell is a near-duplicate blob whose pair OUTPUT is "
+                "quadratic; proceeding with the 16-bit split.",
+                stacklevel=3,
+            )
             return v2, planes, big
         # correlated signs (shared dominant direction): the expected-case
         # formula undershot — grow p by the observed overshoot and retry

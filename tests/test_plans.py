@@ -667,8 +667,10 @@ def test_blocked_self_pairs_guard_plan_shape(spark):
     threshold-filtered PAIR output, never on row volume. Disengaged,
     the plan is the unguarded single-shuffle shape with no __sub and no
     dedup exchange (the bit-parity property the oracle replays rely
-    on). No join operator appears in either shape — candidates never
-    materialize as join rows."""
+    on). Candidates never materialize as join rows: the only join in
+    the engaged shape is the BROADCAST of the per-hot-cell means the
+    residual sub-bucket hashing subtracts (round 12) — never a shuffle
+    join, never a cartesian."""
     import math
     import random
 
@@ -708,7 +710,10 @@ def test_blocked_self_pairs_guard_plan_shape(spark):
         if "Exchange hashpartitioning" in ln and "__sub" in ln
     ]
     assert len(row_ex) == 1  # the single row shuffle, keyed by sub-bucket
-    assert "Join" not in plan and "CartesianProduct" not in plan
+    # the cell-mean attach is broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the residual means
 
     plain = blocked_self_pairs(v, "cell", 0.9, max_cell_size=100_000, dim=8)
     pplan = _physical(plain)
