@@ -816,7 +816,13 @@ class CellVectorIndex:
         ``worst·(p+1)/2^p ≤ max_cell_size`` — the (p+1)× probe expansion
         is COUNTED, so per-bucket membership still lands under the cap
         and the within-cell quadratic term stays bounded (~max_cell²/(p+1)
-        per bucket) regardless of skew or quantizer staleness. With no
+        per bucket) regardless of skew or quantizer staleness. Round 12:
+        the sub-planes hash the RESIDUAL ``vec − mean(cell)`` — raw
+        planes correlated with the shared component that made the cell
+        hot are sign-dead, concentrating the mass in the majority
+        pattern (measured in the semantic twin; see
+        ``similarity._self_pair_guard``) — which is what makes the
+        all-planes-live sizing formula realistic. With no
         oversized cell the plan and pair set are UNCHANGED (bit-parity,
         which keeps small-fixture oracle replays exact).
 
@@ -847,6 +853,44 @@ class CellVectorIndex:
             planes += 1
         big = [int(r["cell"]) for r in counts]
         dim = len(cents[0])
+        # Residual hashing (round 12, late — same fix as
+        # similarity._self_pair_guard): a hot cell's members share a
+        # dominant component BY CONSTRUCTION, so raw-vector planes
+        # correlated with it are sign-dead and the sub-bucket mass
+        # concentrates in the majority pattern (measured on the 1M
+        # stale-quantizer fixture: an over-cap bucket survived 16 raw
+        # planes; centered, 8 fit). Subtract the per-flagged-cell mean
+        # before hashing — one pruned aggregate over the flagged cells,
+        # attached to BOTH sides via broadcast join so their sign
+        # assignments stay consistent. Scoring still uses RAW vectors;
+        # only the bucket hash is centered.
+        mrows = (
+            probed.select("cell", "vec")
+            .unionByName(stored.select("cell", "vec"))
+            .filter(F.col("cell").isin(big))
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        mdf = self.spark.createDataFrame(
+            [
+                (int(r["cell"]), [float(r[f"m{i}"]) for i in range(dim)])
+                for r in mrows
+            ],
+            "__gk long, __cmean array<double>",
+        )
+
+        def attach(df):
+            return df.join(
+                F.broadcast(mdf),
+                on=F.col("cell").cast("long") == F.col("__gk"),
+                how="left",
+            ).drop("__gk")
+
+        rvec = F.when(
+            F.col("__cmean").isNotNull(),
+            F.zip_with("vec", "__cmean", lambda x, m: x - m),
+        ).otherwise(F.col("vec").cast("array<double>"))
         # Arrow-batched bucket (round 10): the guard is never
         # oracle-replayed (it cannot engage at gate fixtures), so the
         # matmul fast path applies; both join sides use the same
@@ -854,7 +898,7 @@ class CellVectorIndex:
         # MATERIALIZED into a column first — Spark refuses a Python UDF
         # inside a higher-order-function lambda, so the multiprobe
         # transform below references the column, not the UDF.
-        hb = hyperplane_bucket_batch(F.col("vec"), dim, planes, seed=42)
+        hb = hyperplane_bucket_batch(rvec, dim, planes, seed=42)
         sub = F.when(F.col("cell").isin(big), F.col("__hb")).otherwise(
             F.lit(-1).cast("long")
         )
@@ -865,12 +909,19 @@ class CellVectorIndex:
             F.col("cell").isin(big),
             F.transform(deltas, lambda d: F.col("__hb").bitwiseXOR(d)),
         ).otherwise(F.array(F.lit(-1).cast("long")))
+        stored_g = (
+            attach(stored)
+            .withColumn("__hb", hb)
+            .withColumn("__sub", sub)
+            .drop("__hb", "__cmean")
+        )
+        probed_g = attach(probed).withColumn("__hb", hb)
         return (
-            stored.withColumn("__hb", hb).withColumn("__sub", sub).drop("__hb"),
-            probed.withColumn("__hb", hb).withColumn("__sub", sub).drop("__hb"),
-            probed.withColumn("__hb", hb)
-            .withColumn("__sub", F.explode(subs))
-            .drop("__hb"),
+            stored_g,
+            probed_g.withColumn("__sub", sub).drop("__hb", "__cmean"),
+            probed_g.withColumn("__sub", F.explode(subs)).drop(
+                "__hb", "__cmean"
+            ),
             F.col("a.__sub") == F.col("b.__sub"),
             planes,
         )
