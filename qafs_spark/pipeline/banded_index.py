@@ -583,11 +583,15 @@ class BandedMinHashIndex:
         # round 11 entry probe + round 12 fence capture: the token is
         # re-verified just before the applied-log append, so maintenance
         # acquiring mid-batch aborts the commit loudly (lease.py) and
-        # the batch stays replayable.
+        # the batch stays replayable. Token FIRST, held-probe second
+        # (round 13): an acquire between the two reads then bumps the
+        # token after the capture and the commit check aborts, instead
+        # of the batch capturing the post-bump token and committing
+        # inside the maintenance window.
         start_fence = None
         if getattr(self, "_lease_depth", 0) == 0:
-            lease.refuse_if_held(self.spark, self.root, "apply_batch")
             start_fence = lease.fence_token(self.spark, self.root)
+            lease.refuse_if_held(self.spark, self.root, "apply_batch")
         self._recover_compaction()
         self._sync_tombstones()
         if self.batch_applied(batch_id):

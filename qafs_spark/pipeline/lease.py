@@ -45,9 +45,12 @@ holding JSON ``{owner, op, acquired_at, expires_at}``:
   no-renewal/expiry hazard class the module already documents.
 * **renew** — a LIVE holder extends ``expires_at`` between phases of an
   honest long run (round 12): rename-aside + verify (as release), then
-  re-create with a fresh expiry. The ``maintenance_op`` decorator
-  exposes this to the wrapped method as ``self._active_lease.renew()``;
-  the long rewrites call it between dataset swaps so a slow run extends
+  re-create with a fresh expiry, then a fence bump (round 13): the
+  swap leaves the lease path absent for a moment, and an ingest batch
+  entering in that gap captures the pre-renew token — the bump makes
+  its commit check abort. The ``maintenance_op`` decorator exposes
+  this to the wrapped method as ``self._active_lease.renew()``; the
+  long rewrites call it between dataset swaps so a slow run extends
   its window instead of relying solely on the generous rewrite TTL.
 
 Ingest coexistence: :meth:`MaintenanceLease.held_by_other` is a one-read
@@ -55,9 +58,11 @@ probe that ``apply_batch`` calls to refuse new batches while maintenance
 holds the lease (see the indexes' ``_refuse_if_maintenance``). The
 reverse direction — maintenance starting while an ingest batch is
 mid-flight — is CLOSED at commit time by the maintenance fence
-(round 12): every successful ``acquire()`` rewrites a per-root fence
-token (``_maintenance_fence``); ``apply_batch`` captures the token at
-entry and re-verifies it (plus a fresh held-probe) immediately before
+(round 12): every successful ``acquire()`` (and, round 13, every
+``renew()``) rewrites a per-root fence token (``_maintenance_fence``);
+``apply_batch`` captures the token at entry — BEFORE its held-probe, so
+an acquire interleaving the two entry reads is always observed as a
+token change — and re-verifies it (plus a fresh held-probe) immediately before
 the applied-log append that makes the batch durable. A batch that was
 mid-flight when maintenance acquired therefore ABORTS at commit with
 :class:`LeaseHeldError` — its directories are intact and the replay
@@ -87,7 +92,8 @@ from pyspark.sql import SparkSession
 from .. import storage as fs_storage
 
 LEASE_FILE = "_maintenance_lease"
-# Per-root fence token, rewritten by every successful acquire(): the
+# Per-root fence token, rewritten by every successful acquire() and
+# renew(): the
 # ingest commit check compares the token it read at batch entry against
 # the token at commit time — ANY intervening maintenance window (even one
 # that acquired AND released while the batch was mid-flight) changes the
@@ -279,8 +285,16 @@ class MaintenanceLease:
         :meth:`release`, then a fresh atomic create: a holder that
         already lost its lease to expiry takeover raises
         :class:`LeaseHeldError` instead of clobbering the new holder.
-        Does NOT bump the fence — the maintenance window is the same
-        window, merely longer."""
+
+        BUMPS the fence after the re-create (round 13): the rename-aside
+        -> re-create swap leaves the lease path ABSENT for a moment, so
+        an ingest batch whose entry held-probe lands in that gap passes
+        and captures the pre-renew token. Bumping on renew means such a
+        batch aborts at its commit check; no batch started BEFORE the
+        window can be falsely aborted, since its entry probe would have
+        been refused while the lease was held (and a batch that entered
+        before the ACQUIRE is aborted by the acquire's own bump — the
+        designed behavior)."""
         if not self._held:
             raise LeaseHeldError(
                 f"renew on {self.root}: lease not held by this instance"
@@ -304,6 +318,7 @@ class MaintenanceLease:
             raise LeaseHeldError(
                 f"renew on {self.root}: lost the re-create race"
             )
+        self._bump_fence()
         return self
 
     def __enter__(self) -> "MaintenanceLease":

@@ -1273,11 +1273,16 @@ class CellVectorIndex:
         directories are replay-overwritten byte-identically by the next
         apply_batch call with the same batch_id."""
         # round 11 entry probe + round 12 fence capture: one or two
-        # small-file reads per batch, apply_batch cadence not row cadence
+        # small-file reads per batch, apply_batch cadence not row cadence.
+        # Token FIRST, held-probe second (round 13): an acquire landing
+        # between the two reads bumps the token AFTER the capture, so the
+        # commit re-verify aborts; the reverse order could capture the
+        # post-bump token and commit a batch that ran entirely inside the
+        # maintenance window it was meant to detect.
         start_fence = None
         if getattr(self, "_lease_depth", 0) == 0:
-            lease.refuse_if_held(self.spark, self.root, "apply_batch")
             start_fence = lease.fence_token(self.spark, self.root)
+            lease.refuse_if_held(self.spark, self.root, "apply_batch")
         self._recover_compaction()
         self._sync_tombstones()
         if self.batch_applied(batch_id):

@@ -392,3 +392,63 @@ def test_shared_block_artifacts_reclaimed_per_batch(spark, small_vec_index):
     assert idx._shared_blocks == []
     for p in stage_files:
         assert not os.path.exists(p)
+
+
+def test_renew_bumps_fence_so_gap_ingest_aborts_at_commit(spark, tmp_path):
+    """Round-13 ADVICE fix: renew()'s rename-aside -> re-create swap
+    leaves the lease path ABSENT for a moment; an ingest batch whose
+    entry held-probe lands in that gap passes and captures the
+    pre-renew token. renew() now bumps the fence, so such a batch
+    aborts at its commit check even after maintenance releases."""
+    from qafs_spark.pipeline.lease import fence_token, verify_commit_fence
+
+    root = str(tmp_path / "ix")
+    m = MaintenanceLease(spark, root, op="rebuild")
+    m.acquire()
+    # a batch entering during renew's lease-path gap captures this token
+    t0 = fence_token(spark, root)
+    assert t0 is not None
+    m.renew()
+    t1 = fence_token(spark, root)
+    assert t1 is not None and t1 != t0  # renew bumps
+    assert m.release() is True
+    # maintenance is over, held-probe passes — only the token catches it
+    with pytest.raises(LeaseHeldError, match="changed mid-batch"):
+        verify_commit_fence(spark, root, t0, "apply_batch")
+    # a batch that entered AFTER the renew commits fine
+    verify_commit_fence(spark, root, t1, "apply_batch")
+
+
+def test_apply_batch_entry_interleaved_acquire_aborts(spark, small_vec_index):
+    """Round-13 ADVICE fix: the fence token is captured BEFORE the entry
+    held-probe. An acquire+release landing between the two entry reads
+    (injected by wrapping the probe) used to hand the batch the
+    POST-bump token — the commit check then passed despite the batch
+    running entirely inside the maintenance window. With token-first
+    capture the interleaved window always reads as a token change."""
+    from qafs_spark.pipeline import lease as lease_mod
+
+    idx, df = small_vec_index
+    batch = df.filter(F.col("vec_id") % 2 == 0)
+    real_probe = lease_mod.refuse_if_held
+    fired = {}
+
+    def probe(spark_, root, what):
+        if what == "apply_batch" and not fired:
+            fired["x"] = True
+            m = MaintenanceLease(spark_, root, op="compact")
+            m.acquire()
+            m.release()  # window opens AND closes between the two reads
+        return real_probe(spark_, root, what)
+
+    lease_mod.refuse_if_held = probe
+    try:
+        with pytest.raises(LeaseHeldError, match="aborted at commit"):
+            idx.apply_batch(batch, 9, threshold=0.3)
+    finally:
+        lease_mod.refuse_if_held = real_probe
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    fresh = CellVectorIndex(spark, idx.root, nlist=4)
+    assert not fresh.batch_applied(9)
+    assert fresh.apply_batch(batch, 9, threshold=0.3)  # clean replay
