@@ -14,10 +14,11 @@ scheduler needs the loser to ABORT LOUDLY instead of corrupting silently.
 Protocol — a single lease FILE per index root (``<root>/_maintenance_lease``)
 holding JSON ``{owner, op, acquired_at, expires_at}``:
 
-* **acquire** — one ``FileSystem.create(path, overwrite=false)`` — the FS
-  namespace's compare-and-swap (atomic on HDFS; best-effort on the local
-  FS, whose overwrite=false is exists-then-open, and on object stores,
-  which check at close — both are why the read-back verify below exists).
+* **acquire** — one :func:`storage.create_file_atomic` — the FS
+  namespace's compare-and-swap (atomic on HDFS; truly atomic on the
+  local FS via an ``O_CREAT|O_EXCL`` kernel create since round 13;
+  best-effort on object stores, which check at close — why the
+  read-back verify below exists).
   Exactly one of N racers creates the file; the rest read the holder and
   raise :class:`LeaseHeldError`.
 * **expiry takeover** — a crashed holder's lease times out (default TTL

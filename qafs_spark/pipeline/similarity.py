@@ -196,6 +196,38 @@ def hyperplane_bucket_batch(
     return bucket(vec)
 
 
+# One-time signal that the hot-group guard ENGAGED (round-13 ADVICE):
+# default-arg callers get the skew cap silently, and the split changes
+# the recall tier within the flagged groups (a pair whose sub-bucket
+# sign patterns differ in >2 of the p bits is missed — previously
+# within-group pairing was exact). Operators should SEE the tier change
+# once, not discover it in an agreement sweep. Once per process — the
+# engagement is per-call, the surprise is once (pattern:
+# semdedup._warn_auto_tier_once).
+_GUARD_ENGAGED_WARNED = False
+
+
+def _warn_guard_engaged_once(n_groups: int, worst: int, cap: int) -> None:
+    global _GUARD_ENGAGED_WARNED
+    if _GUARD_ENGAGED_WARNED:
+        return
+    _GUARD_ENGAGED_WARNED = True
+    import warnings
+
+    warnings.warn(
+        f"_self_pair_guard engaged: {n_groups} group(s) exceed "
+        f"max_cell_size={cap} (worst {worst} rows) and were split into "
+        "verified hyperplane sub-buckets with symmetric 1-bit multiprobe "
+        "— within-group pair generation is now approximate there (pairs "
+        "whose sub-bucket patterns differ in >2 bits are missed; "
+        "below-cap groups are untouched and stay exact). This is the "
+        "documented skew-cap trade; raise max_cell_size, retrain the "
+        "quantizer, or pass max_cell_size=None to restore within-group-"
+        "exact pairing. Warned once per process.",
+        stacklevel=5,
+    )
+
+
 def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
     """Hot-cell sub-bucket guard for the SELF-pair blocked path
     (round-12 verdict task 1 — the :meth:`vector_index._cell_guard` idea
@@ -261,6 +293,7 @@ def _self_pair_guard(v: DataFrame, key: str, cap: int, dim: Optional[int]):
     if not counts:
         return None
     worst = max(int(r["n"]) for r in counts)
+    _warn_guard_engaged_once(len(counts), worst, cap)
     planes = 1
     while worst * (planes + 1) / (2 ** planes) > cap:
         planes += 1

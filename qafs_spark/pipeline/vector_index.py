@@ -94,6 +94,19 @@ class _SharedBlocks:
     SparkFiles lifetime); per-batch disk cost is one block-set per node,
     page-cache-backed.
 
+    KNOWN RESIDUAL (round-12 ADVICE): ``SparkContext.addFile`` keys an
+    append-only driver registry (path → timestamp map + file-server
+    registration), and each batch registers fresh uuid names — so a
+    long-running streaming ingest accumulates O(100 bytes) of driver
+    metadata per micro-batch even though the BYTES are reclaimed by
+    :meth:`cleanup`. Reusing one fixed name per instance is not safe:
+    re-adding a path is silently ignored (executors would keep stale
+    content) unless ``spark.files.overwrite=true``, which cannot be
+    flipped reliably on a live context. At a 1-minute cadence this is
+    ~50 MB of driver map per year — bounded in practice by the standard
+    ops move of recycling the streaming app on redeploy cadence (see
+    SCALE.md); a leak of bytes it is not.
+
     Rows are stored ONCE; the per-key lookup goes through a 4th artifact
     of int64 row POSITIONS, so the guard's (p+1)-way multiprobe
     expansion multiplies 8-byte positions, never 8·d-byte vectors —

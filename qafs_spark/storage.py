@@ -100,17 +100,38 @@ def mkdirs(spark: SparkSession, path: str) -> None:
 
 def create_file_atomic(spark: SparkSession, path: str, content: str) -> bool:
     """Create ``path`` with ``content`` iff it does not already exist —
-    Hadoop ``FileSystem.create(path, overwrite=false)``, the FS layer's
-    compare-and-swap. Atomicity is store-dependent: on HDFS the
-    namespace insert is atomic (exactly one of N concurrent callers
-    returns True). On the LOCAL filesystem it is best-effort only —
-    RawLocalFileSystem implements overwrite=false as exists-then-open,
-    a TOCTOU window in which two same-host racers can both pass — and
-    on S3A the check happens at close. Both non-HDFS cases are why the
-    lease protocol that uses this also verifies by read-back after
-    close (and why that verify is itself best-effort inside the
-    microsecond overwrite window) — see :mod:`pipeline.lease`."""
+    the FS layer's compare-and-swap. Atomicity is store-dependent:
+
+    * ``file`` scheme (round 13): Python ``os.open(O_CREAT|O_EXCL)`` —
+      a TRULY atomic kernel-level create-if-absent. Hadoop's
+      RawLocalFileSystem implements ``create(overwrite=false)`` as
+      exists-then-open, a TOCTOU window in which two same-host racers
+      can both pass; the O_EXCL fast path closes it (exactly one of N
+      concurrent callers wins, kernel-guaranteed).
+    * HDFS: ``FileSystem.create(path, overwrite=false)`` — the
+      namespace insert is atomic (exactly one of N callers returns
+      True).
+    * Object stores (S3A): the condition is checked at close, so
+      last-writer-wins collisions are possible — which is why the lease
+      protocol that uses this also verifies by read-back after close
+      (and why that verify is itself best-effort inside the microsecond
+      overwrite window) — see :mod:`pipeline.lease`."""
+    import os
+
     fs, jpath = _fs_and_path(spark, path)
+    if fs.getScheme() == "file":
+        local = fs.makeQualified(jpath).toUri().getPath()
+        try:
+            fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except OSError:
+            # FileExistsError (lost the race / already present) or a
+            # missing parent — both read as "did not create"
+            return False
+        try:
+            os.write(fd, content.encode("utf-8"))
+        finally:
+            os.close(fd)
+        return True
     try:
         out = fs.create(jpath, False)
     except Exception:

@@ -452,3 +452,54 @@ def test_apply_batch_entry_interleaved_acquire_aborts(spark, small_vec_index):
     fresh = CellVectorIndex(spark, idx.root, nlist=4)
     assert not fresh.batch_applied(9)
     assert fresh.apply_batch(batch, 9, threshold=0.3)  # clean replay
+
+
+def test_create_file_atomic_two_thread_race_single_winner(spark, tmp_path):
+    """Round-13 verdict task 6: local-FS create-if-absent is a kernel
+    O_CREAT|O_EXCL, so of two same-host racers EXACTLY one wins, every
+    iteration. (The old Hadoop RawLocalFileSystem path is
+    exists-then-open — looping this window reliably produced double
+    winners.) Content integrity: the winner's payload is what is read
+    back, never an interleaving of the two."""
+    import threading
+
+    from qafs_spark import storage as fs_storage
+
+    path = str(tmp_path / "lease")
+    iters = 200
+    results = [[None] * iters for _ in range(2)]
+    barrier = threading.Barrier(2)
+
+    def racer(slot):
+        for i in range(iters):
+            barrier.wait()
+            results[slot][i] = fs_storage.create_file_atomic(
+                spark, path, f"writer-{slot}-iter-{i}"
+            )
+            barrier.wait()
+            if slot == 0:  # one cleaner per iteration, after both raced
+                fs_storage.delete_path(spark, path)
+
+    threads = [threading.Thread(target=racer, args=(s,)) for s in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(iters):
+        wins = int(bool(results[0][i])) + int(bool(results[1][i]))
+        assert wins == 1, f"iteration {i}: {wins} winners (must be exactly 1)"
+
+
+def test_create_file_atomic_basics(spark, tmp_path):
+    """Create-if-absent contract on the local fast path: success writes
+    the full payload readably (Hadoop-side read), a second create
+    refuses, a missing parent reads as not-created (no raise)."""
+    from qafs_spark import storage as fs_storage
+
+    path = str(tmp_path / "f")
+    assert fs_storage.create_file_atomic(spark, path, "hello") is True
+    assert fs_storage.read_small_file(spark, path) == "hello"
+    assert fs_storage.create_file_atomic(spark, path, "other") is False
+    assert fs_storage.read_small_file(spark, path) == "hello"
+    missing = str(tmp_path / "no-such-dir" / "f")
+    assert fs_storage.create_file_atomic(spark, missing, "x") is False

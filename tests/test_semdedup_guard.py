@@ -290,3 +290,33 @@ def test_embedding_dedup_lsh_tier_hot_bucket_guard(spark):
         assert c == unguarded[k]  # bit-equal einsum contract
     planted = {(i, 1000 + i) for i in range(12)}
     assert planted <= set(guarded)  # clones share every guard sign
+
+
+def test_guard_engagement_warns_once(spark, skewed):
+    """Round-13 ADVICE fix: engaging the default-on cap changes the
+    recall tier inside the flagged groups (sub-bucket splits can miss
+    pairs at hamming > 2), so the FIRST engagement emits a one-time
+    warning naming the cap and the worst group; later engagements and
+    disengaged calls stay silent."""
+    import warnings
+
+    import qafs_spark.pipeline.similarity as sim
+
+    df, _ = skewed
+    v = _assigned(df)
+    sim._GUARD_ENGAGED_WARNED = False
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert sim._self_pair_guard(v, "cell", 300, DIM) is not None
+    msgs = [str(x.message) for x in w if "engaged" in str(x.message)]
+    assert len(msgs) == 1 and "max_cell_size=300" in msgs[0]
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        assert sim._self_pair_guard(v, "cell", 300, DIM) is not None
+    assert not [x for x in w2 if "engaged" in str(x.message)]
+    # a disengaged guard never warns, reset or not
+    sim._GUARD_ENGAGED_WARNED = False
+    with warnings.catch_warnings(record=True) as w3:
+        warnings.simplefilter("always")
+        assert sim._self_pair_guard(v, "cell", 100_000, DIM) is None
+    assert not [x for x in w3 if "engaged" in str(x.message)]
