@@ -115,6 +115,7 @@ def semantic_pairs(
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
     ivf_cell_rows: int = DEFAULT_IVF_CELL_ROWS,
     max_cell_size: Optional[int] = DEFAULT_PAIR_CELL_CAP,
+    pair_output: str = "full",
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
@@ -141,6 +142,16 @@ def semantic_pairs(
     trade is measured on the planted skewed fixture
     (``tests/test_semdedup_guard.py``). ``max_cell_size=None`` disables
     the guard (pre-round-12 behavior).
+
+    ``pair_output`` (round 13): ``"full"`` (default here — PAIR
+    semantics preserved) emits every surviving within-group pair;
+    ``"star"`` additionally bounds the pair OUTPUT of over-cap groups
+    — a true near-duplicate blob emits a min-id spanning star (n-1
+    edges, each a real >=threshold pair verified against the hub)
+    instead of its ~n²/2 pairs; only the below-threshold-vs-hub
+    periphery enters pair generation. Sufficient for
+    connected-components consumers; :func:`semantic_dedup` opts in
+    internally. Below the cap the two modes are bit-identical.
 
     ``nprobe`` > 1 is the recall knob for that trade: each vector lands in
     its ``nprobe`` nearest cells (multiprobe assignment), so a pair split
@@ -221,6 +232,7 @@ def semantic_pairs(
     pairs = blocked_self_pairs(
         v, "cell", threshold,
         max_cell_size=max_cell_size, dim=len(centroids[0]),
+        pair_output=pair_output,
     )
     if nprobe > 1:
         # a pair sharing several probed cells surfaces once per shared
@@ -244,6 +256,7 @@ def semantic_dedup(
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
     ivf_cell_rows: int = DEFAULT_IVF_CELL_ROWS,
     max_cell_size: Optional[int] = DEFAULT_PAIR_CELL_CAP,
+    pair_output: str = "star",
 ) -> DataFrame:
     """Per-row keep/drop decision: (id, cluster, keep) for EVERY input row.
 
@@ -268,6 +281,16 @@ def semantic_dedup(
     labels side holds only ids that appear in some pair — after AQE sizes
     it at runtime, a corpus with few duplicates gets a broadcast join here
     for free.
+
+    ``pair_output`` defaults to ``"star"`` HERE (round 13, unlike
+    :func:`semantic_pairs`): this function only consumes the pair graph
+    through connected components, for which an over-cap near-duplicate
+    blob needs a min-id spanning star (n-1 edges, every member verified
+    >=threshold against the hub), not its ~n²/2 pairs — the output-side
+    bound no candidate pruning can provide. Below the cap the modes are
+    bit-identical, so the exact-tier short-circuit and the small-fixture
+    oracle replays are unaffected; pass ``pair_output="full"`` to
+    restore the round-12 behavior on flagged groups.
     """
     from .dedup import cluster_pairs
 
@@ -275,6 +298,7 @@ def semantic_dedup(
         df, vec_col, id_col, threshold, nlist, centroids, train_iters,
         nprobe=nprobe, exact=exact, target_cell_size=target_cell_size,
         ivf_cell_rows=ivf_cell_rows, max_cell_size=max_cell_size,
+        pair_output=pair_output,
     )
     labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
     return (

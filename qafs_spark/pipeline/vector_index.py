@@ -873,22 +873,26 @@ class CellVectorIndex:
         # concentrates in the majority pattern (measured on the 1M
         # stale-quantizer fixture: an over-cap bucket survived 16 raw
         # planes; centered, 8 fit). Subtract the per-flagged-cell mean
-        # before hashing — one pruned aggregate over the flagged cells,
-        # attached to BOTH sides via broadcast join so their sign
-        # assignments stay consistent. Scoring still uses RAW vectors;
-        # only the bucket hash is centered.
-        mrows = (
-            probed.select("cell", "vec")
-            .unionByName(stored.select("cell", "vec"))
-            .filter(F.col("cell").isin(big))
-            .groupBy("cell")
-            .agg(*[F.avg(F.col("vec")[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
+        # before hashing — computed dim-FLAT (round 13, the
+        # similarity._flagged_group_means path: mapInPandas partial
+        # sums + driver combine, one plan-side expression instead of
+        # `dim` codegen'd aggregates), attached to BOTH sides via
+        # broadcast join so their sign assignments stay consistent.
+        # Scoring still uses RAW vectors; only the bucket hash is
+        # centered.
+        from .similarity import _flagged_group_means
+
+        means = _flagged_group_means(
+            probed.select("cell", "vec").unionByName(
+                stored.select("cell", "vec")
+            ),
+            "cell",
+            big,
         )
         mdf = self.spark.createDataFrame(
             [
-                (int(r["cell"]), [float(r[f"m{i}"]) for i in range(dim)])
-                for r in mrows
+                (int(k), [float(x) for x in m])
+                for k, m in sorted(means.items())
             ],
             "__gk long, __cmean array<double>",
         )

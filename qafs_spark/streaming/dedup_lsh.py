@@ -228,6 +228,7 @@ def streaming_semantic_dedup(
     tier: str = "ivf",
     nprobe: int = 2,
     trigger_available_now: bool = True,
+    max_cell_size=None,
 ):
     """Exactly-once streaming SEMANTIC near-dup detection over the
     persisted cell-partitioned vector index
@@ -236,9 +237,19 @@ def streaming_semantic_dedup(
     reads only the batch's probed cell partitions) and append their
     vectors under their cells. Quantizer trains on the FIRST micro-batch
     and freezes — start the stream with a representative batch, the
-    standard IVF practice. Same commit recipe and checkpoint/index
-    lifecycle caveat as the sinks above."""
-    from ..pipeline.vector_index import CellVectorIndex
+    standard IVF practice; data DRIFTING away from that batch funnels
+    into few cells, which is exactly what the index's ``max_cell_size``
+    hot-cell guard bounds (``None`` here = the index default, 4096;
+    the drift soak in ``tests/test_streaming_soak.py`` pins bounded
+    per-batch cost with the guard engaged). Same commit recipe and
+    checkpoint/index lifecycle caveat as the sinks above."""
+    from ..pipeline.vector_index import (
+        DEFAULT_MAX_CELL_SIZE,
+        CellVectorIndex,
+    )
+
+    if max_cell_size is None:
+        max_cell_size = DEFAULT_MAX_CELL_SIZE
 
     # ONE index instance across the stream's micro-batches: its metadata
     # caches (watermark/tombstones/quantizer/meta) then amortize to zero
@@ -259,6 +270,7 @@ def streaming_semantic_dedup(
         holder[0].apply_batch(
             batch, batch_id, vec_col=vec_col, id_col=id_col,
             threshold=threshold, tier=tier, nprobe=nprobe,
+            max_cell_size=max_cell_size,
         )
 
     writer = (

@@ -223,3 +223,132 @@ def test_soak_flat_index_sink_applied_log_liveness_and_parity(
         for r in dedup_pairs(spark, index_path, pairs_path).collect()
     }
     assert got == want and want
+
+
+def test_soak_streaming_semantic_dedup_drift_guard_engaged(spark, tmp_path):
+    """Round-13 verdict task 5: streaming semantic dedup under DATA
+    DRIFT with the hot-cell guard engaged. The quantizer freezes on the
+    (cold, diverse) first micro-batch; every later row carries a
+    dominant component the quantizer never saw, so the hot mass funnels
+    into one or two cells and blows far past ``max_cell_size`` — the
+    schedule a frozen-quantizer deployment meets. Pinned:
+
+    * the stream survives >= 25 live micro-batches with bounded
+      per-batch time (no late-batch blowup as the hot cell grows);
+    * the guard demonstrably ENGAGES (final stored occupancy exceeds
+      the cap, and a probe ``dedup_batch`` on the soaked index reports
+      sub-bucket planes > 0);
+    * exactly-once bookkeeping holds (stored batch dirs == applied log);
+    * planted same-``g`` near-dup pairs (identical vectors) are ALL
+      found — identical rows share every sub-bucket, so the guard can
+      never lose them;
+    * END-OF-SOAK PARITY: replaying the exact per-batch row sets into a
+      fresh index reproduces the streamed pair set bit-for-bit (the
+      guard's splits are deterministic under drift)."""
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+    from qafs_spark.streaming.dedup_lsh import streaming_semantic_dedup
+
+    root = str(tmp_path / "vx")
+    ckpt = str(tmp_path / "ckpt")
+    HOT_START, CAP, NLIST, THR = 1500, 150, 4, 0.995
+    hot = F.col("value") >= HOT_START
+    # hot rows come in identical PAIRS (g = value//2): every (2m, 2m+1)
+    # is a planted cosine-1.0 near-dup; different g's share only the
+    # dominant component (cosine ~0.6-0.9, below THR)
+    g = (
+        F.when(hot, (F.col("value") / 2).cast("long"))
+        .otherwise(F.col("value"))
+        .cast("double")
+    )
+    comps = [F.when(hot, F.lit(3.0)).otherwise(F.sin(g * F.lit(2.3)))]
+    for p in (3.1, 5.7, 7.3, 11.9, 13.4, 17.8, 19.2):
+        comps.append(F.sin(g * F.lit(p)))
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 150)
+        .load()
+        .select(
+            F.col("value").alias("vec_id"),
+            F.array(*comps).alias("embedding"),
+        )
+    )
+    q = streaming_semantic_dedup(
+        stream, root, ckpt, nlist=NLIST, threshold=THR, nprobe=2,
+        trigger_available_now=False, max_cell_size=CAP,
+    )
+    try:
+        _run_until(q, 25, SOAK_TIMEOUT_S)
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    # bounded per-batch time: no late batch takes a pathological share
+    # of the soak budget even though the hot cell kept growing
+    durs = [
+        int(p["durationMs"]["triggerExecution"])
+        for p in progress
+        if p.get("durationMs", {}).get("triggerExecution") is not None
+    ]
+    assert durs and max(durs) < SOAK_TIMEOUT_S * 1000 / 5
+
+    idx = CellVectorIndex(spark, root, nlist=NLIST)
+    stored = spark.read.parquet(idx.vectors_path)
+    occ = stored.groupBy("cell").count().agg(F.max("count")).first()[0]
+    assert occ > CAP, f"drift never exceeded the cap (max cell {occ})"
+    # exactly-once: stored batch dirs == applied log (empty rate batches
+    # are skipped before apply, so the two sets must coincide)
+    stored_bids = {
+        int(r["batch_id"])
+        for r in stored.select("batch_id").distinct().collect()
+    }
+    applied = {b for b in stored_bids if idx.batch_applied(b)}
+    assert applied == stored_bids
+    # recall on planted identical pairs: both members of every complete
+    # hot (2m, 2m+1) pair that was consumed must be paired
+    consumed = {int(r["id"]) for r in stored.select("id").collect()}
+    expect = {
+        (v, v + 1)
+        for v in consumed
+        if v >= HOT_START and v % 2 == 0 and (v + 1) in consumed
+    }
+    got = {
+        (int(r["id_a"]), int(r["id_b"])) for r in idx.pairs().collect()
+    }
+    assert expect, "soak consumed no complete hot pairs — too short"
+    assert expect <= got
+    # direct guard-engagement evidence: a hot probe batch against the
+    # soaked index must report sub-bucket planes > 0
+    rec = {}
+    orig = idx._cell_guard
+
+    def wrapped(*a, **k):
+        out = orig(*a, **k)
+        rec["planes"] = max(rec.get("planes", 0), int(out[4]))
+        return out
+
+    idx._cell_guard = wrapped
+    probe = spark.range(10).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        F.array(
+            F.lit(3.0), *[F.sin(F.col("id") * F.lit(p))
+                          for p in (3.1, 5.7, 7.3, 11.9, 13.4, 17.8, 19.2)]
+        ).alias("embedding"),
+    )
+    pairs_probe, _ = idx.dedup_batch(probe, threshold=THR, max_cell_size=CAP)
+    pairs_probe.count()
+    idx._cell_guard = orig
+    idx.unpersist_intermediates()
+    assert rec.get("planes", 0) > 0, "guard never engaged on a hot probe"
+    # end-of-soak parity: replay the exact per-batch row sets into a
+    # fresh index -> identical pair set (deterministic under drift)
+    root2 = str(tmp_path / "vx_replay")
+    idx2 = CellVectorIndex(spark, root2, nlist=NLIST)
+    for b in sorted(stored_bids):
+        part = (
+            stored.filter(F.col("batch_id") == b)
+            .select(F.col("id").alias("vec_id"), F.col("vec").alias("embedding"))
+        )
+        idx2.apply_batch(part, b, threshold=THR, max_cell_size=CAP)
+    got2 = {
+        (int(r["id_a"]), int(r["id_b"])) for r in idx2.pairs().collect()
+    }
+    assert got2 == got

@@ -71,6 +71,11 @@ def main() -> int:
     # cannot absorb under data drift. This is the _cell_guard /
     # _self_pair_guard engagement proof at scale.
     ap.add_argument("--drift", action="store_true")
+    # --dim: expand the fixture vectors to a realistic embedding dim
+    # (make_scaled_sf._expand_dim — a linear isometry, so cosines and
+    # the planted ground truth are EXACT while bytes/flops/shuffle
+    # volume scale honestly). Default keeps the source dim (64).
+    ap.add_argument("--dim", type=int, default=None)
     args = ap.parse_args()
 
     from qafs_spark.session import get_spark
@@ -82,17 +87,24 @@ def main() -> int:
     base_n = spark.read.parquet(f"{args.src}/embeddings.parquet").count()
     factor = max(1, args.vectors // base_n)
     stem = "embeddings_skew" if args.skewed else "embeddings"
-    emb_path = os.path.join(args.work, f"{stem}_x{factor}.parquet")
+    dtag = f"_d{args.dim}" if args.dim else ""
+    emb_path = os.path.join(args.work, f"{stem}_x{factor}{dtag}.parquet")
     if not os.path.exists(emb_path):
-        print(f"# building {factor}x {stem} fixture...", file=sys.stderr)
+        print(f"# building {factor}x {stem}{dtag} fixture...",
+              file=sys.stderr)
         if args.skewed:
-            scale_embeddings_skewed(spark, args.src, emb_path, factor)
+            scale_embeddings_skewed(
+                spark, args.src, emb_path, factor, dim_out=args.dim
+            )
         else:
-            scale_embeddings(spark, args.src, emb_path, factor)
+            scale_embeddings(
+                spark, args.src, emb_path, factor, dim_out=args.dim
+            )
     emb = spark.read.parquet(emb_path)
     n = emb.count()
     out = {"n_vectors": n, "nlist": args.nlist, "batches": args.batches,
-           "skewed": bool(args.skewed)}
+           "skewed": bool(args.skewed),
+           "dim": args.dim or len(emb.select("embedding").first()[0])}
 
     if args.serve or args.retrain:
         vroot = os.path.join(args.work, "vx")

@@ -172,8 +172,39 @@ def _emb_rep(d, k: int, off: int, dim: int = 64):
     return d.withColumn("vec_id", F.col("vec_id") + F.lit(k * off))
 
 
+def _expand_dim(col, dim_base: int, dim_out: int):
+    """Expand ``dim_base`` → ``dim_out`` (an integer multiple) as a
+    LINEAR ISOMETRY (round-13 verdict task 2 — all prior scale evidence
+    was dim-64): output block j is ``(-1)^j · rot_{(7j) % dim_base}(v)``.
+    Orthogonal blocks preserve inner products, so dot products scale by
+    exactly ``nblocks`` and norms by ``sqrt(nblocks)`` — every COSINE,
+    including the planted-pair sqrt(0.99) bound and the hot-blend cone,
+    is preserved EXACTLY, keeping the ground truth and recall compares
+    meaningful. Meanwhile per-row bytes, shuffle volume, einsum flops,
+    the mmap artifact footprint and any per-dim plan cost scale honestly
+    with ``dim_out``. Distinct rotations per block mean no block is a
+    byte-repeat of another (parquet can't compress the expansion away).
+    The expanded cloud spans a dim_base-dim subspace of R^dim_out —
+    like real embeddings, whose intrinsic dim sits far below ambient."""
+    if dim_out % dim_base:
+        raise ValueError(f"dim_out {dim_out} not a multiple of {dim_base}")
+    blocks = []
+    for j in range(dim_out // dim_base):
+        r = (7 * j) % dim_base
+        b = (
+            F.concat(F.slice(col, r + 1, 4096), F.slice(col, 1, r))
+            if r
+            else col
+        )
+        if j % 2:
+            b = F.transform(b, lambda x: -x)
+        blocks.append(b)
+    return F.concat(*blocks)
+
+
 def scale_embeddings(
-    spark, src: str, dst_file: str, factor: int, chunk: int = 50
+    spark, src: str, dst_file: str, factor: int, chunk: int = 50,
+    dim_out: int = None,
 ) -> int:
     """Build JUST the scaled embeddings table (the guard/recall benches
     need nothing else). Returns the replica id offset.
@@ -184,14 +215,29 @@ def scale_embeddings(
     cgroup — while chunked appends bound the live plan at ``chunk``
     branches with identical output rows. For ``factor <= chunk`` the
     write is one overwrite with the same coalesce as before, so the
-    standing ≤50× fixtures are byte-identical to prior rounds."""
+    standing ≤50× fixtures are byte-identical to prior rounds.
+
+    ``dim_out`` (round 13): expand every base vector to this dimension
+    via :func:`_expand_dim` BEFORE replication — cosines (and therefore
+    the planted-pair ground truth) are preserved exactly; bytes, flops
+    and shuffle volume scale with the realistic dim. ``None`` keeps the
+    source dim (byte-identical to prior rounds)."""
     base = spark.read.parquet(f"{src}/embeddings.parquet")
     off = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(base.select("embedding").first()[0])
+    if dim_out:
+        base = base.withColumn(
+            "embedding",
+            _expand_dim(F.col("embedding"), dim, int(dim_out)).cast(
+                "array<float>"
+            ),
+        )
+        dim = int(dim_out)
     for c0 in range(0, factor, chunk):
         c1 = min(c0 + chunk, factor)
         out = None
         for k in range(c0, c1):
-            rep = _emb_rep(base, k, off)
+            rep = _emb_rep(base, k, off, dim=dim)
             out = rep if out is None else out.unionByName(rep)
         (
             out.coalesce(max(1, (c1 - c0) // 2))
@@ -219,6 +265,7 @@ def _hot_blend(col, beta: float = 1.0):
 def scale_embeddings_skewed(
     spark, src: str, dst_file: str, factor: int,
     hot_mod: int = 10, hot_lt: int = 3, beta: float = 1.0, chunk: int = 50,
+    dim_out: int = None,
 ) -> int:
     """Clustered-skew variant of :func:`scale_embeddings` (round-12
     verdict task 2): identical replica structure and planted near-dup
@@ -231,14 +278,25 @@ def scale_embeddings_skewed(
     cells whose centroids carry the dominant component: the
     guard-engagement regime the uniform fixture (max/min occupancy 1.36
     at 1M, BENCH_NOTES round 11) never reaches. Returns the replica id
-    offset."""
+    offset. ``dim_out`` as in :func:`scale_embeddings` (the hot blend
+    adds the dominant component AFTER expansion, so the cone geometry —
+    and the quantizer funneling it causes — is dim-independent)."""
     base = spark.read.parquet(f"{src}/embeddings.parquet")
     off = base.agg(F.max("vec_id")).collect()[0][0] + 1
+    dim = len(base.select("embedding").first()[0])
+    if dim_out:
+        base = base.withColumn(
+            "embedding",
+            _expand_dim(F.col("embedding"), dim, int(dim_out)).cast(
+                "array<float>"
+            ),
+        )
+        dim = int(dim_out)
     for c0 in range(0, factor, chunk):
         c1 = min(c0 + chunk, factor)
         out = None
         for k in range(c0, c1):
-            rep = _emb_rep(base, k, off)
+            rep = _emb_rep(base, k, off, dim=dim)
             hot = ((F.col("vec_id") - F.lit(k * off)) % hot_mod) < hot_lt
             rep = rep.withColumn(
                 "embedding",
