@@ -290,6 +290,9 @@ def _blob_star_split(v: DataFrame, key: str, cap: int, threshold: float):
     )
     if not agg:
         return v, None, False
+    _warn_guard_engaged_once(
+        len(agg), max(int(r["n"]) for r in agg), int(cap)
+    )
     flagged_keys = [int(r[key]) for r in agg]
     hub_pairs = {(int(r[key]), int(r["hub_id"])) for r in agg}
     # hub vectors: tiny collect (one row per flagged group; multiprobe
@@ -350,12 +353,12 @@ def _warn_guard_engaged_once(n_groups: int, worst: int, cap: int) -> None:
     import warnings
 
     warnings.warn(
-        f"_self_pair_guard engaged: {n_groups} group(s) exceed "
-        f"max_cell_size={cap} (worst {worst} rows) and were split into "
-        "verified hyperplane sub-buckets with symmetric 1-bit multiprobe "
-        "— within-group pair generation is now approximate there (pairs "
-        "whose sub-bucket patterns differ in >2 bits are missed; "
-        "below-cap groups are untouched and stay exact). This is the "
+        f"hot-group guard engaged: {n_groups} group(s) exceed "
+        f"max_cell_size={cap} (worst {worst} rows) — within-group pair "
+        "generation is now approximate there (sub-bucket splits miss "
+        "pairs whose sign patterns differ in >2 bits; star mode emits "
+        "hub edges for the >=threshold core instead of all pairs). "
+        "Below-cap groups are untouched and stay exact. This is the "
         "documented skew-cap trade; raise max_cell_size, retrain the "
         "quantizer, or pass max_cell_size=None to restore within-group-"
         "exact pairing. Warned once per process.",
@@ -619,11 +622,19 @@ def blocked_self_pairs(
         v = v.persist(StorageLevel.MEMORY_AND_DISK)
         _GUARD_SCAN_CACHE.append(v)
         star = None
+        flagged = True
         if pair_output == "star":
-            v, star, _flagged = _blob_star_split(
+            v, star, flagged = _blob_star_split(
                 v, key, int(max_cell_size), thr
             )
-        res = _self_pair_guard(v, key, int(max_cell_size), dim)
+        # when the star split flagged nothing, its occupancy pass already
+        # proved every group under the cap — the guard's own count would
+        # be a redundant (cached) action
+        res = (
+            _self_pair_guard(v, key, int(max_cell_size), dim)
+            if flagged
+            else None
+        )
         if res is not None:
             v2, _planes, _big = res
             pairs = v2.groupBy(key, "__sub").applyInPandas(

@@ -4283,6 +4283,58 @@ def q_semantic_dedup_guarded(spark, sf_dir):
     )
 
 
+@register(
+    "semantic_dedup_star_blob",
+    # Hash-exact certification of the round-13 STAR pair-output bound:
+    # a deterministic near-duplicate BLOB (the lexicographically-first
+    # embedding replicated under the first 512 vec_ids — every pair at
+    # cosine 1.0) is forced through the guard (cap 64 << 512) with
+    # semantic_dedup's default pair_output="star". The star pre-pass
+    # must emit exactly the min-id spanning star, so the keep/cluster
+    # decision is analytic: one cluster labeled by the minimum id,
+    # keep only there. The oracle derives the same frame in pure SQL —
+    # a full per-row hash-exact replay of the star path, not just an
+    # agreement boolean.
+    oracle="""
+    WITH ids AS (
+        SELECT CAST(vec_id AS BIGINT) AS id FROM embeddings
+        ORDER BY vec_id LIMIT 512
+    ), hub AS (SELECT min(id) AS h FROM ids)
+    SELECT ids.id AS id,
+           hub.h AS cluster,
+           ids.id = hub.h AS keep
+    FROM ids, hub
+    ORDER BY id
+    """,
+)
+def q_semantic_dedup_star_blob(spark, sf_dir):
+    """Pipeline: star-mode blob bound (`similarity._blob_star_split`,
+    round 13) — `semantic_dedup` over a 512-row one-cell blob of
+    IDENTICAL vectors with `max_cell_size=64`. Full mode would emit
+    ~131k pairs here; star emits 511 hub edges, and the keep-set is the
+    analytic exact-tier result (blob keeps its min id only), replayed
+    per-row by the oracle. Cites the SemDeDup consumer contract: the
+    dedup decision needs components, not the quadratic pair list."""
+    emb = _t(spark, sf_dir, "embeddings")
+    first = emb.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("emb0")
+    )
+    blob = (
+        emb.orderBy("vec_id").limit(512)
+        .select(F.col("vec_id").cast("long").alias("vec_id"))
+        .crossJoin(F.broadcast(first))
+        .select("vec_id", F.col("emb0").alias("embedding"))
+    )
+    cents = [first.first()["emb0"]]
+    dec = sdd.semantic_dedup(
+        blob, "embedding", "vec_id", threshold=0.9,
+        centroids=cents, max_cell_size=64,
+    )
+    return dec.select(
+        F.col("id"), F.col("cluster"), F.col("keep")
+    ).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # Chunking + sequence packing (pipeline/text.py, training-data prep)
 # ---------------------------------------------------------------------------
