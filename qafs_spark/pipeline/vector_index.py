@@ -66,6 +66,14 @@ from . import lease, manifest, pairs_fold
 # unguarded there — the oracle replays stay exact.
 DEFAULT_MAX_CELL_SIZE = 4096
 
+# Driver-collect chunk budget for the blocked scorer's b side (round 13):
+# above this estimated size the collect runs in partition-id groups so no
+# single fetch breaches spark.driver.maxResultSize (the one-shot collect
+# carried a hidden × dim factor — ~1.4 GiB task results for a 233k-row
+# batch at dim 768). Module-level so tests can shrink it to pin
+# chunked == single-shot equality on small fixtures.
+COLLECT_CHUNK_BYTES = 256 * 1024 * 1024
+
 
 class _SharedBlocks:
     """Node-shared distribution of the blocked scorer's b side
@@ -988,23 +996,74 @@ class CellVectorIndex:
         import numpy as np
 
         cols = ["id", "vec", "__n", "cell"] + (["__sub"] if keyed else [])
-        pdf = probed_b.select(*cols).toPandas()
-        n = len(pdf)
-        if n:
-            ids = pdf["id"].to_numpy(dtype="int64")
-            vecs = np.stack(
-                pdf["vec"].map(lambda v: np.asarray(v, dtype="float64"))
-            )
-            norms = pdf["__n"].to_numpy(dtype="float64")
-            cellv = pdf["cell"].to_numpy(dtype="int64")
-        else:
-            ids = np.empty(0, dtype="int64")
+        # Round 13 (found by the dim-768 decade): one-shot toPandas of
+        # the b side carries a hidden × dim factor — a 233k-row batch at
+        # dim 768 is ~1.4 GiB of task results, over the default
+        # spark.driver.maxResultSize (the dim-64 runs moved ~120 MB and
+        # never saw it). Persist the selection, estimate bytes from one
+        # count, and above ~256 MB collect it in PARTITION-ID GROUPS
+        # into preallocated arrays: every fetch stays a bounded slice of
+        # the cached frame (per-group recollection is a cache read, not
+        # a recompute), ascending-pid iteration reproduces the exact
+        # single-shot row order, and driver RAM holds the final arrays
+        # plus ONE group's transient frame instead of 2× the batch.
+        from pyspark import StorageLevel
+
+        sel = probed_b.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = sel.count()
+            dim = len(sel.select("vec").first()[0]) if n else 0
+            est_bytes = n * (dim * 16 + 128)
+            if est_bytes <= COLLECT_CHUNK_BYTES:
+                chunks = [sel.toPandas()] if n else []
+            else:
+                pids = sorted(
+                    r[0]
+                    for r in sel.select(
+                        F.spark_partition_id().alias("p")
+                    ).distinct().collect()
+                )
+                rows_per_pid = max(1, n // max(1, len(pids)))
+                budget_rows = max(
+                    1, COLLECT_CHUNK_BYTES // (dim * 16 + 128)
+                )
+                group = max(1, budget_rows // rows_per_pid)
+                chunks = [
+                    sel.filter(
+                        F.spark_partition_id().isin(pids[i:i + group])
+                    ).toPandas()
+                    for i in range(0, len(pids), group)
+                ]
+            ids = np.empty(n, dtype="int64")
+            vecs = np.empty((n, dim), dtype="float64")
+            norms = np.empty(n, dtype="float64")
+            cellv = np.empty(n, dtype="int64")
+            subv = np.empty(n, dtype="int64") if keyed else None
+            ofs = 0
+            for pdf in chunks:
+                m = len(pdf)
+                if not m:
+                    continue
+                ids[ofs:ofs + m] = pdf["id"].to_numpy(dtype="int64")
+                vecs[ofs:ofs + m] = np.stack(
+                    pdf["vec"].map(
+                        lambda v: np.asarray(v, dtype="float64")
+                    )
+                )
+                norms[ofs:ofs + m] = pdf["__n"].to_numpy(dtype="float64")
+                cellv[ofs:ofs + m] = pdf["cell"].to_numpy(dtype="int64")
+                if keyed:
+                    subv[ofs:ofs + m] = pdf["__sub"].to_numpy(
+                        dtype="int64"
+                    )
+                ofs += m
+            assert ofs == n, f"chunked collect lost rows: {ofs} != {n}"
+        finally:
+            sel.unpersist()
+        if not n:
             vecs = np.empty((0, 0), dtype="float64")
-            norms = np.empty(0, dtype="float64")
-            cellv = np.empty(0, dtype="int64")
         pos_parts, kc_parts, ks_parts = [], [], []
         if keyed and n:
-            subv = pdf["__sub"].to_numpy(dtype="int64")
             if deltas:
                 cold = np.nonzero(subv == -1)[0]
                 pos_parts.append(cold)

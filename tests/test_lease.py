@@ -503,3 +503,43 @@ def test_create_file_atomic_basics(spark, tmp_path):
     assert fs_storage.read_small_file(spark, path) == "hello"
     missing = str(tmp_path / "no-such-dir" / "f")
     assert fs_storage.create_file_atomic(spark, missing, "x") is False
+
+
+def test_collect_blocks_chunked_equals_single_shot(spark, small_vec_index):
+    """Round-13 fix (found by the dim-768 decade): the blocked scorer's
+    b-side collect carries a hidden × dim factor — one-shot toPandas of
+    a 233k-row batch at dim 768 breaches spark.driver.maxResultSize.
+    Above COLLECT_CHUNK_BYTES the collect now runs in ascending
+    partition-id groups over a persisted selection. Pinned: with the
+    threshold forced to 1 byte (every group collected separately) the
+    resulting pair set is BIT-IDENTICAL to the single-shot path, and
+    the shared-block artifacts carry identical arrays."""
+    import numpy as np
+
+    from qafs_spark.pipeline import vector_index as vi
+
+    idx, df = small_vec_index
+    batch = df.filter(F.col("vec_id") % 2 == 1)
+
+    def pairs_and_blocks():
+        pairs, _ = idx.dedup_batch(batch, threshold=0.3)
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()
+        }
+        h = idx._shared_blocks[-1]
+        arrs = h.load()
+        arrs = tuple(np.array(a) for a in arrs)
+        idx.unpersist_intermediates()
+        return got, arrs
+
+    single, arr_s = pairs_and_blocks()
+    orig = vi.COLLECT_CHUNK_BYTES
+    vi.COLLECT_CHUNK_BYTES = 1
+    try:
+        chunked, arr_c = pairs_and_blocks()
+    finally:
+        vi.COLLECT_CHUNK_BYTES = orig
+    assert chunked == single and len(single) > 0
+    for a, b in zip(arr_s, arr_c):
+        assert a.shape == b.shape
+        assert np.array_equal(a, b)
