@@ -78,6 +78,13 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=None)
     args = ap.parse_args()
 
+    # local[32] runs all "executors" in ONE JVM: at dim 768 the guard's
+    # cached 1M-row assignment frame is ~6 GB of columnar batches whose
+    # 32-way concurrent build OOMs the stock 8g heap (measured round 13)
+    # — a real cluster sizes executor heap per core-count, so the bench
+    # does too. Override with SPARK_DRIVER_MEMORY.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
+
     from qafs_spark.session import get_spark
     from qafs_spark.pipeline.banded_index import BandedMinHashIndex
     from qafs_spark.pipeline.vector_index import CellVectorIndex
