@@ -576,6 +576,7 @@ def embedding_dedup_pairs(
     seed: int = 42,
     dim: Optional[int] = None,
     max_cell_size: Optional[int] = 4096,
+    pair_output: str = "full",
 ) -> DataFrame:
     """Pairs of near-identical embeddings (cosine >= threshold).
 
@@ -601,7 +602,14 @@ def embedding_dedup_pairs(
     ``semantic_pairs`` (:func:`similarity._self_pair_guard`; its
     sub-planes use an independent seed, so they split hyperplane
     buckets rather than replaying their prefix). Under the cap the plan
-    and pair set are bit-identical; ``None`` disables."""
+    and pair set are bit-identical; ``None`` disables.
+
+    ``pair_output`` (round 13): ``"star"`` bounds the pair OUTPUT of
+    over-cap buckets to a min-id spanning star (hub-verified real
+    pairs) — for connected-components consumers
+    (:func:`dedup_clusters`/:func:`cluster_pairs`) only; the default
+    preserves full pair semantics (see
+    :func:`similarity.blocked_self_pairs`)."""
     from .similarity import (
         blocked_self_pairs,
         cosine_pre_batch,
@@ -624,7 +632,8 @@ def embedding_dedup_pairs(
             hyperplane_bucket_batch(F.col("vec"), dim, num_planes, seed),
         )
         return blocked_self_pairs(
-            v, "bucket", threshold, max_cell_size=max_cell_size, dim=dim
+            v, "bucket", threshold, max_cell_size=max_cell_size, dim=dim,
+            pair_output=pair_output,
         )
     a, b = v.alias("a"), v.alias("b")
     return (

@@ -462,3 +462,38 @@ def test_flagged_group_means_exact_and_dim_flat_plan(spark):
     assert "vec[" not in p512 and "avg(" not in p512
     assert p512.count("MapInPandas") == 1
     assert abs(len(p512) - len(p8)) < 100  # no per-dim growth
+
+
+def test_embedding_dedup_lsh_star_passthrough(spark):
+    """Round 13: the LSH tier of embedding_dedup_pairs plumbs
+    ``pair_output="star"`` through to blocked_self_pairs — a planted
+    identical-vector blob in one hyperplane bucket emits the min-id
+    spanning star (n-1 hub edges) instead of ~n²/2 pairs, and every
+    star edge is a real >=threshold pair."""
+    from qafs_spark.pipeline.dedup import embedding_dedup_pairs
+
+    rng = random.Random(31)
+    base = _unit([1.0] + [0.2] * (DIM - 1))
+    blob = [(i, [x + 1e-9 * i for x in base]) for i in range(400)]
+    far = [
+        (
+            10_000 + i,
+            _unit([rng.gauss(0, 1) for _ in range(DIM)]),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(blob + far, ["vec_id", "embedding"])
+    kw = dict(
+        threshold=0.999999, use_lsh=True, num_planes=4, dim=DIM,
+        max_cell_size=64,
+    )
+    star = embedding_dedup_pairs(
+        df, "embedding", "vec_id", pair_output="star", **kw
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in star}
+    # the blob contributes exactly its hub star; no quadratic output
+    blob_star = {(0, i) for i in range(1, 400)}
+    assert blob_star <= got
+    assert len(got) <= 399 + 40  # n-1 star + (unlikely) far-pair noise
+    for r in star:
+        assert r["cosine"] >= 0.999999
