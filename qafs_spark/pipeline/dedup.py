@@ -617,6 +617,22 @@ def embedding_dedup_pairs(
         norm,
     )
 
+    # Validate pair_output HERE, not just inside blocked_self_pairs: the
+    # exact-join branch (use_lsh=False) never sees it, so without this a
+    # caller passing pair_output="star" there got a silent no-op
+    # (round-13 ADVICE). Star output is defined per hot BUCKET — the
+    # exact path has no buckets, so there is nothing it could mean.
+    if pair_output not in ("full", "star"):
+        raise ValueError(
+            f"pair_output must be 'full' or 'star', got {pair_output!r}"
+        )
+    if pair_output == "star" and not use_lsh:
+        raise ValueError(
+            "pair_output='star' bounds over-cap LSH-bucket output and "
+            "requires use_lsh=True; the exact join (use_lsh=False) "
+            "always emits full pairs"
+        )
+
     # norms staged once per ROW (bit-equal to per-pair cosine, ~3x fewer
     # array aggregates in the quadratic pair stage — see cosine_pre)
     v = df.select(

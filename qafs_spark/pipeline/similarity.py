@@ -293,6 +293,7 @@ def _blob_star_split(v: DataFrame, key: str, cap: int, threshold: float):
     _warn_guard_engaged_once(
         len(agg), max(int(r["n"]) for r in agg), int(cap)
     )
+    _warn_star_engaged_once(len(agg), int(cap))
     flagged_keys = [int(r[key]) for r in agg]
     hub_pairs = {(int(r[key]), int(r["hub_id"])) for r in agg}
     # hub vectors: tiny collect (one row per flagged group; multiprobe
@@ -363,6 +364,37 @@ def _warn_guard_engaged_once(n_groups: int, worst: int, cap: int) -> None:
         "quantizer, or pass max_cell_size=None to restore within-group-"
         "exact pairing. Warned once per process.",
         stacklevel=5,
+    )
+
+
+# STAR-specific engagement signal (round-14, from round-13 ADVICE):
+# ``semantic_dedup`` flipped its pair_output default to "star" in round
+# 13, so a caller who changed nothing can get different over-cap-group
+# results than round 12 (a periphery row whose only above-threshold
+# edge was to a core member may become its own kept cluster — extra
+# keeps, never false drops). The generic guard warning fires for BOTH
+# modes; this one fires only when star emission actually replaces full
+# pair output, naming the default change so keep-set consumers know to
+# diff (or pass pair_output="full" for round-12 behavior).
+_STAR_ENGAGED_WARNED = False
+
+
+def _warn_star_engaged_once(n_groups: int, cap: int) -> None:
+    global _STAR_ENGAGED_WARNED
+    if _STAR_ENGAGED_WARNED:
+        return
+    _STAR_ENGAGED_WARNED = True
+    import warnings
+
+    warnings.warn(
+        f"star pair output engaged on {n_groups} over-cap group(s) "
+        f"(max_cell_size={cap}): these groups emit min-id hub edges "
+        "instead of full pairs. NOTE: semantic_dedup's pair_output "
+        "default changed to 'star' in round 13 — over-cap groups may "
+        "keep EXTRA near-duplicates vs the round-12 default (never "
+        "drop non-duplicates). Pass pair_output='full' to restore the "
+        "previous behavior. Warned once per process.",
+        stacklevel=6,
     )
 
 

@@ -67,12 +67,90 @@ from . import lease, manifest, pairs_fold
 DEFAULT_MAX_CELL_SIZE = 4096
 
 # Driver-collect chunk budget for the blocked scorer's b side (round 13):
-# above this estimated size the collect runs in partition-id groups so no
+# above this estimated size the collect runs in row-range groups so no
 # single fetch breaches spark.driver.maxResultSize (the one-shot collect
 # carried a hidden × dim factor — ~1.4 GiB task results for a 233k-row
-# batch at dim 768). Module-level so tests can shrink it to pin
-# chunked == single-shot equality on small fixtures.
+# batch at dim 768). Round 14: the chunks stream STRAIGHT INTO the
+# mmap-able .npy artifacts (write-mode memmaps), so driver RAM holds one
+# chunk plus O(n) int64 bookkeeping — never the n×dim float64 batch (the
+# round-13 shape preallocated ~61 GB for a 10M-row × 768-dim batch).
+# Module-level so tests can shrink it to pin chunked == single-shot
+# equality on small fixtures.
 COLLECT_CHUNK_BYTES = 256 * 1024 * 1024
+
+
+def _added_files_registry(sc):
+    """The driver's added-files registry — per job-artifact session, a
+    path→timestamp map whose SNAPSHOT ships with every task description
+    — or None when the JVM internals aren't reachable. ``private[spark]``
+    Scala members compile to public bytecode members, so py4j can call
+    ``SparkContext.addedFiles``; everything built on this is
+    best-effort and a failure degrades to the round-12 documented
+    residual (O(100 bytes) of driver metadata per micro-batch), never
+    an error."""
+    try:
+        return sc._jsc.sc().addedFiles()
+    except Exception:
+        return None
+
+
+def _deregister_added_file(sc, basename: str) -> bool:
+    """Best-effort removal of every added-files registry entry whose
+    path ends in ``/<basename>`` (artifact basenames are uuid/slot
+    unique, so suffix match is exact). This is the round-14 fix for the
+    round-12 ADVICE leak: without it each micro-batch's ``addFile``
+    grows the registry — and therefore EVERY subsequent task's
+    serialized payload — without bound. Returns True iff an entry was
+    removed."""
+    reg = _added_files_registry(sc)
+    if reg is None:
+        return False
+    removed = False
+    try:
+        outer = []
+        it = reg.keysIterator()
+        while it.hasNext():
+            outer.append(it.next())
+        for ok in outer:
+            opt = reg.get(ok)
+            if not opt.isDefined():
+                continue
+            inner = opt.get()
+            ikeys = []
+            it2 = inner.keysIterator()
+            while it2.hasNext():
+                ikeys.append(it2.next())
+            for k in ikeys:
+                if k.endswith("/" + basename):
+                    inner.remove(k)
+                    removed = True
+    except Exception:
+        return removed
+    return removed
+
+
+def _slot_reuse_ok(sc) -> bool:
+    """Whether fixed artifact name SLOTS may be reused across batches.
+    Reuse bounds the driver file-server's name→file map too (its
+    ``put`` replaces same-name entries), but a reused name means an
+    executor can hold a fetched copy whose content no longer matches —
+    ``Utils.fetchFile`` then only refreshes it when
+    ``spark.files.overwrite=true`` (it raises otherwise). Local masters
+    are safe without the conf because cleanup removes the fetched copy
+    itself (driver and executor share SparkFiles' root). Registry
+    deregistration (:func:`_deregister_added_file`) is applied in BOTH
+    modes; without reuse the only residual is the file-server map,
+    ~100 bytes of driver heap per batch."""
+    if _added_files_registry(sc) is None:
+        return False
+    master = (sc.master or "")
+    if master.startswith("local"):
+        return True
+    try:
+        conf = sc.getConf().get("spark.files.overwrite", "false")
+    except Exception:
+        return False
+    return str(conf).lower() == "true"
 
 
 class _SharedBlocks:
@@ -102,18 +180,24 @@ class _SharedBlocks:
     SparkFiles lifetime); per-batch disk cost is one block-set per node,
     page-cache-backed.
 
-    KNOWN RESIDUAL (round-12 ADVICE): ``SparkContext.addFile`` keys an
-    append-only driver registry (path → timestamp map + file-server
-    registration), and each batch registers fresh uuid names — so a
-    long-running streaming ingest accumulates O(100 bytes) of driver
-    metadata per micro-batch even though the BYTES are reclaimed by
-    :meth:`cleanup`. Reusing one fixed name per instance is not safe:
-    re-adding a path is silently ignored (executors would keep stale
-    content) unless ``spark.files.overwrite=true``, which cannot be
-    flipped reliably on a live context. At a 1-minute cadence this is
-    ~50 MB of driver map per year — bounded in practice by the standard
-    ops move of recycling the streaming app on redeploy cadence (see
-    SCALE.md); a leak of bytes it is not.
+    Registry bounding (round 14, closes the round-12 ADVICE residual):
+    ``SparkContext.addFile`` keys a driver registry (path → timestamp)
+    whose SNAPSHOT rides in every task description, plus a file-server
+    name→file map. :meth:`cleanup` now best-effort DEREGISTERS this
+    handle's entries (:func:`_deregister_added_file` — the registry is
+    reachable via py4j because ``private[spark]`` compiles to public
+    bytecode), so the per-task payload is bounded by LIVE handles, not
+    batches ingested. Where reuse is fetch-safe
+    (:func:`_slot_reuse_ok`: local master, or a cluster running with
+    ``spark.files.overwrite=true``) the owning index additionally hands
+    out fixed per-instance SLOT names, which bounds the file-server map
+    too (its ``put`` replaces same-name entries); a per-handle EPOCH
+    artifact makes a task that re-executes against a recycled slot fail
+    loudly instead of reading the next batch's bytes (the same
+    materialize-before-cleanup contract, with the same failure mode as
+    the uuid path's missing file). Without registry access or the
+    overwrite conf the behavior degrades to uuid names + dereg (or, at
+    worst, the documented ~100 B/batch residual).
 
     Rows are stored ONCE; the per-key lookup goes through a 4th artifact
     of int64 row POSITIONS, so the guard's (p+1)-way multiprobe
@@ -126,24 +210,67 @@ class _SharedBlocks:
     float64[N], "pos": int64[M]}; ``index``: key tuple → (start, stop)
     into ``pos``."""
 
-    def __init__(self, spark, arrs: dict, index: dict) -> None:
+    def __init__(
+        self,
+        spark,
+        arrs: dict,
+        index: dict,
+        stage: Optional[str] = None,
+        tag: Optional[str] = None,
+        epoch: int = 0,
+        slot_mode: bool = False,
+        on_cleanup=None,
+    ) -> None:
+        """``arrs`` values are ndarrays (saved here) OR str paths to
+        ``.npy`` files the caller already wrote at the final
+        ``{stage}/{tag}-{name}.npy`` location — the round-14 streamed
+        collect writes the big arrays there chunk-by-chunk via
+        write-mode memmaps, so they never exist in driver RAM at once.
+        ``stage``/``tag`` default to a fresh tempdir + uuid (the
+        standalone shape tests construct); ``slot_mode`` marks ``tag``
+        as a reusable per-instance slot: the stage dir outlives
+        :meth:`cleanup` and stale registry entries / fetched copies for
+        these names are dropped before re-adding."""
         import os
         import tempfile
         import uuid as _uuid
 
         import numpy as np
+        from pyspark import SparkFiles
 
-        tag = f"qsblk-{_uuid.uuid4().hex}"
+        if stage is None:
+            tag = f"qsblk-{_uuid.uuid4().hex}"
+            stage = tempfile.mkdtemp(prefix=tag)
         self.index = index
+        self.epoch = int(epoch)
+        self.names = {}
         # staging lives until cleanup(): executors fetch-verify against
         # the source path at first use
-        self.names = {}
-        self._stage = tempfile.mkdtemp(prefix=tag)
+        self._stage = stage
+        self._slot_mode = bool(slot_mode)
+        self._on_cleanup = on_cleanup
+        self._sc = spark.sparkContext
+        arrs = dict(arrs)
+        # tiny 5th artifact: the loud-failure guard for recycled slots —
+        # load() compares it against the handle's pickled epoch
+        arrs["epoch"] = np.array([self.epoch], dtype="int64")
         for name, a in arrs.items():
             fname = f"{tag}-{name}.npy"
-            path = os.path.join(self._stage, fname)
-            np.save(path, a, allow_pickle=False)
-            spark.sparkContext.addFile(path)
+            path = os.path.join(stage, fname)
+            if self._slot_mode:
+                _deregister_added_file(self._sc, fname)
+                try:
+                    os.remove(
+                        os.path.join(SparkFiles.getRootDirectory(), fname)
+                    )
+                except OSError:
+                    pass
+            if isinstance(a, str):
+                if os.path.abspath(a) != os.path.abspath(path):
+                    os.replace(a, path)
+            else:
+                np.save(path, a, allow_pickle=False)
+            self._sc.addFile(path)
             self.names[name] = fname
 
     def load(self):
@@ -153,6 +280,18 @@ class _SharedBlocks:
         import numpy as np
         from pyspark import SparkFiles
 
+        if "epoch" in self.names:
+            got = int(
+                np.load(SparkFiles.get(self.names["epoch"]), mmap_mode="r")[0]
+            )
+            if got != self.epoch:
+                raise RuntimeError(
+                    f"shared block slot recycled: artifact epoch {got} != "
+                    f"handle epoch {self.epoch}. A task re-executed against "
+                    "blocks whose slot a later batch overwrote — "
+                    "materialize results before unpersist_intermediates "
+                    "(same contract as a destroyed broadcast)."
+                )
         return (
             np.load(SparkFiles.get(self.names["ids"]), mmap_mode="r"),
             np.load(SparkFiles.get(self.names["vecs"]), mmap_mode="r"),
@@ -172,20 +311,43 @@ class _SharedBlocks:
 
         from pyspark import SparkFiles
 
-        shutil.rmtree(getattr(self, "_stage", ""), ignore_errors=True)
+        if getattr(self, "_slot_mode", False):
+            # slot stage dir is per-INSTANCE and outlives this handle;
+            # remove this generation's files only (bytes reclaimed, the
+            # slot name returns to the owner's free pool via on_cleanup)
+            for fname in self.names.values():
+                try:
+                    os.remove(os.path.join(self._stage, fname))
+                except OSError:
+                    pass
+        else:
+            shutil.rmtree(getattr(self, "_stage", ""), ignore_errors=True)
         for fname in self.names.values():
+            # bound the added-files registry (and with it every future
+            # task's serialized payload) in BOTH naming modes — round 14
+            _deregister_added_file(getattr(self, "_sc", None), fname)
             try:
                 os.remove(os.path.join(SparkFiles.getRootDirectory(), fname))
             except OSError:
                 pass
+        cb = getattr(self, "_on_cleanup", None)
+        if cb is not None:
+            self._on_cleanup = None
+            cb()
 
     def __getstate__(self):
-        # names + index only — the handle pickles into task closures
-        return {"names": self.names, "index": self.index}
+        # names + index + epoch only — the handle pickles into task
+        # closures (never the SparkContext or lifecycle callbacks)
+        return {
+            "names": self.names,
+            "index": self.index,
+            "epoch": getattr(self, "epoch", 0),
+        }
 
     def __setstate__(self, state):
         self.names = state["names"]
         self.index = state["index"]
+        self.epoch = state.get("epoch", 0)
 
 
 class CellVectorIndex:
@@ -216,6 +378,16 @@ class CellVectorIndex:
         self.pairs_fold_marker_path = j(root, "pairs_fold_commit")
         self._persisted: list = []
         self._shared_blocks: list = []  # _SharedBlocks artifacts (r12)
+        # round-14 slot pool for shared-block artifact names: fixed
+        # per-instance names bound the driver's file-server map across
+        # a stream's micro-batches (see _SharedBlocks docstring).
+        # (stage_dir, tag, reuse_ok) resolved lazily; free slot ids are
+        # recycled smallest-first so the name set stays at the
+        # high-water mark of CONCURRENT handles (1 for the ingest loop).
+        self._blk_slots: Optional[tuple] = None
+        self._blk_free: list = []
+        self._blk_next = 0
+        self._blk_epoch = 0
         # per-instance metadata caches (watermark, tombstones, quantizer,
         # meta validation): tiny fixed parquet reads otherwise repeated
         # every micro-batch — see banded_index for the rationale.
@@ -953,6 +1125,43 @@ class CellVectorIndex:
 
     # -- blocked pair scoring (round 11; node-shared blocks round 12) --------
 
+    def _block_stage(self):
+        """(stage_dir, tag, epoch, slot_mode, on_cleanup) for the next
+        :class:`_SharedBlocks`. Slot mode (fetch-safe reuse only — see
+        :func:`_slot_reuse_ok`) hands out fixed per-instance names
+        ``{tag}-s{slot}-{artifact}.npy`` recycled through a free pool as
+        handles clean up; otherwise a fresh tempdir + full-uuid tag per
+        handle (registry entries still dereg'd at cleanup). The epoch is
+        a per-instance monotone counter — unique per handle, which is
+        all the recycled-slot guard in :meth:`_SharedBlocks.load`
+        needs."""
+        import tempfile
+        import uuid as _uuid
+
+        if self._blk_slots is None:
+            base = f"qsblk-{_uuid.uuid4().hex[:12]}"
+            reuse = _slot_reuse_ok(self.spark.sparkContext)
+            stage = tempfile.mkdtemp(prefix=base) if reuse else None
+            self._blk_slots = (stage, base, reuse)
+        stage, base, reuse = self._blk_slots
+        self._blk_epoch += 1
+        if not reuse:
+            tag = f"qsblk-{_uuid.uuid4().hex}"
+            return (
+                tempfile.mkdtemp(prefix=tag), tag, self._blk_epoch,
+                False, None,
+            )
+        if self._blk_free:
+            sid = min(self._blk_free)
+            self._blk_free.remove(sid)
+        else:
+            sid = self._blk_next
+            self._blk_next += 1
+        return (
+            stage, f"{base}-s{sid}", self._blk_epoch, True,
+            lambda: self._blk_free.append(sid),
+        )
+
     def _collect_blocks(
         self, probed_b: DataFrame, keyed: bool, deltas=None
     ):
@@ -993,6 +1202,8 @@ class CellVectorIndex:
         a-row's own key then hits a b-row's range iff their patterns
         differ in <= 1 bit — exactly the join tier's
         ``a.__sub == b.__sub(expanded)`` semantics."""
+        import os
+
         import numpy as np
 
         cols = ["id", "vec", "__n", "cell"] + (["__sub"] if keyed else [])
@@ -1000,43 +1211,92 @@ class CellVectorIndex:
         # the b side carries a hidden × dim factor — a 233k-row batch at
         # dim 768 is ~1.4 GiB of task results, over the default
         # spark.driver.maxResultSize (the dim-64 runs moved ~120 MB and
-        # never saw it). Persist the selection, estimate bytes from one
-        # count, and above ~256 MB collect it in PARTITION-ID GROUPS
-        # into preallocated arrays: every fetch stays a bounded slice of
-        # the cached frame (per-group recollection is a cache read, not
-        # a recompute), ascending-pid iteration reproduces the exact
-        # single-shot row order, and driver RAM holds the final arrays
-        # plus ONE group's transient frame instead of 2× the batch.
+        # never saw it). Round 14 (verdict task 1 + ADVICE): above
+        # ~256 MB the collect runs in ROW-RANGE groups packed from exact
+        # per-partition COUNTS (the round-13 average-based packing let
+        # one skewed partition blow the byte budget in a single fetch),
+        # and the big arrays stream STRAIGHT INTO the .npy artifact
+        # files through write-mode memmaps — the driver holds ONE
+        # group's transient frame plus O(n) int64 bookkeeping, never the
+        # n×dim float64 batch (a 10M-row × 768-dim batch preallocated
+        # ~61 GB under the round-13 shape; now ~240 MB + the chunk).
+        # Row ranges come from monotonically_increasing_id computed
+        # BEFORE the persist (pid<<33 + row-in-partition): ascending-mid
+        # iteration reproduces the exact single-shot row order, and a
+        # partition bigger than the budget is SPLIT by mid ranges
+        # instead of fetched whole. Max-batch bound is now executor-side
+        # (cells per partition) + O(n·(deltas+2)·8) driver bytes — no
+        # dim term.
         from pyspark import StorageLevel
 
-        sel = probed_b.select(*cols).persist(StorageLevel.MEMORY_AND_DISK)
+        stage, tag, epoch, slot_mode, on_cleanup = self._block_stage()
+        sel = (
+            probed_b.select(*cols)
+            .withColumn("__mid", F.monotonically_increasing_id())
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        paths = None
         try:
             n = sel.count()
             dim = len(sel.select("vec").first()[0]) if n else 0
-            est_bytes = n * (dim * 16 + 128)
+            row_bytes = dim * 16 + 128
+            est_bytes = n * row_bytes
             if est_bytes <= COLLECT_CHUNK_BYTES:
-                chunks = [sel.toPandas()] if n else []
+                chunks = [sel.drop("__mid").toPandas()] if n else []
+                ids = np.empty(n, dtype="int64")
+                vecs = np.empty((n, dim), dtype="float64")
+                norms = np.empty(n, dtype="float64")
             else:
-                pids = sorted(
-                    r[0]
-                    for r in sel.select(
-                        F.spark_partition_id().alias("p")
-                    ).distinct().collect()
+                counts = {
+                    int(r["p"]): int(r["c"])
+                    for r in sel.groupBy(
+                        F.shiftright("__mid", 33).alias("p")
+                    )
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .collect()
+                }
+                budget_rows = max(1, COLLECT_CHUNK_BYTES // row_bytes)
+                pieces = []  # (pid, lo, hi) — each at most budget_rows
+                for p in sorted(counts):
+                    for lo in range(0, counts[p], budget_rows):
+                        pieces.append(
+                            (p, lo, min(lo + budget_rows, counts[p]))
+                        )
+                groups, cur, cur_rows = [], [], 0
+                for pc in pieces:
+                    if cur and cur_rows + (pc[2] - pc[1]) > budget_rows:
+                        groups.append(cur)
+                        cur, cur_rows = [], 0
+                    cur.append(pc)
+                    cur_rows += pc[2] - pc[1]
+                if cur:
+                    groups.append(cur)
+
+                def fetch(grp):
+                    cond = F.lit(False)
+                    for p, lo, hi in grp:
+                        base = p << 33
+                        cond = cond | (
+                            (F.col("__mid") >= base + lo)
+                            & (F.col("__mid") < base + hi)
+                        )
+                    return sel.filter(cond).drop("__mid").toPandas()
+
+                chunks = map(fetch, groups)
+                paths = {
+                    name: os.path.join(stage, f"{tag}-{name}.npy")
+                    for name in ("ids", "vecs", "norms")
+                }
+                ids = np.lib.format.open_memmap(
+                    paths["ids"], mode="w+", dtype="int64", shape=(n,)
                 )
-                rows_per_pid = max(1, n // max(1, len(pids)))
-                budget_rows = max(
-                    1, COLLECT_CHUNK_BYTES // (dim * 16 + 128)
+                vecs = np.lib.format.open_memmap(
+                    paths["vecs"], mode="w+", dtype="float64",
+                    shape=(n, dim),
                 )
-                group = max(1, budget_rows // rows_per_pid)
-                chunks = [
-                    sel.filter(
-                        F.spark_partition_id().isin(pids[i:i + group])
-                    ).toPandas()
-                    for i in range(0, len(pids), group)
-                ]
-            ids = np.empty(n, dtype="int64")
-            vecs = np.empty((n, dim), dtype="float64")
-            norms = np.empty(n, dtype="float64")
+                norms = np.lib.format.open_memmap(
+                    paths["norms"], mode="w+", dtype="float64", shape=(n,)
+                )
             cellv = np.empty(n, dtype="int64")
             subv = np.empty(n, dtype="int64") if keyed else None
             ofs = 0
@@ -1058,6 +1318,13 @@ class CellVectorIndex:
                     )
                 ofs += m
             assert ofs == n, f"chunked collect lost rows: {ofs} != {n}"
+            if paths is not None:
+                for mm in (ids, vecs, norms):
+                    mm.flush()
+                del ids, vecs, norms
+                ids, vecs, norms = (
+                    paths["ids"], paths["vecs"], paths["norms"],
+                )
         finally:
             sel.unpersist()
         if not n:
@@ -1105,6 +1372,8 @@ class CellVectorIndex:
             self.spark,
             {"ids": ids, "vecs": vecs, "norms": norms, "pos": pos},
             index,
+            stage=stage, tag=tag, epoch=epoch, slot_mode=slot_mode,
+            on_cleanup=on_cleanup,
         )
         self._shared_blocks.append(handle)
         return handle

@@ -123,10 +123,25 @@ def create_file_atomic(spark: SparkSession, path: str, content: str) -> bool:
         local = fs.makeQualified(jpath).toUri().getPath()
         try:
             fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except OSError:
-            # FileExistsError (lost the race / already present) or a
-            # missing parent — both read as "did not create"
+        except FileExistsError:
+            # lost the race / already present — the one condition this
+            # function exists to report as False
             return False
+        except FileNotFoundError:
+            # missing parent: Hadoop's create() makes parents
+            # implicitly, so mirror that instead of reading as "did not
+            # create" (round-13 ADVICE: a broad OSError catch conflated
+            # EACCES/EROFS with 'exists' and surfaced them as a
+            # misleading lost-race). Retry once; a second FileNotFound
+            # (unmountable path) or any other OSError propagates with
+            # its real cause.
+            os.makedirs(os.path.dirname(local) or ".", exist_ok=True)
+            try:
+                fd = os.open(
+                    local, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644
+                )
+            except FileExistsError:
+                return False
         try:
             os.write(fd, content.encode("utf-8"))
         finally:

@@ -54,6 +54,12 @@ from ..pipeline import manifest
 from ..pipeline.incremental import incremental_minhash_dedup, minhash_index
 from ..pipeline.dedup import DEFAULT_MAX_BAND_SIZE
 
+# "caller did not choose" marker for streaming_semantic_dedup's
+# max_cell_size: None must keep its package-wide meaning of DISABLE the
+# hot-cell guard (round-13 ADVICE — mapping None to the index default
+# made guard-disable unreachable through the streaming wrapper).
+_CELL_CAP_DEFAULT = object()
+
 
 def _flat_log_path(index_path: str) -> str:
     """The flat sink's ``applied_log`` lives BESIDE the index dataset
@@ -228,7 +234,7 @@ def streaming_semantic_dedup(
     tier: str = "ivf",
     nprobe: int = 2,
     trigger_available_now: bool = True,
-    max_cell_size=None,
+    max_cell_size=_CELL_CAP_DEFAULT,
 ):
     """Exactly-once streaming SEMANTIC near-dup detection over the
     persisted cell-partitioned vector index
@@ -239,16 +245,20 @@ def streaming_semantic_dedup(
     and freezes — start the stream with a representative batch, the
     standard IVF practice; data DRIFTING away from that batch funnels
     into few cells, which is exactly what the index's ``max_cell_size``
-    hot-cell guard bounds (``None`` here = the index default, 4096;
-    the drift soak in ``tests/test_streaming_soak.py`` pins bounded
-    per-batch cost with the guard engaged). Same commit recipe and
-    checkpoint/index lifecycle caveat as the sinks above."""
+    hot-cell guard bounds (unset = the index default, 4096; the drift
+    soak in ``tests/test_streaming_soak.py`` pins bounded per-batch
+    cost with the guard engaged). ``None`` DISABLES the guard — the
+    same meaning it carries in every batch operator
+    (``blocked_self_pairs``/``semantic_pairs``/``apply_batch``); round
+    13 mapped None to the default here, inverting that convention
+    (round-13 ADVICE). Same commit recipe and checkpoint/index
+    lifecycle caveat as the sinks above."""
     from ..pipeline.vector_index import (
         DEFAULT_MAX_CELL_SIZE,
         CellVectorIndex,
     )
 
-    if max_cell_size is None:
+    if max_cell_size is _CELL_CAP_DEFAULT:
         max_cell_size = DEFAULT_MAX_CELL_SIZE
 
     # ONE index instance across the stream's micro-batches: its metadata

@@ -493,7 +493,11 @@ def test_create_file_atomic_two_thread_race_single_winner(spark, tmp_path):
 def test_create_file_atomic_basics(spark, tmp_path):
     """Create-if-absent contract on the local fast path: success writes
     the full payload readably (Hadoop-side read), a second create
-    refuses, a missing parent reads as not-created (no raise)."""
+    refuses, and a missing parent is created implicitly — the same
+    semantics Hadoop ``FileSystem.create`` gives the non-local branch
+    (round-14, after round-13 ADVICE: the broad OSError catch both
+    conflated real I/O errors with 'exists' and silently diverged from
+    the Hadoop branch on missing parents)."""
     from qafs_spark import storage as fs_storage
 
     path = str(tmp_path / "f")
@@ -502,7 +506,25 @@ def test_create_file_atomic_basics(spark, tmp_path):
     assert fs_storage.create_file_atomic(spark, path, "other") is False
     assert fs_storage.read_small_file(spark, path) == "hello"
     missing = str(tmp_path / "no-such-dir" / "f")
-    assert fs_storage.create_file_atomic(spark, missing, "x") is False
+    assert fs_storage.create_file_atomic(spark, missing, "x") is True
+    assert fs_storage.read_small_file(spark, missing) == "x"
+    # a real I/O failure (unwritable parent) surfaces with its cause,
+    # never as a silent False ('exists')
+    import os
+    import pytest
+
+    locked = tmp_path / "locked"
+    locked.mkdir()
+    os.chmod(locked, 0o500)
+    try:
+        if os.access(str(locked), os.W_OK):  # running as root: skip leg
+            return
+        with pytest.raises(PermissionError):
+            fs_storage.create_file_atomic(
+                spark, str(locked / "f"), "x"
+            )
+    finally:
+        os.chmod(locked, 0o755)
 
 
 def test_collect_blocks_chunked_equals_single_shot(spark, small_vec_index):
@@ -542,4 +564,125 @@ def test_collect_blocks_chunked_equals_single_shot(spark, small_vec_index):
     assert chunked == single and len(single) > 0
     for a, b in zip(arr_s, arr_c):
         assert a.shape == b.shape
+        assert np.array_equal(a, b)
+
+
+def _qsblk_registry_entries(spark):
+    """All added-files registry paths for shared-block artifacts —
+    test-side view of the map whose snapshot rides in every task
+    description (the round-12 ADVICE leak surface)."""
+    from qafs_spark.pipeline.vector_index import _added_files_registry
+
+    reg = _added_files_registry(spark.sparkContext)
+    assert reg is not None, "registry must be reachable in local mode"
+    found = []
+    it = reg.keysIterator()
+    outer = []
+    while it.hasNext():
+        outer.append(it.next())
+    for ok in outer:
+        opt = reg.get(ok)
+        if not opt.isDefined():
+            continue
+        inner = opt.get()
+        it2 = inner.keysIterator()
+        while it2.hasNext():
+            k = it2.next()
+            if "qsblk-" in k:
+                found.append(k)
+    return found
+
+
+def test_added_files_registry_bounded_across_batches(spark, small_vec_index):
+    """Round-14 fix for the round-12 ADVICE residual: each micro-batch's
+    shared-block artifacts no longer accumulate added-files registry
+    entries (whose snapshot rides in EVERY task's serialized payload).
+    Pinned over 6 ingest cycles: entries return to zero after each
+    unpersist_intermediates, the live high-water mark is one handle's
+    artifact set, and in slot mode the artifact NAME set is constant
+    across batches (bounding the driver file-server map too)."""
+    idx, df = small_vec_index
+    assert _qsblk_registry_entries(spark) == []
+    name_sets = []
+    for i in range(6):
+        pairs, _ = idx.dedup_batch(
+            df.filter(F.col("vec_id") % 3 == i % 3), threshold=0.3,
+        )
+        live = _qsblk_registry_entries(spark)
+        assert 0 < len(live) <= 5  # ids/vecs/norms/pos/epoch, one handle
+        pairs.count()
+        name_sets.append(frozenset(idx._shared_blocks[-1].names.values()))
+        idx.unpersist_intermediates()
+        assert _qsblk_registry_entries(spark) == []
+    # local master => slot reuse active => the same names every batch
+    assert len(set(name_sets)) == 1
+
+
+def test_recycled_slot_load_fails_loudly(spark, small_vec_index):
+    """A handle whose slot a LATER batch overwrote must fail loudly at
+    load() (epoch guard), never silently serve the next batch's bytes —
+    the same materialize-before-cleanup contract the uuid-named path
+    enforced via missing files."""
+    import pytest
+
+    idx, df = small_vec_index
+    pairs, _ = idx.dedup_batch(
+        df.filter(F.col("vec_id") % 2 == 1), threshold=0.3
+    )
+    pairs.count()
+    stale = idx._shared_blocks[-1]
+    assert stale._slot_mode  # local master => slot mode
+    idx.unpersist_intermediates()  # frees the slot
+    pairs2, _ = idx.dedup_batch(
+        df.filter(F.col("vec_id") % 3 == 0), threshold=0.3
+    )
+    pairs2.count()
+    fresh = idx._shared_blocks[-1]
+    assert fresh.names == stale.names  # slot (and names) reused
+    assert fresh.epoch != stale.epoch
+    fresh.load()  # live handle reads its own epoch fine
+    with pytest.raises(RuntimeError, match="slot recycled"):
+        stale.load()
+    idx.unpersist_intermediates()
+
+
+def test_collect_blocks_skewed_partition_split_by_ranges(spark, tmp_path):
+    """Round-13 ADVICE: packing fetch groups from the AVERAGE rows per
+    partition let one skewed cached partition exceed the byte budget in
+    a single toPandas. Round 14 packs from exact per-partition counts
+    and splits an oversized partition by monotonically_increasing_id
+    ranges. Pinned: with everything forced into ONE partition and the
+    budget forced to ~4 rows' worth, the pair set and artifact arrays
+    still match the single-shot collect bit-for-bit."""
+    import numpy as np
+
+    from qafs_spark.pipeline import vector_index as vi
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(6)]) for i in range(40)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1)
+    idx = CellVectorIndex(spark, str(tmp_path / "vxskew"), nlist=2)
+    assert idx.apply_batch(df.filter(F.col("vec_id") < 20), 0, threshold=0.3)
+    batch = df.filter(F.col("vec_id") >= 20).coalesce(1)
+
+    def pairs_and_blocks():
+        pairs, _ = idx.dedup_batch(batch, threshold=0.3)
+        got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+        h = idx._shared_blocks[-1]
+        arrs = tuple(np.array(a) for a in h.load())
+        idx.unpersist_intermediates()
+        return got, arrs
+
+    single, arr_s = pairs_and_blocks()
+    orig = vi.COLLECT_CHUNK_BYTES
+    vi.COLLECT_CHUNK_BYTES = 4 * (6 * 16 + 128)  # ~4 rows per fetch
+    try:
+        chunked, arr_c = pairs_and_blocks()
+    finally:
+        vi.COLLECT_CHUNK_BYTES = orig
+    assert chunked == single and len(single) > 0
+    for a, b in zip(arr_s, arr_c):
         assert np.array_equal(a, b)
