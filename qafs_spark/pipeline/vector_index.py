@@ -359,11 +359,31 @@ class CellVectorIndex:
         root: str,
         nlist: int = 16,
         train_iters: int = 1,
+        block_dtype: str = "float64",
     ) -> None:
+        """``block_dtype`` (round 14): storage dtype of the shared-block
+        ``vecs`` artifact the blocked scorer ships per node. The default
+        float64 keeps the package's bit-equality contract with
+        ``cosine_pre_batch`` (and the DuckDB oracle replays). "float32"
+        HALVES the per-node artifact bytes and page-cache footprint —
+        the dim term that decides how big a batch fits a node at dims
+        1536-4096 — at a bounded cosine drift: stored vectors round to
+        float32 (~2^-24 relative per coordinate) before the float64
+        einsum, so |cos32 - cos64| stays ~1e-7 for unit-ish vectors
+        (measured table in BENCH_NOTES; pairs whose cosine sits within
+        that margin of the threshold may flip). A runtime SERVING knob
+        only — the persisted parquet vectors stay float64, so flipping
+        it needs no rebuild and affects no on-disk format."""
+        if block_dtype not in ("float64", "float32"):
+            raise ValueError(
+                f"block_dtype must be 'float64' or 'float32', "
+                f"got {block_dtype!r}"
+            )
         self.spark = spark
         self.root = root
         self.nlist = nlist
         self.train_iters = train_iters
+        self.block_dtype = block_dtype
         j = fs_storage.join
         self.vectors_path = j(root, "vectors")
         self.centroids_path = j(root, "centroids")
@@ -1244,7 +1264,7 @@ class CellVectorIndex:
             if est_bytes <= COLLECT_CHUNK_BYTES:
                 chunks = [sel.drop("__mid").toPandas()] if n else []
                 ids = np.empty(n, dtype="int64")
-                vecs = np.empty((n, dim), dtype="float64")
+                vecs = np.empty((n, dim), dtype=self.block_dtype)
                 norms = np.empty(n, dtype="float64")
             else:
                 counts = {
@@ -1291,7 +1311,7 @@ class CellVectorIndex:
                     paths["ids"], mode="w+", dtype="int64", shape=(n,)
                 )
                 vecs = np.lib.format.open_memmap(
-                    paths["vecs"], mode="w+", dtype="float64",
+                    paths["vecs"], mode="w+", dtype=self.block_dtype,
                     shape=(n, dim),
                 )
                 norms = np.lib.format.open_memmap(
@@ -1328,7 +1348,7 @@ class CellVectorIndex:
         finally:
             sel.unpersist()
         if not n:
-            vecs = np.empty((0, 0), dtype="float64")
+            vecs = np.empty((0, 0), dtype=self.block_dtype)
         pos_parts, kc_parts, ks_parts = [], [], []
         if keyed and n:
             if deltas:

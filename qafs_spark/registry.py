@@ -545,8 +545,21 @@ class Registry:
                 continue
             try:
                 out = fn(con)
-            except BaseException:
-                con.execute("ROLLBACK")
+            except BaseException as exc:
+                try:
+                    con.execute("ROLLBACK")
+                except drv.error_types:
+                    pass  # already aborted — the rollback is advisory
+                # DuckDB's optimistic MVCC surfaces write-write conflicts
+                # at the UPDATE statement inside fn, not at begin/commit
+                # like sqlite/postgres lock waits — those are transient
+                # and must retry the whole check-then-write body (round
+                # 14, found by the two-writer version-bump race test)
+                if isinstance(exc, drv.error_types) and drv.is_transient(exc):
+                    last = exc
+                    time.sleep(delay * (1 + random.random()))
+                    delay = min(delay * 2, 2.0)
+                    continue
                 raise
             try:
                 con.execute("COMMIT")

@@ -38,6 +38,29 @@ from .. import storage as fs_storage
 
 PHYSICAL_COLS = ("time", "created_time", "value", "partition")
 
+# Per-dataset-path write serialization (round 14): Spark's default
+# commit protocol stages every append under the SAME
+# ``<path>/_temporary`` root, and a job's commit-time cleanup deletes
+# that root recursively — two concurrent appends to one feature from
+# one application can silently drop the slower job's task outputs.
+# Same-path writes from this process therefore take a per-path lock
+# (different features still append fully in parallel; the registry
+# already serializes cross-PROCESS writers, and cross-process data
+# appends to one feature remain the documented Spark-on-files caveat —
+# at 100 TB one feature has one ingest writer by design).
+import threading as _threading
+
+_WRITE_LOCKS: dict = {}
+_WRITE_LOCKS_GUARD = _threading.Lock()
+
+
+def _write_lock(path: str):
+    with _WRITE_LOCKS_GUARD:
+        lock = _WRITE_LOCKS.get(path)
+        if lock is None:
+            lock = _WRITE_LOCKS[path] = _threading.Lock()
+        return lock
+
 
 def feature_path(storage: str, namespace: str, name: str) -> str:
     return posixpath.join(str(storage), "feature", namespace, name)
@@ -109,7 +132,8 @@ def write_feature(
         out = out.repartitionByRange(distribute, "partition", "time")
     if sort_within_partitions:
         out = out.sortWithinPartitions("partition", "time")
-    out.write.mode(mode).partitionBy("partition").parquet(path)
+    with _write_lock(path):
+        out.write.mode(mode).partitionBy("partition").parquet(path)
 
 
 def read_feature(

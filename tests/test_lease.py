@@ -686,3 +686,50 @@ def test_collect_blocks_skewed_partition_split_by_ranges(spark, tmp_path):
     assert chunked == single and len(single) > 0
     for a, b in zip(arr_s, arr_c):
         assert np.array_equal(a, b)
+
+
+def test_block_dtype_float32_bounded_drift(spark, tmp_path):
+    """Round-14 verdict task 4: block_dtype='float32' halves the
+    shared-block vecs artifact (the dim term in per-node footprint) at
+    a bounded cosine drift. Pinned on a fixture whose cosines sit far
+    from the threshold: identical pair SET vs the float64 parity run,
+    max |cos32 - cos64| under 1e-6, the artifact really is float32 on
+    disk, and the persisted parquet vectors stay float64 (serving knob,
+    not an on-disk format)."""
+    import numpy as np
+
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seed_b = df.filter(F.col("vec_id") % 2 == 0)
+    batch = df.filter(F.col("vec_id") % 2 == 1)
+
+    def run(dtype, sub):
+        idx = CellVectorIndex(
+            spark, str(tmp_path / sub), nlist=4, block_dtype=dtype
+        )
+        assert idx.apply_batch(seed_b, 0, threshold=0.3)
+        pairs, _ = idx.dedup_batch(batch, threshold=0.3)
+        got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs.collect()}
+        h = idx._shared_blocks[-1]
+        vecs_dtype = str(np.array(h.load()[1]).dtype)
+        idx.unpersist_intermediates()
+        stored = spark.read.parquet(idx.vectors_path)
+        assert dict(stored.dtypes)["vec"] == "array<double>"
+        return got, vecs_dtype
+
+    p64, d64 = run("float64", "v64")
+    p32, d32 = run("float32", "v32")
+    assert d64 == "float64" and d32 == "float32"
+    assert set(p64) == set(p32) and len(p64) > 0
+    drift = max(abs(p64[k] - p32[k]) for k in p64)
+    assert drift < 1e-6, drift
+
+    import pytest
+
+    with pytest.raises(ValueError, match="block_dtype"):
+        CellVectorIndex(spark, str(tmp_path / "bad"), block_dtype="f16")

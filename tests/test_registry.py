@@ -496,3 +496,107 @@ def test_pgwire_sasl_out_of_order_is_protocol_error():
     finally:
         srv.close()
         t.join(timeout=5)
+
+
+@pytest.mark.parametrize("backend", ["sqlite", "duckdb"])
+def test_concurrent_save_df_same_feature_no_lost_rows(tmp_path, spark, backend):
+    """Round-14 verdict task 7: two concurrent save_df writers on ONE
+    feature. The registry serializes metadata writers, but the parquet
+    data plane stages every append under the same ``_temporary`` root —
+    without the round-14 per-path write lock a commit-time cleanup can
+    silently drop the slower job's task files. Pinned over 3 barrier-
+    synchronized rounds on both embedded backends: no exception, no
+    lost row, no duplicated row, and the last-write-wins read stays
+    correct after both writers re-save overlapping timestamps."""
+    import threading
+
+    import numpy as np
+    import pandas as pd
+
+    from qafs_spark import Column, FeatureStore
+
+    url = (
+        f"sqlite:///{tmp_path}/c.db"
+        if backend == "sqlite"
+        else f"duckdb:///{tmp_path}/c.duckdb"
+    )
+    fs = FeatureStore(storage=str(tmp_path), db_connection=url, spark=spark)
+    fs.create_namespace("ns")
+    fs.create_feature("ns/x", check=Column("float"))
+    n = 800
+    dts_a = pd.date_range("2021-01-01", periods=n, freq="1min")
+    dts_b = pd.date_range("2022-01-01", periods=n, freq="1min")
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def writer(dts, vals):
+        try:
+            barrier.wait()
+            fs.save_df(pd.DataFrame({"time": dts, "ns/x": vals}))
+        except Exception as e:  # surfaced below — a race must not hide
+            errs.append(repr(e))
+
+    for _ in range(3):
+        ts = [
+            threading.Thread(
+                target=writer, args=(d, np.arange(n) * m)
+            )
+            for d, m in ((dts_a, 1.0), (dts_b, 2.0))
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert errs == []
+        got = fs.load_dataframe("ns/x")
+        # LWW collapses the re-saves of the same timestamps; every
+        # timestamp from both writers present exactly once
+        assert len(got) == 2 * n
+    # values are the last round's (identical each round) — spot ends
+    assert got["ns/x"].iloc[0] == 0.0 and got["ns/x"].iloc[-1] == (n - 1) * 2.0
+
+
+@pytest.mark.parametrize("backend", ["sqlite", "duckdb"])
+def test_concurrent_update_feature_versions_exactly_once(
+    tmp_path, spark, backend
+):
+    """Two concurrent metadata writers on one feature: the registry's
+    writer serialization (BEGIN IMMEDIATE / duckdb's single-writer
+    transaction) must make each update's version bump exactly-once —
+    final version = initial + number of updates, no lost update."""
+    import threading
+
+    from qafs_spark import Column, FeatureStore
+
+    url = (
+        f"sqlite:///{tmp_path}/v.db"
+        if backend == "sqlite"
+        else f"duckdb:///{tmp_path}/v.duckdb"
+    )
+    fs = FeatureStore(storage=str(tmp_path), db_connection=url, spark=spark)
+    fs.create_namespace("ns")
+    fs.create_feature("ns/x", check=Column("float"))
+    v0 = fs.registry.get_feature("ns", "x")["version"]
+    errs = []
+    barrier = threading.Barrier(2)
+    rounds = 5
+
+    def updater(slot):
+        try:
+            barrier.wait()
+            for i in range(rounds):
+                fs.update_feature(
+                    "ns/x", description=f"writer-{slot}-round-{i}"
+                )
+        except Exception as e:
+            errs.append(repr(e))
+
+    ts = [threading.Thread(target=updater, args=(s,)) for s in (0, 1)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    assert (
+        fs.registry.get_feature("ns", "x")["version"] == v0 + 2 * rounds
+    )

@@ -497,3 +497,102 @@ def test_embedding_dedup_lsh_star_passthrough(spark):
     assert len(got) <= 399 + 40  # n-1 star + (unlikely) far-pair noise
     for r in star:
         assert r["cosine"] >= 0.999999
+
+
+def _lost_edge_fixture(spark, n_blob, seed=23):
+    """Round-14 verdict task 3: the adversarial star-mode case — a
+    periphery row whose ONLY >=threshold edge is to a CORE member, not
+    the hub, so star emission severs its path into the component.
+
+    Geometry (threshold 0.9, all unit vectors, rotation plane spanned by
+    e0 and u = normalized(e4+e5+e6+e7) — orthogonal to every other
+    centroid, so everything stays in cell 0):
+
+    * hub  = e0 exactly (id 0, the min-id hub of the flagged cell)
+    * blob = n_blob-1 rows within ~11 deg of e0 (cos >= 0.98 vs hub —
+      all core)
+    * c    = 25 deg from hub  -> cos(c, hub) = 0.906 >= 0.9  (core)
+    * p    = 50 deg from hub  -> cos(p, hub) = 0.643 <  0.9  (periphery)
+             cos(p, c) = cos(25 deg) = 0.906 >= 0.9 — p's one real edge;
+             cos(p, blob_i) <= cos(50-12 deg) ~ 0.78 < 0.9.
+
+    Exact components: {hub, blob, c, p} via the p—c edge -> p is
+    DROPPED. Star mode removes c from the pair population when it emits
+    (hub, c), so (p, c) is never scored and p becomes its own kept
+    cluster — the documented extra-keep deviation, planted precisely.
+
+    Returns (df, p_id, exact_keep_ids)."""
+    rng = random.Random(seed)
+    u = _unit([0, 0, 0, 0, 1, 1, 1, 1])
+
+    def rot(theta_deg, base_noise=0.0):
+        t = math.radians(theta_deg)
+        v = [
+            math.cos(t) * (1.0 if j == 0 else 0.0) + math.sin(t) * u[j]
+            for j in range(DIM)
+        ]
+        if base_noise:
+            v = [x + rng.gauss(0, base_noise) for x in v]
+        return _unit(v)
+
+    rows = [(0, [1.0 if j == 0 else 0.0 for j in range(DIM)])]
+    for i in range(1, n_blob):
+        while True:
+            v = rot(0, base_noise=0.03)
+            if v[0] >= 0.98:  # keep every blob row core vs the hub
+                break
+        rows.append((i, v))
+    c_id, p_id = n_blob, n_blob + 1
+    rows.append((c_id, rot(25)))
+    rows.append((p_id, rot(50)))
+    # cold background in the other cells — spread kept small so no
+    # background pair straddles a cell boundary above threshold (that
+    # would be ordinary nprobe=1 quantizer loss, which this fixture
+    # must NOT conflate with the star trade being measured)
+    vid = 10_000
+    for i in range(60):
+        rows.append(
+            (vid, _unit([rng.gauss(0, 0.15) + CENTS[1 + i % 3][j]
+                         for j in range(DIM)]))
+        )
+        vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(8)
+    return df, p_id
+
+
+@pytest.mark.parametrize("n_blob", [100, 300])
+def test_star_lost_edge_deviation_is_exactly_extra_keeps(spark, n_blob):
+    """Round-14 verdict task 3: the star-mode lost-edge trade, measured
+    on a fixture built to hit it. Pinned across blob sizes:
+
+    * direction — every exact-tier keep survives in star mode (the
+      full-graph component minimum stays the minimum of whatever
+      sub-component the lost edge leaves it in): extra keeps only,
+      NEVER a false drop;
+    * magnitude — the deviation is EXACTLY the planted periphery row
+      (one extra kept near-duplicate), nothing else drifts."""
+    df, p_id = _lost_edge_fixture(spark, n_blob)
+    thr = 0.9
+    exact = semantic_dedup(df, threshold=thr, exact=True)
+    exact_keeps = {r["id"] for r in exact.filter(F.col("keep")).collect()}
+    star = semantic_dedup(
+        df, threshold=thr, centroids=CENTS, max_cell_size=64,
+    )
+    star_keeps = {r["id"] for r in star.filter(F.col("keep")).collect()}
+    # fixture sanity: exact drops p (its p—c edge pulls it into the hub
+    # component) and keeps the hub
+    assert p_id not in exact_keeps and 0 in exact_keeps
+    # direction: no false drops, ever
+    assert exact_keeps <= star_keeps
+    # magnitude: the planted lost-edge row is the WHOLE deviation
+    assert star_keeps - exact_keeps == {p_id}
+    # and the deviation is the STAR's, not the quantizer's: the same
+    # IVF tier with full pair output matches exact keeps bit-for-bit
+    full = semantic_dedup(
+        df, threshold=thr, centroids=CENTS, max_cell_size=64,
+        pair_output="full",
+    )
+    full_keeps = {r["id"] for r in full.filter(F.col("keep")).collect()}
+    assert full_keeps == exact_keeps
+    # both decide every row
+    assert exact.count() == star.count() == df.count()
