@@ -113,12 +113,31 @@ class Check:
     lt = less_than
 
     @classmethod
-    def in_range(cls, min_value, max_value):
-        return cls(
-            "in_range",
-            {"min_value": min_value, "max_value": max_value},
-            lambda c, a: (c >= F.lit(a["min_value"])) & (c <= F.lit(a["max_value"])),
-        )
+    def in_range(cls, min_value, max_value, include_min=True, include_max=True):
+        """Inclusive by default; ``include_min``/``include_max`` mirror
+        pandera's serialized stats (its ``to_yaml`` always writes them —
+        pandera docs, "Schema persistence"), so real-pandera YAML parses
+        without loss. Args keep the 2-key form when both flags are
+        default, preserving the stored check_yaml byte format."""
+        args = {"min_value": min_value, "max_value": max_value}
+        if not include_min or not include_max:
+            args["include_min"] = bool(include_min)
+            args["include_max"] = bool(include_max)
+
+        def fn(c, a):
+            lo = (
+                c >= F.lit(a["min_value"])
+                if a.get("include_min", True)
+                else c > F.lit(a["min_value"])
+            )
+            hi = (
+                c <= F.lit(a["max_value"])
+                if a.get("include_max", True)
+                else c < F.lit(a["max_value"])
+            )
+            return lo & hi
+
+        return cls("in_range", args, fn)
 
     @classmethod
     def isin(cls, values: Sequence):
@@ -156,10 +175,36 @@ class Check:
 
     @classmethod
     def from_item(cls, name: str, args: Any) -> "Check":
+        """Build a check from a serialized (name, args) item.
+
+        Accepts BOTH public pandera serialization shapes (conformance
+        corpus in tests/test_checks_pandera.py):
+
+        * classic stats — scalar (``greater_than: 5``), list
+          (``isin: [a, b]``), or stats dict
+          (``in_range: {min_value: 0, max_value: 10, ...}``);
+        * the options wrapper newer pandera emits —
+          ``{value: 5, options: {check_name: ..., raise_warning: ...,
+          ignore_na: ...}}``. ``options`` carries enforcement-mode
+          details (warn-vs-raise, NA passthrough) that the store decides
+          globally (QAFS_RAISE_ERROR / nullable), so it is dropped after
+          unwrapping the stats.
+        """
         factory = cls._FACTORIES.get(name)
         if factory is None:
             raise FeatureStoreException(f"Unknown check {name!r}")
         if isinstance(args, dict):
+            if "options" in args or "value" in args:
+                stats = {k: v for k, v in args.items() if k != "options"}
+                inner = stats.pop("value", None)
+                if stats:
+                    if inner is not None:
+                        stats["value"] = inner
+                        return factory(**stats)
+                    return factory(**stats)
+                if isinstance(inner, dict):
+                    return factory(**inner)
+                return factory(inner)
             return factory(**args)
         return factory(args)
 
