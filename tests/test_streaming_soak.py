@@ -352,3 +352,38 @@ def test_soak_streaming_semantic_dedup_drift_guard_engaged(spark, tmp_path):
         (int(r["id_a"]), int(r["id_b"])) for r in idx2.pairs().collect()
     }
     assert got2 == got
+    # round-14 (round-12 ADVICE residual closed): after a multi-batch
+    # soak + the replay above, the driver's added-files registry — whose
+    # snapshot rides in EVERY task's serialized payload — holds NO
+    # shared-block entries (each handle deregistered at cleanup), and
+    # the local fetched-copy dir is not accumulating one artifact set
+    # per micro-batch (slot reuse keeps the name set at the live
+    # high-water mark).
+    import os as _os
+
+    from pyspark import SparkFiles
+
+    from qafs_spark.pipeline.vector_index import _added_files_registry
+
+    reg = _added_files_registry(spark.sparkContext)
+    assert reg is not None
+    qsblk = []
+    it = reg.keysIterator()
+    outer = []
+    while it.hasNext():
+        outer.append(it.next())
+    for ok in outer:
+        opt = reg.get(ok)
+        if opt.isDefined():
+            inner = opt.get()
+            it2 = inner.keysIterator()
+            while it2.hasNext():
+                k = it2.next()
+                if "qsblk-" in k:
+                    qsblk.append(k)
+    assert qsblk == [], f"registry leaked {len(qsblk)} block entries"
+    left = [
+        f for f in _os.listdir(SparkFiles.getRootDirectory())
+        if f.startswith("qsblk-")
+    ]
+    assert len(left) <= 5, f"fetched copies accumulated: {len(left)}"

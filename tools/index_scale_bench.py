@@ -76,6 +76,11 @@ def main() -> int:
     # the planted ground truth are EXACT while bytes/flops/shuffle
     # volume scale honestly). Default keeps the source dim (64).
     ap.add_argument("--dim", type=int, default=None)
+    # --block-dtype: CellVectorIndex shared-block vecs artifact dtype
+    # (round 14): float32 halves per-node artifact bytes; the drift
+    # table vs the float64 parity run lands in BENCH_NOTES.
+    ap.add_argument("--block-dtype", default="float64",
+                    choices=["float64", "float32"])
     args = ap.parse_args()
 
     # local[32] runs all "executors" in ONE JVM: at dim 768 the guard's
@@ -111,14 +116,16 @@ def main() -> int:
     n = emb.count()
     out = {"n_vectors": n, "nlist": args.nlist, "batches": args.batches,
            "skewed": bool(args.skewed),
-           "dim": args.dim or len(emb.select("embedding").first()[0])}
+           "dim": args.dim or len(emb.select("embedding").first()[0]),
+           "block_dtype": args.block_dtype}
 
     if args.serve or args.retrain:
         vroot = os.path.join(args.work, "vx")
         if not os.path.exists(vroot):
             print("no ingested index at", vroot, file=sys.stderr)
             return 1
-        vx = CellVectorIndex(spark, vroot, nlist=args.nlist)
+        vx = CellVectorIndex(spark, vroot, nlist=args.nlist,
+                             block_dtype=args.block_dtype)
         if args.serve:
             queries = emb.filter(F.col("vec_id") % 100 == 0)  # ~n/100
             nq = queries.count()
@@ -154,7 +161,8 @@ def main() -> int:
 
     vroot = os.path.join(args.work, "vx")
     shutil.rmtree(vroot, ignore_errors=True)
-    vx = CellVectorIndex(spark, vroot, nlist=args.nlist)
+    vx = CellVectorIndex(spark, vroot, nlist=args.nlist,
+                         block_dtype=args.block_dtype)
     vrows = []
     for b in range(args.batches):
         part = emb.filter(batch_filter(b))
