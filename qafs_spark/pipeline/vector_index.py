@@ -1293,6 +1293,12 @@ class CellVectorIndex:
                     groups.append(cur)
 
                 def fetch(grp):
+                    # range predicates on __mid (not spark_partition_id
+                    # isin) so InMemoryTableScan's cached-batch min/max
+                    # pruning skips non-matching batches — each group
+                    # fetch reads ~its own slice of the cache, not a
+                    # full rescan per group (matters when a 10M-row
+                    # batch packs into hundreds of groups)
                     cond = F.lit(False)
                     for p, lo, hi in grp:
                         base = p << 33

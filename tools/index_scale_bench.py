@@ -81,6 +81,10 @@ def main() -> int:
     # table vs the float64 parity run lands in BENCH_NOTES.
     ap.add_argument("--block-dtype", default="float64",
                     choices=["float64", "float32"])
+    # --skip-stale: omit the stale-quantizer drift leg (the wide-dim
+    # runs measure ingest/recall/serving; the stale regime is pinned at
+    # 64 and 768)
+    ap.add_argument("--skip-stale", action="store_true")
     args = ap.parse_args()
 
     # local[32] runs all "executors" in ONE JVM: at dim 768 the guard's
@@ -221,6 +225,10 @@ def main() -> int:
             print(f"# planted recall: {hits}/{n_pp}", file=sys.stderr)
             sp.unpersist()
 
+            if args.skip_stale:
+                pp.unpersist()
+                print(json.dumps(out))
+                return 0
             # STALE-quantizer variant: centroids trained on the COLD
             # 70% only (the drift scenario semantic dedup meets in a
             # scheduled pipeline: yesterday's quantizer, today's data).
