@@ -1436,7 +1436,12 @@ class CellVectorIndex:
                     # fancy-index pulls ONLY this bucket's rows off the
                     # node-shared map (bounded by the cell cap)
                     bids = np.asarray(ids_all[rows])
-                    BM = np.asarray(vecs_all[rows])
+                    # float32 blocks: upcast ONCE per bucket slice —
+                    # mixed-dtype einsum would re-promote the same BM
+                    # for every 2048-row a-chunk (measured +50% serve
+                    # latency); same float64 product either way, so
+                    # cosine bits are unchanged
+                    BM = np.asarray(vecs_all[rows], dtype="float64")
                     bn = np.asarray(nn_all[rows])
                     A = np.stack(
                         g["vec"].map(lambda v: np.asarray(v, dtype="float64"))
@@ -1741,7 +1746,9 @@ class CellVectorIndex:
                     qlo, qhi = rng
                     qrows = np.asarray(pos_all[qlo:qhi])
                     qids = np.asarray(ids_all[qrows])
-                    QM = np.asarray(vecs_all[qrows])  # node-shared map
+                    # node-shared map; float64 upcast once per cell
+                    # (not per stored chunk) when blocks are float32
+                    QM = np.asarray(vecs_all[qrows], dtype="float64")
                     qn = np.asarray(nn_all[qrows])
                     S = np.stack(
                         g["vec"].map(lambda v: np.asarray(v, dtype="float64"))
