@@ -1351,6 +1351,22 @@ class CellVectorIndex:
                 ids, vecs, norms = (
                     paths["ids"], paths["vecs"], paths["norms"],
                 )
+        except BaseException:
+            # failure before the handle exists: return the slot to the
+            # pool and drop any partially written artifacts, so repeated
+            # failed batches can't grow the name set or leave torn files
+            # a reused slot could expose
+            if paths is not None:
+                import os as _os
+
+                for p in paths.values():
+                    try:
+                        _os.remove(p)
+                    except OSError:
+                        pass
+            if on_cleanup is not None:
+                on_cleanup()
+            raise
         finally:
             sel.unpersist()
         if not n:
