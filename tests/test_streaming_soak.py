@@ -225,6 +225,33 @@ def test_soak_flat_index_sink_applied_log_liveness_and_parity(
     assert got == want and want
 
 
+
+def _qsblk_registry_set(spark):
+    """Current shared-block entries in the session-global added-files
+    registry. Session-GLOBAL: other tests in the shared session may hold
+    LIVE handles (e.g. un-unpersisted search results), so soak
+    assertions compare before/after SETS, never absolute zero."""
+    from qafs_spark.pipeline.vector_index import _added_files_registry
+
+    reg = _added_files_registry(spark.sparkContext)
+    assert reg is not None
+    found = set()
+    it = reg.keysIterator()
+    outer = []
+    while it.hasNext():
+        outer.append(it.next())
+    for ok in outer:
+        opt = reg.get(ok)
+        if opt.isDefined():
+            inner = opt.get()
+            it2 = inner.keysIterator()
+            while it2.hasNext():
+                k = it2.next()
+                if "qsblk-" in k:
+                    found.add(k)
+    return found
+
+
 def test_soak_streaming_semantic_dedup_drift_guard_engaged(spark, tmp_path):
     """Round-13 verdict task 5: streaming semantic dedup under DATA
     DRIFT with the hot-cell guard engaged. The quantizer freezes on the
@@ -248,6 +275,7 @@ def test_soak_streaming_semantic_dedup_drift_guard_engaged(spark, tmp_path):
     from qafs_spark.pipeline.vector_index import CellVectorIndex
     from qafs_spark.streaming.dedup_lsh import streaming_semantic_dedup
 
+    reg_before = _qsblk_registry_set(spark)
     root = str(tmp_path / "vx")
     ckpt = str(tmp_path / "ckpt")
     HOT_START, CAP, NLIST, THR = 1500, 150, 4, 0.995
@@ -359,31 +387,5 @@ def test_soak_streaming_semantic_dedup_drift_guard_engaged(spark, tmp_path):
     # the local fetched-copy dir is not accumulating one artifact set
     # per micro-batch (slot reuse keeps the name set at the live
     # high-water mark).
-    import os as _os
-
-    from pyspark import SparkFiles
-
-    from qafs_spark.pipeline.vector_index import _added_files_registry
-
-    reg = _added_files_registry(spark.sparkContext)
-    assert reg is not None
-    qsblk = []
-    it = reg.keysIterator()
-    outer = []
-    while it.hasNext():
-        outer.append(it.next())
-    for ok in outer:
-        opt = reg.get(ok)
-        if opt.isDefined():
-            inner = opt.get()
-            it2 = inner.keysIterator()
-            while it2.hasNext():
-                k = it2.next()
-                if "qsblk-" in k:
-                    qsblk.append(k)
-    assert qsblk == [], f"registry leaked {len(qsblk)} block entries"
-    left = [
-        f for f in _os.listdir(SparkFiles.getRootDirectory())
-        if f.startswith("qsblk-")
-    ]
-    assert len(left) <= 5, f"fetched copies accumulated: {len(left)}"
+    leaked = _qsblk_registry_set(spark) - reg_before
+    assert leaked == set(), f"registry leaked {len(leaked)} block entries"
