@@ -108,8 +108,12 @@ def scale(spark, src: str, dst: str, factor: int) -> None:
     replicate("events", lambda d, k: d
               .withColumn("event_id", F.col("event_id") + F.lit(k * offsets["events"]))
               .withColumn("user_id", F.col("user_id") + F.lit(k * offsets["user"])))
+    # stderr: bench.py's stdout is a ONE-JSON-LINE contract the driver
+    # parses; the fixture build must not pollute it (round-14 find)
+    import sys as _sys
+
     print(f"note: scaled events.ts dtype = {ts_dtype} (nanos annotation "
-          "not preserved by the rewrite)")
+          "not preserved by the rewrite)", file=_sys.stderr)
 
     def doc_rep(d, k):
         d = d.withColumn("doc_id", F.col("doc_id") + F.lit(k * offsets["documents"]))
