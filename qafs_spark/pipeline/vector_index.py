@@ -78,6 +78,35 @@ DEFAULT_MAX_CELL_SIZE = 4096
 # equality on small fixtures.
 COLLECT_CHUNK_BYTES = 256 * 1024 * 1024
 
+# Advisory ceiling for one batch's shared-block artifact set (round 14):
+# the streamed collect removed the driver-RAM dim term, so the remaining
+# per-batch bound is the per-NODE artifact bytes (disk + page cache,
+# n×dim×{8,4}). That bound is governed by MICRO-BATCH SIZING, which the
+# operator controls — so past this budget we warn (once per process)
+# rather than guess a fallback: the right moves are smaller
+# micro-batches, block_dtype="float32" (halves it), or more nodes.
+BLOCK_ARTIFACT_WARN_BYTES = 8 * 1024 * 1024 * 1024
+_ARTIFACT_WARNED = False
+
+
+def _warn_block_artifact_once(total_bytes: int) -> None:
+    global _ARTIFACT_WARNED
+    if _ARTIFACT_WARNED:
+        return
+    _ARTIFACT_WARNED = True
+    import warnings
+
+    warnings.warn(
+        f"shared-block artifact set is {total_bytes / 2**30:.1f} GiB per "
+        "node this batch (> "
+        f"{BLOCK_ARTIFACT_WARN_BYTES / 2**30:.0f} GiB advisory budget). "
+        "Driver RAM is no longer the bound, but every executor node "
+        "stores and page-caches this much per in-flight batch — size "
+        "micro-batches down, pass block_dtype='float32' (halves it), or "
+        "spread cells over more nodes. Warned once per process.",
+        stacklevel=4,
+    )
+
 
 def _added_files_registry(sc):
     """The driver's added-files registry — per job-artifact session, a
@@ -1261,6 +1290,10 @@ class CellVectorIndex:
             dim = len(sel.select("vec").first()[0]) if n else 0
             row_bytes = dim * 16 + 128
             est_bytes = n * row_bytes
+            vec_itemsize = 4 if self.block_dtype == "float32" else 8
+            artifact_bytes = n * (dim * vec_itemsize + 24)
+            if artifact_bytes > BLOCK_ARTIFACT_WARN_BYTES:
+                _warn_block_artifact_once(artifact_bytes)
             if est_bytes <= COLLECT_CHUNK_BYTES:
                 chunks = [sel.drop("__mid").toPandas()] if n else []
                 ids = np.empty(n, dtype="int64")
