@@ -196,11 +196,24 @@ class Check:
         if isinstance(args, dict):
             if "options" in args or "value" in args:
                 stats = {k: v for k, v in args.items() if k != "options"}
+                has_value = "value" in stats
                 inner = stats.pop("value", None)
+                if has_value and inner is None:
+                    # {value: null, options: {...}}: forwarding the null
+                    # would build e.g. greater_than(None) — a predicate
+                    # comparing against SQL NULL that silently fails
+                    # every row. Reject loudly instead.
+                    raise FeatureStoreException(
+                        f"Check {name!r}: serialized item carries a null "
+                        "value — refusing to build a NULL-comparison "
+                        "predicate"
+                    )
                 if stats:
-                    if inner is not None:
-                        stats["value"] = inner
-                        return factory(**stats)
+                    if has_value:
+                        # scalar factories take the value POSITIONALLY
+                        # (param is named `v`, not `value`) — pass it
+                        # unwrapped so value+extra-stats items construct
+                        return factory(inner, **stats)
                     return factory(**stats)
                 if isinstance(inner, dict):
                     return factory(**inner)

@@ -49,6 +49,7 @@ the mandated LLM-training-data extension alongside semdedup/similarity.
 from __future__ import annotations
 
 import json
+import threading
 from typing import List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,7 +174,12 @@ def _slot_reuse_ok(sc) -> bool:
     if _added_files_registry(sc) is None:
         return False
     master = (sc.master or "")
-    if master.startswith("local"):
+    # single-JVM local mode ONLY: "local" / "local[...]". A bare
+    # startswith("local") would also admit "local-cluster[...]", whose
+    # executors run in SEPARATE JVMs with their own fetch directories —
+    # the shared-SparkFiles-root premise is false there, so it must fall
+    # through to the spark.files.overwrite gate like any real cluster.
+    if master == "local" or master.startswith("local["):
         return True
     try:
         conf = sc.getConf().get("spark.files.overwrite", "false")
@@ -309,24 +315,39 @@ class _SharedBlocks:
         import numpy as np
         from pyspark import SparkFiles
 
-        if "epoch" in self.names:
+        def _check_epoch(when: str) -> None:
+            if "epoch" not in self.names:
+                return
             got = int(
                 np.load(SparkFiles.get(self.names["epoch"]), mmap_mode="r")[0]
             )
             if got != self.epoch:
                 raise RuntimeError(
-                    f"shared block slot recycled: artifact epoch {got} != "
-                    f"handle epoch {self.epoch}. A task re-executed against "
-                    "blocks whose slot a later batch overwrote — "
-                    "materialize results before unpersist_intermediates "
-                    "(same contract as a destroyed broadcast)."
+                    f"shared block slot recycled ({when}): artifact epoch "
+                    f"{got} != handle epoch {self.epoch}. A task "
+                    "re-executed against blocks whose slot a later batch "
+                    "overwrote — materialize results before "
+                    "unpersist_intermediates (same contract as a "
+                    "destroyed broadcast)."
                 )
-        return (
+
+        _check_epoch("pre-load")
+        out = (
             np.load(SparkFiles.get(self.names["ids"]), mmap_mode="r"),
             np.load(SparkFiles.get(self.names["vecs"]), mmap_mode="r"),
             np.load(SparkFiles.get(self.names["norms"]), mmap_mode="r"),
             np.load(SparkFiles.get(self.names["pos"]), mmap_mode="r"),
         )
+        # Re-check AFTER mapping the data artifacts: epochs are monotone
+        # per instance, so "same epoch on both sides of the maps" proves
+        # no recycle happened inside the open window — a mixed-generation
+        # read (old epoch copy + new data, or data files spanning two
+        # generations) now fails loudly instead of passing the single
+        # pre-check. Pages read lazily later come from the mapped inodes
+        # (an unlink can't swap them on POSIX), so the window that
+        # matters is exactly the one bracketed here.
+        _check_epoch("post-load")
+        return out
 
     def cleanup(self) -> None:
         """Remove the staging copy and (best-effort) the local app-dir
@@ -437,6 +458,10 @@ class CellVectorIndex:
         self._blk_free: list = []
         self._blk_next = 0
         self._blk_epoch = 0
+        # guards the slot pool (_blk_free/_blk_next/_blk_epoch): two
+        # concurrent _collect_blocks on one index would otherwise take
+        # the same slot id and overwrite each other's artifacts
+        self._blk_lock = threading.Lock()
         # per-instance metadata caches (watermark, tombstones, quantizer,
         # meta validation): tiny fixed parquet reads otherwise repeated
         # every micro-batch — see banded_index for the rationale.
@@ -1187,29 +1212,35 @@ class CellVectorIndex:
         import tempfile
         import uuid as _uuid
 
-        if self._blk_slots is None:
-            base = f"qsblk-{_uuid.uuid4().hex[:12]}"
-            reuse = _slot_reuse_ok(self.spark.sparkContext)
-            stage = tempfile.mkdtemp(prefix=base) if reuse else None
-            self._blk_slots = (stage, base, reuse)
-        stage, base, reuse = self._blk_slots
-        self._blk_epoch += 1
-        if not reuse:
-            tag = f"qsblk-{_uuid.uuid4().hex}"
-            return (
-                tempfile.mkdtemp(prefix=tag), tag, self._blk_epoch,
-                False, None,
-            )
-        if self._blk_free:
-            sid = min(self._blk_free)
-            self._blk_free.remove(sid)
-        else:
-            sid = self._blk_next
-            self._blk_next += 1
-        return (
-            stage, f"{base}-s{sid}", self._blk_epoch, True,
-            lambda: self._blk_free.append(sid),
-        )
+        with self._blk_lock:
+            if self._blk_slots is None:
+                base = f"qsblk-{_uuid.uuid4().hex[:12]}"
+                reuse = _slot_reuse_ok(self.spark.sparkContext)
+                stage = tempfile.mkdtemp(prefix=base) if reuse else None
+                self._blk_slots = (stage, base, reuse)
+            stage, base, reuse = self._blk_slots
+            self._blk_epoch += 1
+            epoch = self._blk_epoch
+            if not reuse:
+                tag = f"qsblk-{_uuid.uuid4().hex}"
+                return (
+                    tempfile.mkdtemp(prefix=tag), tag, epoch,
+                    False, None,
+                )
+            if self._blk_free:
+                sid = min(self._blk_free)
+                self._blk_free.remove(sid)
+            else:
+                sid = self._blk_next
+                self._blk_next += 1
+
+        def _release():
+            # slot return is lock-guarded too — cleanup may run from a
+            # different thread than the one that allocated
+            with self._blk_lock:
+                self._blk_free.append(sid)
+
+        return (stage, f"{base}-s{sid}", epoch, True, _release)
 
     def _collect_blocks(
         self, probed_b: DataFrame, keyed: bool, deltas=None
@@ -1404,6 +1435,48 @@ class CellVectorIndex:
             sel.unpersist()
         if not n:
             vecs = np.empty((0, 0), dtype=self.block_dtype)
+        try:
+            return self._finish_blocks(
+                n, ids, vecs, norms, cellv, subv, keyed, deltas,
+                stage, tag, epoch, slot_mode, on_cleanup,
+            )
+        except BaseException:
+            # failure AFTER the collect (index build, np.save, or a
+            # partial _SharedBlocks.__init__ — e.g. addFile raising
+            # mid-loop): without this the slot never returns to the pool
+            # and partially-registered artifacts persist, regrowing
+            # exactly the registry the round-14 dereg bounds. Drop every
+            # possible artifact name for this tag, in the registry, the
+            # stage dir, and the app dir, then release the slot.
+            import os as _os
+            import shutil as _shutil
+
+            from pyspark import SparkFiles as _SF
+
+            for name in ("ids", "vecs", "norms", "pos", "epoch"):
+                fname = f"{tag}-{name}.npy"
+                _deregister_added_file(self.spark.sparkContext, fname)
+                for d in (stage, None):
+                    try:
+                        root = d if d is not None else _SF.getRootDirectory()
+                        _os.remove(_os.path.join(root, fname))
+                    except Exception:
+                        pass
+            if not slot_mode:
+                _shutil.rmtree(stage, ignore_errors=True)
+            if on_cleanup is not None:
+                on_cleanup()
+            raise
+
+    def _finish_blocks(
+        self, n, ids, vecs, norms, cellv, subv, keyed, deltas,
+        stage, tag, epoch, slot_mode, on_cleanup,
+    ):
+        """Index build + handle construction for :meth:`_collect_blocks`
+        (split out so the caller can wrap the WHOLE tail in one
+        cleanup-on-failure handler)."""
+        import numpy as np
+
         pos_parts, kc_parts, ks_parts = [], [], []
         if keyed and n:
             if deltas:

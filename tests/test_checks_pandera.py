@@ -346,3 +346,27 @@ def test_pandera_yaml_loads_in_ours():
     assert ours.name == "ns/x"
     assert ours.nullable is False
     assert {c.name for c in ours.checks} == {"greater_than", "in_range"}
+
+
+def test_from_item_mixed_value_and_stats_positional():
+    """Round-15 ADVICE: an item carrying BOTH 'value' and extra stat
+    keys must pass the unwrapped value POSITIONALLY — scalar factories
+    take a parameter named `v`, so factory(value=...) raised TypeError
+    before the fix. in_range exercises the kwargs-only path alongside."""
+    c = Check.from_item(
+        "str_length", {"min_value": 2, "max_value": 5, "options": {}}
+    )
+    assert c.name == "str_length"
+    # a (contrived but wire-legal) scalar item with an options wrapper
+    c2 = Check.from_item("greater_than", {"value": 3, "options": {"x": 1}})
+    assert c2.name == "greater_than" and c2.args == 3
+
+
+def test_from_item_null_value_rejected():
+    """{value: null, options: {...}} must NOT build a NULL-comparison
+    predicate (greater_than(None) silently fails every row) — it raises
+    loudly instead."""
+    from qafs_spark.exceptions import FeatureStoreException
+
+    with pytest.raises(FeatureStoreException, match="null value"):
+        Check.from_item("greater_than", {"value": None, "options": {}})
