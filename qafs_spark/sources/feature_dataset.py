@@ -38,28 +38,21 @@ from .. import storage as fs_storage
 
 PHYSICAL_COLS = ("time", "created_time", "value", "partition")
 
-# Per-dataset-path write serialization (round 14): Spark's default
-# commit protocol stages every append under the SAME
-# ``<path>/_temporary`` root, and a job's commit-time cleanup deletes
-# that root recursively — two concurrent appends to one feature from
-# one application can silently drop the slower job's task outputs.
-# Same-path writes from this process therefore take a per-path lock
-# (different features still append fully in parallel; the registry
-# already serializes cross-PROCESS writers, and cross-process data
-# appends to one feature remain the documented Spark-on-files caveat —
-# at 100 TB one feature has one ingest writer by design).
-import threading as _threading
-
-_WRITE_LOCKS: dict = {}
-_WRITE_LOCKS_GUARD = _threading.Lock()
-
-
-def _write_lock(path: str):
-    with _WRITE_LOCKS_GUARD:
-        lock = _WRITE_LOCKS.get(path)
-        if lock is None:
-            lock = _WRITE_LOCKS[path] = _threading.Lock()
-        return lock
+# Per-job staging commit for appends (round 15, replaces the round-14
+# per-path lock): Spark's default commit protocol stages every append
+# under the SAME ``<path>/_temporary`` root, and a job's commit-time
+# cleanup deletes that root recursively — two concurrent appends to one
+# feature (threads OR processes) could silently drop the slower job's
+# task outputs. Each append now writes to its OWN unique staging
+# directory (``<path>.__stage__-<uuid>``, a sibling on the same
+# filesystem, invisible to readers) and then MOVES the part files into
+# the dataset one rename apiece — part-file names embed the writer
+# task's UUID, so moves from concurrent jobs cannot collide, and no
+# job's cleanup can ever touch another job's files. Residual window:
+# a crash mid-move commits a PREFIX of the append's files (the same
+# window Spark's own commitJob has); a crash before the moves leaves an
+# inert orphan staging dir, swept by the next compact_feature run.
+_STAGE_MARK = ".__stage__-"
 
 
 def feature_path(storage: str, namespace: str, name: str) -> str:
@@ -132,8 +125,52 @@ def write_feature(
         out = out.repartitionByRange(distribute, "partition", "time")
     if sort_within_partitions:
         out = out.sortWithinPartitions("partition", "time")
-    with _write_lock(path):
+    if mode != "append":
+        # overwrite replaces the whole dataset — concurrent writers are
+        # app-level undefined there, no staging needed
         out.write.mode(mode).partitionBy("partition").parquet(path)
+        return
+    _staged_append(out, path)
+
+
+def _staged_append(out: DataFrame, path: str) -> None:
+    """Commit ``out`` into the dataset via a per-job staging directory
+    (see module-level note): write to ``<path>.__stage__-<uuid>``, move
+    each ``partition=<val>/part-*.parquet`` into place with one rename
+    apiece, delete the staging dir. Isolated across threads AND
+    processes — every job has a private ``_temporary`` root and
+    UUID-named part files."""
+    import posixpath as pp
+    import uuid
+
+    spark = out.sparkSession
+    stage = path.rstrip("/") + _STAGE_MARK + uuid.uuid4().hex
+    out.write.mode("error").partitionBy("partition").parquet(stage)
+    try:
+        made_dirs = set()
+        # Hadoop returns fully-qualified URIs (file:/..., webhdfs://...);
+        # the staging basename embeds a fresh uuid, so splitting on it
+        # yields the path relative to the staging root regardless of
+        # scheme qualification
+        marker = "/" + pp.basename(stage.rstrip("/")) + "/"
+        for f in fs_storage.list_files(spark, stage):
+            i = f.find(marker)
+            rel = f[i + len(marker):] if i >= 0 else ""
+            if not rel.startswith("partition="):
+                continue  # _SUCCESS and any non-data artifacts
+            part_dir, fname = pp.split(rel)
+            if not fname.endswith(".parquet"):
+                continue
+            tgt_dir = pp.join(path, part_dir)
+            if tgt_dir not in made_dirs:
+                fs_storage.mkdirs(spark, tgt_dir)
+                made_dirs.add(tgt_dir)
+            if not fs_storage.rename_path(spark, f, pp.join(tgt_dir, fname)):
+                raise FeatureStoreException(
+                    f"staged append: rename of {f} into {tgt_dir} failed"
+                )
+    finally:
+        fs_storage.delete_path(spark, stage)
 
 
 def read_feature(
@@ -263,6 +300,13 @@ def compact_feature(
             fs_storage.rename_path(spark, old, path)
         else:
             return 0
+    # sweep orphan append-staging dirs (a writer that crashed before its
+    # moves — see _staged_append). Compaction runs in a single-writer
+    # maintenance window by contract, so anything still staged is dead.
+    parent, base = posixpath.split(path.rstrip("/"))
+    for d in fs_storage.list_dirs(spark, parent):
+        if d.startswith(base + _STAGE_MARK):
+            fs_storage.delete_path(spark, posixpath.join(parent, d))
     df = spark.read.parquet(path)
     if collapse_lww:
         from ..operators.dedup import last_write_wins, value_tiebreak

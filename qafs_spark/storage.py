@@ -98,6 +98,20 @@ def mkdirs(spark: SparkSession, path: str) -> None:
     fs.mkdirs(jpath)
 
 
+def list_files(spark: SparkSession, path: str) -> List[str]:
+    """Full paths of all FILES under ``path``, recursively (Hadoop
+    ``listFiles(recursive=true)`` — on HDFS one RPC per directory
+    level; on object stores a flat LIST). Empty when missing."""
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        out.append(it.next().getPath().toString())
+    return sorted(out)
+
+
 def create_file_atomic(spark: SparkSession, path: str, content: str) -> bool:
     """Create ``path`` with ``content`` iff it does not already exist —
     the FS layer's compare-and-swap. Atomicity is store-dependent:

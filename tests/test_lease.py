@@ -733,3 +733,34 @@ def test_block_dtype_float32_bounded_drift(spark, tmp_path):
 
     with pytest.raises(ValueError, match="block_dtype"):
         CellVectorIndex(spark, str(tmp_path / "bad"), block_dtype="f16")
+
+
+def test_added_files_probe_pinned_and_loud_on_failure(spark):
+    """Round 15 (verdict task 3): (a) the private-JVM-member probe the
+    registry bounding rides on WORKS on the installed Spark — a Spark
+    bump that breaks it fails here instead of silently re-opening the
+    round-12 leak; (b) when the probe DOES fail, it warns once per
+    process instead of degrading silently."""
+    import pytest
+
+    from qafs_spark.pipeline import vector_index as vi
+
+    # (a) probe resolves on this Spark build
+    assert vi._added_files_registry(spark.sparkContext) is not None
+    assert vi._slot_reuse_ok(spark.sparkContext)  # local master
+
+    # (b) loud degradation: a context whose JVM handle raises
+    class _Boom:
+        def __getattr__(self, _):
+            raise RuntimeError("no jvm")
+
+    vi._PROBE_WARNED = False
+    with pytest.warns(UserWarning, match="addedFiles is not reachable"):
+        assert vi._added_files_registry(_Boom()) is None
+    # once per process: second failure is silent
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert vi._added_files_registry(_Boom()) is None
+    vi._PROBE_WARNED = True  # leave quiet for the rest of the session

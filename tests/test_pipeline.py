@@ -3408,6 +3408,73 @@ def test_vector_index_blocked_scorer_bit_parity_with_exact(vec_corpus, tmp_path)
     idx.unpersist_intermediates()
 
 
+def test_vector_index_multipass_budget_bit_parity(vec_corpus, tmp_path):
+    """Round 15 (verdict task 1): a batch whose shared-block artifact
+    set exceeds the per-node budget scores in MULTIPLE PASSES over
+    id-hash sub-blocks of the b side — pairs and search results must be
+    bit-equal (== on doubles, exactly-once per pair) to the single-pass
+    path, with the guard engaged and not. Same index instance both
+    runs, so quantizer/cells are shared and the comparison is strict."""
+    from qafs_spark.pipeline import vector_index as vi
+    from qafs_spark.pipeline.vector_index import CellVectorIndex
+
+    spark = vec_corpus.sparkSession
+    old = vec_corpus.filter(F.col("vec_id") % 2 == 0)
+    new = vec_corpus.filter(F.col("vec_id") % 2 == 1)
+    idx = CellVectorIndex(spark, str(tmp_path / "vx"), nlist=4)
+    assert idx.node_budget_bytes == vi.NODE_ARTIFACT_BUDGET_BYTES
+    assert idx.apply_batch(old, 0, threshold=0.3, tier="ivf")
+
+    def pair_rows(mcs):
+        pairs, _ = idx.dedup_batch(
+            new, threshold=0.3, tier="ivf", max_cell_size=mcs
+        )
+        rows = sorted(
+            (r["id_a"], r["id_b"], r["cosine"]) for r in pairs.collect()
+        )
+        idx.unpersist_intermediates()
+        return rows
+
+    for mcs in (None, 8):  # guard off / forced on
+        single = pair_rows(mcs)
+        assert single
+        # ~35 probe rows at dim 8 → artifact ~3 KiB; 1 KiB budget → 3+
+        # passes. Assert the fallback actually engages, then compare.
+        idx.node_budget_bytes = 1024
+        deltas = [0, 1] if mcs else None
+        assert idx._n_passes(
+            idx._assigned(new, "vec_id", "embedding", idx.centroids(), 1),
+            8, deltas,
+        ) > 1
+        vi._MULTIPASS_NOTED = False  # the probe above consumed the note
+        with pytest.warns(UserWarning, match="passes"):
+            multi = pair_rows(mcs)
+        idx.node_budget_bytes = vi.NODE_ARTIFACT_BUDGET_BYTES
+        assert multi == single  # bit-equal, exactly once per pair
+
+    # search: same top-k rows (ids, cosine bits, ranks) through the
+    # multi-pass query split
+    qs = vec_corpus.filter(F.col("vec_id") % 3 == 0)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in idx.search(qs, k=3, nprobe=2).collect()
+    )
+    idx.unpersist_intermediates()
+    idx.node_budget_bytes = 512
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in idx.search(qs, k=3, nprobe=2).collect()
+    )
+    idx.unpersist_intermediates()
+    assert got == want and want
+
+    # ctor knob round-trips
+    idx2 = CellVectorIndex(
+        spark, str(tmp_path / "vx2"), nlist=4, node_budget_bytes=123456
+    )
+    assert idx2.node_budget_bytes == 123456
+
+
 def test_vector_index_blocked_paths_zero_norm_semantics(spark, tmp_path):
     """Zero-norm vectors produce 0/0 cosines. Pins the blocked paths'
     semantics: dedup pair stages DROP them (NaN >= threshold is false,
