@@ -689,3 +689,71 @@ def test_two_process_concurrent_save_df(tmp_path):
     assert len(w0) == len(w1) == 200
     assert np.array_equal(np.sort(w0), np.arange(200.0))
     assert np.array_equal(np.sort(w1), np.arange(200.0) * 2.0)
+
+
+@pytest.mark.parametrize("backend", ["sqlite", "postgresql"])
+def test_two_process_version_bump_race(tmp_path, backend, request):
+    """Round-15 verdict task 8: the two-writer version-bump race across
+    PROCESS boundaries (the in-process thread tests can't witness
+    cross-process serialization — sqlite's BEGIN IMMEDIATE file lock
+    and postgres's LOCK TABLE only prove themselves between separate
+    connections in separate processes). Final version must equal
+    initial + total updates: no lost update, no double bump."""
+    import subprocess
+    import sys
+    import textwrap
+
+    import qafs_spark
+
+    if backend == "postgresql":
+        pg = request.getfixturevalue("pg_server")
+        url = _fresh_pg_url(pg)
+    else:
+        url = str(tmp_path / "race.db")
+    repo = os.path.dirname(os.path.dirname(qafs_spark.__file__))
+    reg = Registry(url)
+    reg.create_namespace("ns", storage=str(tmp_path))
+    reg.create_feature("ns", "x")
+    v0 = reg.get_feature("ns", "x")["version"]
+    rounds = 8
+
+    child = textwrap.dedent(
+        """
+        import os, sys, time
+        from qafs_spark.registry import Registry
+
+        slot, url, flagdir, rounds = (
+            sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+        )
+        reg = Registry(url)
+        open(os.path.join(flagdir, f"vready_{slot}"), "w").close()
+        deadline = time.time() + 60
+        while not all(
+            os.path.exists(os.path.join(flagdir, f"vready_{s}"))
+            for s in ("0", "1")
+        ):
+            if time.time() > deadline:
+                sys.exit(3)
+            time.sleep(0.01)
+        for i in range(rounds):
+            reg.update_feature(
+                "ns", "x", description=f"w{slot}-r{i}"
+            )
+        print("VCHILD-OK", slot)
+        """
+    )
+    env = dict(os.environ, PYTHONPATH=repo)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", child, slot, url, str(tmp_path),
+             str(rounds)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for slot in ("0", "1")
+    ]
+    outs = [p.communicate(timeout=180) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{out}\n{err[-2000:]}"
+        assert "VCHILD-OK" in out
+    assert reg.get_feature("ns", "x")["version"] == v0 + 2 * rounds
