@@ -146,6 +146,10 @@ def _staged_append(out: DataFrame, path: str) -> None:
     spark = out.sparkSession
     stage = path.rstrip("/") + _STAGE_MARK + uuid.uuid4().hex
     out.write.mode("error").partitionBy("partition").parquet(stage)
+    # the direct append created the dataset dir even for 0-row writes;
+    # keep that contract (path_exists probes distinguish "feature never
+    # saved" from "saved empty")
+    fs_storage.mkdirs(spark, path)
     try:
         made_dirs = set()
         # Hadoop returns fully-qualified URIs (file:/..., webhdfs://...);
