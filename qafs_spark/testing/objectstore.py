@@ -14,6 +14,13 @@ those, as a drop-in monkeypatch over :mod:`qafs_spark.storage`:
   return True, last PUT wins the content. An injectable ``interleave``
   hook runs between the probe and the PUT so tests schedule races
   deterministically instead of spinning threads and hoping.
+  ``conditional_put=True`` models the modern alternative — S3
+  ``PUT If-None-Match:*`` (GA Nov 2024), GCS
+  ``if-generation-match: 0``, ABFS ETag preconditions — where the
+  condition is checked atomically at PUT time server-side, so the SAME
+  race schedule yields exactly one winner (the loser's PUT fails like
+  a 412). Tests pin both worlds: the double-hold exists without it,
+  vanishes with it.
 * **Copy+delete rename**: object stores have no rename; S3A emulates
   it per object. During the window both source and destination are
   visible (hook ``rename_window``), and a crash inside it leaves both.
@@ -38,8 +45,10 @@ metadata is where object-store semantics bite; the data files are
 immutable-once-written under unique names in both worlds.
 
 Residual after this shim: ONLY behaviors that need real credentials —
-actual S3 conditional-write support detection, real LIST pagination
-timing, and connector-jar configuration. See SCALE.md §object-stores.
+runtime DETECTION of a store's conditional-write support (both
+behaviors are modeled here; picking one per deployment needs a live
+endpoint), real LIST pagination timing, and connector-jar
+configuration. See SCALE.md §object-stores.
 """
 
 from __future__ import annotations
@@ -85,9 +94,17 @@ class ObjectStoreShim:
         self,
         lag_sec: float = 0.0,
         hooks: Optional[Dict[str, Callable]] = None,
+        conditional_put: bool = False,
     ) -> None:
         self.lag_sec = float(lag_sec)
         self.hooks = dict(hooks or {})
+        # S3 conditional writes (PUT If-None-Match:*, GA Nov 2024; GCS
+        # x-goog-if-generation-match:0, ABFS If-None-Match ETag): the
+        # if-absent condition is evaluated ATOMICALLY at PUT time
+        # against the strongly-consistent object index — a losing racer
+        # gets 412, regardless of what any earlier (possibly stale)
+        # HEAD said. Modeled with O_CREAT|O_EXCL on the backing file.
+        self.conditional_put = bool(conditional_put)
         # abspath -> (visible_at, old_bytes or None). old None = fresh
         # create (invisible until visible_at); old bytes = overwrite
         # (old content served until visible_at).
@@ -130,6 +147,26 @@ class ObjectStoreShim:
         if self.path_exists(spark, path):
             return False
         self._hook("create_race", p)
+        if self.conditional_put:
+            # conditional-write mode: the PUT carries If-None-Match:* and
+            # the store checks it atomically server-side — the hook above
+            # still marks the probe→PUT window, but a racer who PUT in
+            # that window now makes THIS put fail (412) instead of being
+            # overwritten. Note the check is against the real object
+            # index, NOT the lagged HEAD view (S3 evaluates conditions
+            # strongly consistently even where LIST views lag).
+            os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+            try:
+                fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                return False
+            with os.fdopen(fd, "wb") as f:
+                f.write(content.encode("utf-8"))
+            if self.lag_sec > 0:
+                # the object itself exists atomically; only HEAD/LIST
+                # views lag, same as an unconditional fresh PUT
+                self._pending[p] = (time.time() + self.lag_sec, None)
+            return True
         # condition is NOT re-checked at close: unconditional PUT
         self._put(p, content.encode("utf-8"))
         return True

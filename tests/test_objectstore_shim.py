@@ -185,3 +185,56 @@ def test_rename_window_both_visible_then_source_gone(
     assert st.rename_path(spark, src, dst)
     with open(dst) as f:
         assert f.read() == "y"
+
+
+def test_conditional_put_closes_the_double_hold(spark, root, monkeypatch):
+    """Conditional writes (S3 PUT If-None-Match:* GA Nov 2024, GCS
+    if-generation-match:0, ABFS ETag): the EXACT schedule that produces
+    the double-hold under unconditional PUT — B's complete create+verify
+    landing inside A's probe→PUT window — now hands the lease to exactly
+    one owner: A's conditioned PUT fails (412-equivalent) against B's
+    object, so A's _try_create returns False and acquire() refuses."""
+    import json
+
+    shim = ObjectStoreShim(conditional_put=True).patch(monkeypatch)
+    a = L.MaintenanceLease(spark, root, op="fold", owner="a")
+    b = L.MaintenanceLease(spark, root, op="compact", owner="b")
+    import qafs_spark.storage as st
+    st.mkdirs(spark, root)
+
+    results = {}
+
+    def inside_a_window(_path):
+        shim.hooks.pop("create_race", None)
+        results["b"] = b._try_create()
+
+    shim.hooks["create_race"] = inside_a_window
+    results["a"] = a._try_create()
+    # same interleave as the double-hold test; conditional PUT flips it
+    assert results == {"a": False, "b": True}
+    assert json.loads(st.read_small_file(spark, a.path))["owner"] == "b"
+    # and through the full protocol: the loser raises, never holds
+    with pytest.raises(L.LeaseHeldError):
+        L.MaintenanceLease(spark, root, op="fold", owner="a2").acquire()
+
+
+def test_conditional_put_beats_stale_head(spark, root, monkeypatch):
+    """Eventual HEAD/LIST + conditional PUT: an acquirer whose stale
+    exists-probe misses the fresh lease file still CANNOT clobber it —
+    the condition is evaluated against the strongly-consistent object
+    index, not the lagged view, so the PUT fails and the first holder's
+    record survives byte-for-byte (stronger than the unconditional-PUT
+    case, where the holder degrades to a graceful lost-lease)."""
+    import json
+    import os
+
+    ObjectStoreShim(lag_sec=5.0, conditional_put=True).patch(monkeypatch)
+    a = L.MaintenanceLease(spark, root, op="fold", owner="a")
+    a.acquire()
+    b = L.MaintenanceLease(spark, root, op="compact", owner="b")
+    with pytest.raises(L.LeaseHeldError):
+        b.acquire()
+    assert not b._held
+    with open(os.path.join(root, "_maintenance_lease"), "rb") as f:
+        assert json.loads(f.read())["owner"] == "a"  # never clobbered
+    assert a.release() is True  # holder unharmed, clean release
