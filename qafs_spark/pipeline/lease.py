@@ -32,7 +32,12 @@ holding JSON ``{owner, op, acquired_at, expires_at}``:
 * **read-back verify** — after create, the owner re-reads the file and
   checks its own token: on stores where create-if-absent is checked at
   close rather than open, last-writer-wins collisions surface here as a
-  clean abort instead of two holders.
+  clean abort instead of two holders. (On stores with conditional
+  writes — S3 ``PUT If-None-Match:*`` GA Nov 2024, GCS
+  generation-match, ABFS ETag preconditions — the create itself is
+  atomic and even the read-back's residual simultaneous-PUT window
+  vanishes; both behaviors are pinned through the object-store shim in
+  tests/test_objectstore_shim.py.)
 * **release** — rename the lease aside to an owner-unique path FIRST
   (the takeover trick in reverse, round 12), verify the renamed file
   still carries the owner's token, then delete it. A takeover landing
