@@ -1569,19 +1569,22 @@ class CellVectorIndex:
 
     # -- multi-pass budget enforcement (round 15) ----------------------------
 
-    def _n_passes(self, probed_b: DataFrame, dim: int, deltas) -> int:
+    def _n_passes(self, n: int, dim: int, deltas) -> int:
         """Blocked-scorer passes needed so ONE pass's shared-block
-        artifact set stays within ``self.node_budget_bytes``. Mirrors
-        the artifact layout: ``vecs`` n×dim×itemsize, ``ids``+``norms``
-        16 B/row, ``pos`` 8 B per index entry (guard multiprobe
-        multiplies pos entries only, never vectors). Runs ONE count job
-        over ``probed_b`` — the price of deciding before collecting;
-        the b side is batch/query-sized by contract, and dedup_batch
-        already runs jobs at call time. Pass count is capped at 256: a
-        budget low enough to want more is a misconfiguration (each pass
-        rescans the a side), and the once-per-process note names the
-        overflow."""
-        n = probed_b.count()
+        artifact set (``n`` b-side rows) stays within
+        ``self.node_budget_bytes``. Mirrors the artifact layout:
+        ``vecs`` n×dim×itemsize, ``ids``+``norms`` 16 B/row, ``pos``
+        8 B per index entry (guard multiprobe multiplies pos entries
+        only, never vectors). ``n`` rides jobs the callers run anyway —
+        dedup_batch/search fold it into their distinct-cells collect
+        (``groupBy(cell).count()``, same shuffle shape) and the exact
+        tier counts its already-persisted assignment — so deciding
+        before collecting costs NO extra pass over the probe frame
+        (the probe assignment is a mapInPandas matmul; an extra count
+        job here re-ran it once per batch, measured as the round-15
+        follow-up). Pass count is capped at 256: a budget low enough
+        to want more is a misconfiguration (each pass rescans the a
+        side), and the once-per-process note names the overflow."""
         if not n:
             return 1
         itemsize = 4 if self.block_dtype == "float32" else 8
@@ -1739,6 +1742,7 @@ class CellVectorIndex:
         ).persist()  # storage assignment: argmax cell
         self._persisted.append(assigned)
         if tier == "exact":
+            # broadcast-join tier — never blocked-scored, no pass count
             probed_a = probed_b = assigned
             stored = self._stored(None, exclude_batch_id, empty_like=assigned)
             old_cond = F.col("a.id") != F.col("b.id")
@@ -1748,7 +1752,14 @@ class CellVectorIndex:
                 assigned if nprobe == 1
                 else self._assigned(new_vecs, id_col, vec_col, cents, nprobe)
             )
-            cells = [r[0] for r in probed.select("cell").distinct().collect()]
+            # one job yields BOTH the probed cell list and the probe-row
+            # total _n_passes needs (same shuffle shape as the previous
+            # distinct(): partial counts, ≤ nlist result rows) — the
+            # probe assignment is a mapInPandas matmul, so a separate
+            # count job would re-run it over the whole batch
+            cell_rows = probed.groupBy("cell").count().collect()
+            cells = [r["cell"] for r in cell_rows]
+            n_probe_rows = sum(r["count"] for r in cell_rows)
             stored = self._stored(cells, exclude_batch_id, empty_like=assigned)
             same_cell = F.col("a.cell") == F.col("b.cell")
             old_cond = same_cell & (F.col("a.id") != F.col("b.id"))
@@ -1818,7 +1829,11 @@ class CellVectorIndex:
             # union is bit-equal to single-pass (see _pass_parts).
             keyed = "__sub" in probed_a.columns
             dim = len(cents[0]) if cents else 0
-            passes = self._n_passes(probed_a, dim, guard_deltas)
+            # n_probe_rows is exact for probed_a too: _cell_guard's
+            # transforms add the __sub key but never add or drop probe
+            # rows (its multiprobe expansion happens over row POSITIONS
+            # inside _collect_blocks)
+            passes = self._n_passes(n_probe_rows, dim, guard_deltas)
             if passes == 1:
                 bvar = self._collect_blocks(
                     probed_a, keyed, deltas=guard_deltas
@@ -1970,7 +1985,12 @@ class CellVectorIndex:
         if cents is None:
             raise ValueError(f"no index at {self.root}")
         q = self._assigned(queries, id_col, vec_col, cents, nprobe)
-        cells = [r[0] for r in q.select("cell").distinct().collect()]
+        # one job for both the probed cell list and the probe-row total
+        # the pass-count check needs (see dedup_batch — a separate count
+        # would re-run the assignment matmul over the query set)
+        cell_rows = q.groupBy("cell").count().collect()
+        cells = [r["cell"] for r in cell_rows]
+        n_probe_rows = sum(r["count"] for r in cell_rows)
         stored = self._stored(cells, None, empty_like=q, applied_only=True)
         # Blocked scoring (round 11, same shape as dedup_batch's scale
         # tier; round 12: the query blocks ship once per NODE as
@@ -1994,7 +2014,7 @@ class CellVectorIndex:
         # in exactly one pass, so its local top-k survivors all come
         # from that pass and the global rank window over the union is
         # unchanged (bit-equal to single-pass).
-        passes = self._n_passes(q, dim, None)
+        passes = self._n_passes(n_probe_rows, dim, None)
         if passes == 1:
             bvar = self._collect_blocks(q, keyed=False)
             scored = self._search_scored(stored, bvar, kk)

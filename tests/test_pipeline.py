@@ -3443,7 +3443,9 @@ def test_vector_index_multipass_budget_bit_parity(vec_corpus, tmp_path):
         idx.node_budget_bytes = 1024
         deltas = [0, 1] if mcs else None
         assert idx._n_passes(
-            idx._assigned(new, "vec_id", "embedding", idx.centroids(), 1),
+            idx._assigned(
+                new, "vec_id", "embedding", idx.centroids(), 1
+            ).count(),
             8, deltas,
         ) > 1
         vi._MULTIPASS_NOTED = False  # the probe above consumed the note
