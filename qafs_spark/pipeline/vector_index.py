@@ -1109,13 +1109,21 @@ class CellVectorIndex:
             F.explode(probes(F.col(vec_col))).alias("cell"),
         )
 
-    def _cell_guard(self, stored, probed, cents, max_cell_size):
+    def _cell_guard(
+        self, stored, probed, cents, max_cell_size,
+        probe_cell_counts=None,
+    ):
         """Sub-bucket OVERSIZED cells before the pair join — with
         MULTIPROBE on the batch side (round 10).
 
         Per-cell occupancy (live stored rows in the probed cells + the
         batch's probe rows) is one column-pruned aggregate over data the
-        join reads anyway, collected driver-side (≤ nlist rows). Cells
+        join reads anyway, collected driver-side (≤ nlist rows); when
+        the caller already holds the probe side's per-cell counts
+        (dedup_batch's cells collect), pass them as
+        ``probe_cell_counts`` and only the stored side is aggregated —
+        re-scanning the probe frame here would re-run the assignment
+        matmul (the same follow-up as ``_n_passes``). Cells
         over ``max_cell_size`` get a ``__sub`` hyperplane sign-pattern
         bucket that the join conditions additionally equate. The batch
         (broadcast) side probes its own bucket PLUS every 1-bit flip —
@@ -1149,21 +1157,37 @@ class CellVectorIndex:
         under drift skew)."""
         from .similarity import hyperplane_bucket_batch
 
-        counts = (
-            probed.select("cell")
-            .unionByName(stored.select("cell"))
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > int(max_cell_size))
-            .collect()
-        )
-        if not counts:
+        if probe_cell_counts is None:
+            counts = (
+                probed.select("cell")
+                .unionByName(stored.select("cell"))
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > int(max_cell_size))
+                .collect()
+            )
+            over = {int(r["cell"]): int(r["n"]) for r in counts}
+        else:
+            stored_counts = (
+                stored.select("cell")
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            totals = dict(probe_cell_counts)
+            for r in stored_counts:
+                c = int(r["cell"])
+                totals[c] = totals.get(c, 0) + int(r["n"])
+            over = {
+                c: n for c, n in totals.items() if n > int(max_cell_size)
+            }
+        if not over:
             return stored, probed, probed, None, 0
-        worst = max(int(r["n"]) for r in counts)
+        worst = max(over.values())
         planes = 1
         while worst * (planes + 1) / (2 ** planes) > int(max_cell_size):
             planes += 1
-        big = [int(r["cell"]) for r in counts]
+        big = sorted(over)
         dim = len(cents[0])
         # Residual hashing (round 12, late — same fix as
         # similarity._self_pair_guard): a hot cell's members share a
@@ -1760,6 +1784,9 @@ class CellVectorIndex:
             cell_rows = probed.groupBy("cell").count().collect()
             cells = [r["cell"] for r in cell_rows]
             n_probe_rows = sum(r["count"] for r in cell_rows)
+            probe_counts = {
+                int(r["cell"]): int(r["count"]) for r in cell_rows
+            }
             stored = self._stored(cells, exclude_batch_id, empty_like=assigned)
             same_cell = F.col("a.cell") == F.col("b.cell")
             old_cond = same_cell & (F.col("a.id") != F.col("b.id"))
@@ -1768,7 +1795,8 @@ class CellVectorIndex:
             guard_deltas = None
             if max_cell_size is not None:
                 stored, probed_a, probed_b, guard, planes = self._cell_guard(
-                    stored, probed, cents, max_cell_size
+                    stored, probed, cents, max_cell_size,
+                    probe_cell_counts=probe_counts,
                 )
                 if guard is not None:
                     old_cond = old_cond & guard
