@@ -188,6 +188,18 @@ class BandedMinHashIndex:
             self._applied_cache = (s, True)
         return s
 
+    def _ensure_log(self) -> None:
+        """Materialize the applied-log manifest (with the legacy-scan
+        backfill) if this index predates it or is brand new — round 16:
+        apply_batch's dataset writes now run CONCURRENTLY, which breaks
+        the legacy fallback's "last-written dataset is the marker"
+        assumption, so the log must exist before the first such commit.
+        One driver-side file create, once per index lifetime."""
+        s = self._applied_set()
+        if not self._applied_cache[1]:
+            manifest.ensure(self.spark, self.applied_log_path, s)
+            self._applied_cache = (s, True)
+
     def _log_applied(self, batch_id: int) -> None:
         """Record a completed commit in the manifest (backfilling a
         legacy index's applied set on the first logged batch)."""
@@ -231,9 +243,14 @@ class BandedMinHashIndex:
         self._meta_checked = True
 
     def _write_meta(self) -> None:
-        self.spark.createDataFrame(
-            [(json.dumps(self._config()),)], "config string"
-        ).repartition(1).write.mode("overwrite").parquet(self.meta_path)
+        # driver-side one-row write (round 16) — same crash window as the
+        # job-based mode("overwrite") (delete, then write), minus a full
+        # Spark job submit per index creation
+        fs_storage.write_small_parquet(
+            self.spark, self.meta_path,
+            [(json.dumps(self._config()),)], [("config", "string")],
+            overwrite=True,
+        )
 
     # -- helpers -----------------------------------------------------------
 
@@ -534,14 +551,21 @@ class BandedMinHashIndex:
         letting the watermark advance over it would make a later
         compact_pairs() fold those phantom pairs into ``pairs_hist``
         permanently (and skip the batch's replay) — so it is refused
-        here, while the applied log still has per-batch fidelity."""
+        here, while the applied log still has per-batch fidelity.
+
+        Round 16: the scan covers ALL FOUR datasets — apply_batch's
+        writes run concurrently now, so a crashed batch can leave any
+        subset of (pairs, docs, bands, counts) directories, not just a
+        prefix of the old serial order; the refusal must see every
+        shape."""
         dirs = []
         for d in fs_storage.list_dirs(self.spark, self.counts_path):
             if d.startswith("batch_id="):
                 dirs.append(int(d.split("=", 1)[1]))
-        pairs_dirs = [
+        other_dirs = [
             int(d.split("=", 1)[1])
-            for d in fs_storage.list_dirs(self.spark, self.pairs_path)
+            for path in (self.pairs_path, self.docs_path, self.bands_path)
+            for d in fs_storage.list_dirs(self.spark, path)
             if d.startswith("batch_id=")
         ]
         through = self._compacted_through()
@@ -549,7 +573,7 @@ class BandedMinHashIndex:
         applied = [b for b in dirs if b <= through or b in marked]
         unapplied = sorted(
             b
-            for b in set(dirs) | set(pairs_dirs)
+            for b in set(dirs) | set(other_dirs)
             if not (b <= through or b in marked)
         )
         if applied and unapplied and min(unapplied) < max(applied):
@@ -599,37 +623,64 @@ class BandedMinHashIndex:
         self._check_meta()
         j = fs_storage.join
         bdir = f"batch_id={int(batch_id)}"
+        # Concurrent commits (round 16) break the legacy fallback's
+        # "counts written last" marker assumption — materialize the
+        # applied log (with the legacy backfill) BEFORE the first such
+        # commit so the fallback never engages again on this index.
+        self._ensure_log()
         pairs, new_rows = self.dedup_batch(
             batch, text_col, id_col, threshold, max_band_size,
             exclude_batch_id=int(batch_id), broadcast_new=broadcast_new,
         )
         try:
-            pairs.write.mode("overwrite").parquet(j(self.pairs_path, bdir))
-            (
-                new_rows.withColumn("id_pfx", self._pfx(F.col("id")))
-                .repartition(F.col("id_pfx"))
-                .write.partitionBy("id_pfx")
-                .mode("overwrite")
-                .parquet(j(self.docs_path, bdir))
-            )
+            # The four dataset writes are mutually independent Spark jobs
+            # over already-materialized inputs (dedup_batch persisted
+            # new_rows and the candidate set): only the applied-log
+            # append — after ALL of them — makes the batch durable, and
+            # every probe read filters to applied batches, so write ORDER
+            # never mattered for correctness, only for the (now
+            # log-backed) legacy marker scan. Running them from a thread
+            # pool overlaps their scheduling/commit latency (optimization
+            # guide §2.6 — measured 3.5-4 s serial → ~max-of-writes per
+            # micro-batch at sf0.1).
             nb = self._banded(new_rows).withColumn(
                 "band_pfx", self._pfx(F.col("band"))
             )
-            (
-                nb.repartition(F.col("band_pfx"))
-                .sortWithinPartitions("band")  # row-group locality for probes
-                .write.partitionBy("band_pfx")
-                .mode("overwrite")
-                .parquet(j(self.bands_path, bdir))
-            )
-            (
-                nb.groupBy("band", "band_pfx")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .repartition(F.col("band_pfx"))
-                .write.partitionBy("band_pfx")
-                .mode("overwrite")
-                .parquet(j(self.counts_path, bdir))
-            )
+
+            def w_pairs():
+                pairs.write.mode("overwrite").parquet(
+                    j(self.pairs_path, bdir)
+                )
+
+            def w_docs():
+                (
+                    new_rows.withColumn("id_pfx", self._pfx(F.col("id")))
+                    .repartition(F.col("id_pfx"))
+                    .write.partitionBy("id_pfx")
+                    .mode("overwrite")
+                    .parquet(j(self.docs_path, bdir))
+                )
+
+            def w_bands():
+                (
+                    nb.repartition(F.col("band_pfx"))
+                    .sortWithinPartitions("band")  # row-group locality
+                    .write.partitionBy("band_pfx")
+                    .mode("overwrite")
+                    .parquet(j(self.bands_path, bdir))
+                )
+
+            def w_counts():
+                (
+                    nb.groupBy("band", "band_pfx")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .repartition(F.col("band_pfx"))
+                    .write.partitionBy("band_pfx")
+                    .mode("overwrite")
+                    .parquet(j(self.counts_path, bdir))
+                )
+
+            fs_storage.run_concurrent([w_pairs, w_docs, w_bands, w_counts])
             if getattr(self, "_lease_depth", 0) == 0:
                 lease.verify_commit_fence(
                     self.spark, self.root, start_fence, "apply_batch"
@@ -898,13 +949,17 @@ class BandedMinHashIndex:
         # staging done — extend the lease before committing (round 12)
         lease.renew_active(self)
         # watermark first (asserts what is already true), then the marker
-        # makes the staged rebuild the committed state
-        self.spark.createDataFrame(
-            [(int(target),)], "through long"
-        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
-        self.spark.createDataFrame(
-            [(json.dumps(self._config()),)], "config string"
-        ).repartition(1).write.mode("overwrite").parquet(self.rebuild_marker_path)
+        # makes the staged rebuild the committed state — both driver-side
+        # one-row writes (round 16), same crash windows as the job form
+        fs_storage.write_small_parquet(
+            self.spark, self.watermark_path,
+            [(int(target),)], [("through", "int64")], overwrite=True,
+        )
+        fs_storage.write_small_parquet(
+            self.spark, self.rebuild_marker_path,
+            [(json.dumps(self._config()),)], [("config", "string")],
+            overwrite=True,
+        )
         self._recover_rebuild()
         self._ct_cache = int(target)
         return n_live
@@ -942,9 +997,11 @@ class BandedMinHashIndex:
             return 0
         target = max(applied)
         # watermark first: every batch being folded IS durably applied
-        self.spark.createDataFrame(
-            [(int(target),)], "through long"
-        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
+        # (driver-side one-row write, round 16)
+        fs_storage.write_small_parquet(
+            self.spark, self.watermark_path,
+            [(int(target),)], [("through", "int64")], overwrite=True,
+        )
 
         def swap(path: str, df, part_cols: list) -> None:
             staging = path.rstrip("/") + ".__compact__"

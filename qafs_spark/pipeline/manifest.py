@@ -79,17 +79,37 @@ def legacy_scan(
 def append(
     spark: SparkSession, log_path: str, batch_ids
 ) -> None:
-    """Append entries (one tiny single-file write; repartition(1), not
-    coalesce(1) — coalescing a driver-local relation measured a ~4s
-    fixed scheduling stall per write on Spark 4.1 local mode); crash-safe
-    — a torn append leaves only _temporary staging, invisible to
-    readers."""
+    """Append entries driver-side (round 16: one tiny parquet file
+    written through the Hadoop FS client — no Spark job; the previous
+    ``createDataFrame(...).repartition(1).write`` paid a ~0.4 s job
+    submit + committer round per micro-batch commit, the largest fixed
+    term in the streaming sinks' serial commit chain). Crash-safe — the
+    bytes land under a dot-prefixed temp name and rename into place, so
+    a torn append is invisible to readers, the same contract the
+    job-based append had via ``_temporary`` staging."""
     rows = [(int(b),) for b in sorted(set(batch_ids))]
     if not rows:
         return
-    spark.createDataFrame(rows, "batch_id long").repartition(1).write.mode(
-        "append"
-    ).parquet(log_path)
+    fs_storage.write_small_parquet(
+        spark, log_path, rows, [("batch_id", "int64")]
+    )
+
+
+def ensure(spark: SparkSession, log_path: str, batch_ids=()) -> None:
+    """Make the log EXIST (with ``batch_ids``, possibly zero rows) if it
+    does not yet. Round 16: the sinks call this before their first
+    commit so the legacy ``_SUCCESS``-scan fallback can never engage on
+    an index written with CONCURRENT dataset writes — the fallback
+    infers "applied" from the last-written dataset's markers, a
+    write-order assumption concurrent commits no longer satisfy. A
+    0-row log reads back as the empty applied set (not None), which is
+    exactly right for a fresh index."""
+    if fs_storage.path_exists(spark, log_path):
+        return
+    fs_storage.write_small_parquet(
+        spark, log_path, [(int(b),) for b in sorted(set(batch_ids))],
+        [("batch_id", "int64")],
+    )
 
 
 def reset(spark: SparkSession, log_path: str, target: int) -> None:

@@ -135,9 +135,11 @@ class InvertedIndex:
                     f"{cfg} — the prefix modulus is immutable"
                 )
         else:
-            self.spark.createDataFrame(
-                [(json.dumps(cfg),)], "config string"
-            ).repartition(1).write.mode("overwrite").parquet(self.meta_path)
+            fs_storage.write_small_parquet(
+                self.spark, self.meta_path,
+                [(json.dumps(cfg),)], [("config", "string")],
+                overwrite=True,
+            )
         self._meta_checked = True
 
     # -- merge-on-read deletes ---------------------------------------------
@@ -459,10 +461,11 @@ class InvertedIndex:
             )
         except Exception:
             pass
-        self.spark.createDataFrame(
+        fs_storage.write_small_parquet(
+            self.spark, self.meta_path,
             [(json.dumps({"num_partitions": self.num_partitions}),)],
-            "config string",
-        ).repartition(1).write.mode("overwrite").parquet(self.meta_path)
+            [("config", "string")], overwrite=True,
+        )
         fs_storage.delete_path(self.spark, self.deletes_path)
         fs_storage.delete_path(self.spark, self.rebuild_marker_path)
         self._invalidate_meta_caches()
@@ -527,14 +530,14 @@ class InvertedIndex:
         )
         # staging done — extend the lease before committing (round 12)
         lease.renew_active(self)
-        self.spark.createDataFrame(
-            [(int(target),)], "through long"
-        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
-        self.spark.createDataFrame(
+        fs_storage.write_small_parquet(
+            self.spark, self.watermark_path,
+            [(int(target),)], [("through", "int64")], overwrite=True,
+        )
+        fs_storage.write_small_parquet(
+            self.spark, self.rebuild_marker_path,
             [(json.dumps({"num_partitions": self.num_partitions}),)],
-            "config string",
-        ).repartition(1).write.mode("overwrite").parquet(
-            self.rebuild_marker_path
+            [("config", "string")], overwrite=True,
         )
         self._recover_rebuild()
         self._ct_cache = int(target)
@@ -552,9 +555,10 @@ class InvertedIndex:
             return 0
         target = max(applied)
         applied_cond = self._applied_cond()
-        self.spark.createDataFrame(
-            [(int(target),)], "through long"
-        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
+        fs_storage.write_small_parquet(
+            self.spark, self.watermark_path,
+            [(int(target),)], [("through", "int64")], overwrite=True,
+        )
 
         def swap(path: str, df, part_cols: list) -> None:
             staging = path.rstrip("/") + ".__compact__"

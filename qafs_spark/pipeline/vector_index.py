@@ -612,10 +612,13 @@ class CellVectorIndex:
         return cents
 
     def _write_meta(self, version: int) -> None:
-        self.spark.createDataFrame(
+        # driver-side one-row write (round 16) — same crash window as the
+        # job-based mode("overwrite"), minus a Spark job per train/retrain
+        fs_storage.write_small_parquet(
+            self.spark, self.meta_path,
             [(json.dumps({**self._config(), "version": int(version)}),)],
-            "config string",
-        ).repartition(1).write.mode("overwrite").parquet(self.meta_path)
+            [("config", "string")], overwrite=True,
+        )
 
     def _read_meta(self) -> dict:
         return json.loads(
@@ -658,6 +661,17 @@ class CellVectorIndex:
             new |= s
         manifest.append(self.spark, self.applied_log_path, new)
         self._applied_cache = (s | {int(batch_id)}, True)
+
+    def _ensure_log(self) -> None:
+        """Materialize the applied-log manifest (with the legacy-scan
+        backfill) before the first CONCURRENT dataset commit — the
+        legacy fallback's "vectors written last" marker assumption no
+        longer holds once apply_batch overlaps its writes (round 16).
+        One driver-side file create, once per index lifetime."""
+        s = self._applied_set()
+        if not self._applied_cache[1]:
+            manifest.ensure(self.spark, self.applied_log_path, s)
+            self._applied_cache = (s, True)
 
     def _fold_targets(self) -> list:
         """Applied batch ids eligible for folding (compaction/retrain
@@ -907,15 +921,18 @@ class CellVectorIndex:
         # lease was already lost to takeover)
         lease.renew_active(self)
         # watermark first (it only asserts what is already true), then the
-        # intent marker makes the staged retrain the committed state
-        self.spark.createDataFrame(
-            [(int(target),)], "through long"
-        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
+        # intent marker makes the staged retrain the committed state —
+        # driver-side one-row writes (round 16), same crash windows
+        fs_storage.write_small_parquet(
+            self.spark, self.watermark_path,
+            [(int(target),)], [("through", "int64")], overwrite=True,
+        )
         new_version = self.version() + 1
-        self.spark.createDataFrame(
+        fs_storage.write_small_parquet(
+            self.spark, self.retrain_marker_path,
             [(int(new_version), json.dumps(self._config()))],
-            "version long, config string",
-        ).repartition(1).write.mode("overwrite").parquet(self.retrain_marker_path)
+            [("version", "int64"), ("config", "string")], overwrite=True,
+        )
         self._recover_retrain()
         self._ct_cache = int(target)
         return n_live
@@ -947,9 +964,10 @@ class CellVectorIndex:
         # applied-cond captured BEFORE the watermark advances (the
         # instance caches make this naturally so)
         applied_cond = self._applied_cond()
-        self.spark.createDataFrame(
-            [(int(target),)], "through long"
-        ).repartition(1).write.mode("overwrite").parquet(self.watermark_path)
+        fs_storage.write_small_parquet(
+            self.spark, self.watermark_path,
+            [(int(target),)], [("through", "int64")], overwrite=True,
+        )
         staging = self.vectors_path.rstrip("/") + ".__compact__"
         old = self.vectors_path.rstrip("/") + ".__old__"
         fs_storage.delete_path(self.spark, staging)
@@ -1879,6 +1897,13 @@ class CellVectorIndex:
 
                 base = probed_a.persist(StorageLevel.MEMORY_AND_DISK)
                 self._persisted.append(base)
+                # round 16: the pruned stored-side read is pass-invariant
+                # — persist it once instead of rescanning the cell
+                # partitions (and re-filtering tombstones) once per pass;
+                # MEMORY_AND_DISK spills rather than drops, and
+                # unpersist_intermediates releases it with the batch
+                stored = stored.persist(StorageLevel.MEMORY_AND_DISK)
+                self._persisted.append(stored)
                 olds, news = [], []
                 for part in self._pass_parts(base, passes):
                     bvar = self._collect_blocks(
@@ -1970,18 +1995,28 @@ class CellVectorIndex:
             return False
         j = fs_storage.join
         bdir = f"batch_id={int(batch_id)}"
+        self._ensure_log()
         pairs, assigned = self.dedup_batch(
             batch, vec_col, id_col, threshold, tier, nprobe,
             exclude_batch_id=int(batch_id), max_cell_size=max_cell_size,
         )
         try:
-            pairs.write.mode("overwrite").parquet(j(self.pairs_path, bdir))
-            (
-                assigned.repartition(F.col("cell"))
-                .write.partitionBy("cell")
-                .mode("overwrite")
-                .parquet(j(self.vectors_path, bdir))
-            )
+            # round 16: the two writes are independent jobs over the
+            # persisted assignment — only the applied-log append after
+            # BOTH makes the batch durable and all reads filter to
+            # applied batches, so overlapping them (guide §2.6) absorbs
+            # one write's scheduling/commit latency inside the other's
+            fs_storage.run_concurrent([
+                lambda: pairs.write.mode("overwrite").parquet(
+                    j(self.pairs_path, bdir)
+                ),
+                lambda: (
+                    assigned.repartition(F.col("cell"))
+                    .write.partitionBy("cell")
+                    .mode("overwrite")
+                    .parquet(j(self.vectors_path, bdir))
+                ),
+            ])
             if getattr(self, "_lease_depth", 0) == 0:
                 lease.verify_commit_fence(
                     self.spark, self.root, start_fence, "apply_batch"
@@ -2053,6 +2088,11 @@ class CellVectorIndex:
 
             base = q.persist(StorageLevel.MEMORY_AND_DISK)
             self._persisted.append(base)
+            # round 16: persist the pass-invariant pruned stored side
+            # once — each pass's scorer otherwise rescans the probed
+            # cell partitions (see dedup_batch's multi-pass branch)
+            stored = stored.persist(StorageLevel.MEMORY_AND_DISK)
+            self._persisted.append(stored)
             parts_out = []
             for part in self._pass_parts(base, passes):
                 bvar = self._collect_blocks(part, keyed=False)

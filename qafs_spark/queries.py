@@ -989,6 +989,39 @@ def q_incremental_dedup(spark, sf_dir):
     return pairs
 
 
+def _stage_stream_files(spark, df, key_col: str, root: str) -> str:
+    """Write ``df`` as 3 single-file micro-batch inputs (``key % 3``)
+    under ``root/in`` with deterministic mtimes (mtime drives file-source
+    batch order; batch contents are order-independent, the pinned mtimes
+    just keep runs identical). The three writes are independent
+    single-task jobs — submitted concurrently (optimization guide §2.6)
+    so their scheduling/commit latency overlaps; files and rows are
+    byte-identical to the old serial loop."""
+    import os
+
+    from . import storage as fs_storage
+
+    src = os.path.join(root, "in")
+    os.makedirs(src)
+
+    def stage(k):
+        def run():
+            staged = os.path.join(root, f"stage{k}")
+            df.filter(F.col(key_col) % 3 == k).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staged)
+            part = next(
+                f for f in os.listdir(staged) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"b{k}.parquet")
+            os.rename(os.path.join(staged, part), dst)
+            os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+        return run
+
+    fs_storage.run_concurrent([stage(k) for k in range(3)])
+    return src
+
+
 @register(
     "stream_incremental_dedup",
     # The accumulated pairs log over ALL micro-batches is the complete
@@ -1019,20 +1052,8 @@ def q_stream_incremental_dedup(spark, sf_dir):
     from .streaming.dedup_lsh import dedup_pairs, streaming_minhash_dedup
 
     root = tempfile.mkdtemp(prefix="qafs_streamdedup_")
-    src = os.path.join(root, "in")
-    os.makedirs(src)
     docs = _t(spark, sf_dir, "documents")
-    for k in range(3):
-        staged = os.path.join(root, f"stage{k}")
-        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staged)
-        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"b{k}.parquet")
-        os.rename(os.path.join(staged, part), dst)
-        # mtime drives file-source batch order; pair/index contents are
-        # order-independent, this just keeps runs identical
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    src = _stage_stream_files(spark, docs, "doc_id", root)
     stream = (
         spark.readStream.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .option("maxFilesPerTrigger", 1)
@@ -1128,18 +1149,8 @@ def q_stream_banded_dedup(spark, sf_dir):
     from .streaming.dedup_lsh import streaming_banded_dedup
 
     root = tempfile.mkdtemp(prefix="qafs_bandedstream_")
-    src = os.path.join(root, "in")
-    os.makedirs(src)
     docs = _t(spark, sf_dir, "documents")
-    for k in range(3):
-        staged = os.path.join(root, f"stage{k}")
-        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staged)
-        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"b{k}.parquet")
-        os.rename(os.path.join(staged, part), dst)
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    src = _stage_stream_files(spark, docs, "doc_id", root)
     stream = (
         spark.readStream.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .option("maxFilesPerTrigger", 1)
@@ -2208,18 +2219,8 @@ def q_stream_semantic_dedup(spark, sf_dir):
     from .streaming.dedup_lsh import streaming_semantic_dedup
 
     root = tempfile.mkdtemp(prefix="qafs_vstream_")
-    src = os.path.join(root, "in")
-    os.makedirs(src)
     emb = _t(spark, sf_dir, "embeddings")
-    for k in range(3):
-        staged = os.path.join(root, f"stage{k}")
-        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staged)
-        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"b{k}.parquet")
-        os.rename(os.path.join(staged, part), dst)
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    src = _stage_stream_files(spark, emb, "vec_id", root)
     stream = (
         spark.readStream.schema("vec_id LONG, embedding ARRAY<DOUBLE>")
         .option("maxFilesPerTrigger", 1)
@@ -4811,18 +4812,8 @@ def q_stream_bm25_index(spark, sf_dir):
     from .streaming.dedup_lsh import streaming_inverted_index
 
     root = tempfile.mkdtemp(prefix="qafs_bm25stream_")
-    src = os.path.join(root, "in")
-    os.makedirs(src)
     docs = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    for k in range(3):
-        staged = os.path.join(root, f"stage{k}")
-        docs.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staged)
-        part = next(f for f in os.listdir(staged) if f.endswith(".parquet"))
-        dst = os.path.join(src, f"b{k}.parquet")
-        os.rename(os.path.join(staged, part), dst)
-        os.utime(dst, (1_700_000_000 + k, 1_700_000_000 + k))
+    src = _stage_stream_files(spark, docs, "doc_id", root)
     stream = (
         spark.readStream.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .option("maxFilesPerTrigger", 1)

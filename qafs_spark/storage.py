@@ -173,6 +173,98 @@ def create_file_atomic(spark: SparkSession, path: str, content: str) -> bool:
     return True
 
 
+def run_concurrent(fns) -> None:
+    """Run independent Spark actions (zero-arg callables) from a thread
+    pool so their jobs overlap — the scheduler back-fills one job's task
+    tail with the next job's tasks (optimization guide §2.6). Used for
+    the index sinks' per-batch dataset writes, whose serial chain was the
+    dominant micro-batch cost. Waits for ALL to finish; raises the first
+    failure (after every job has completed, so no write is abandoned
+    mid-flight)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fns = list(fns)
+    if len(fns) == 1:
+        fns[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
+        futs = [pool.submit(f) for f in fns]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except Exception as e:  # collect, don't abandon the rest
+                errs.append(e)
+    if errs:
+        raise errs[0]
+
+
+def write_small_parquet(
+    spark: SparkSession,
+    dir_path: str,
+    rows: list,
+    schema,
+    overwrite: bool = False,
+) -> None:
+    """Commit a TINY control-plane parquet dataset (applied-log entries,
+    meta rows, watermarks, intent markers) from the DRIVER — no Spark job.
+
+    The previous recipe (``createDataFrame(...).repartition(1).write``)
+    paid a full job submit + task + committer round per write; at
+    micro-batch cadence that fixed ~0.4 s/commit dominated the streaming
+    sinks' serial commit chain (round 16 profile). This is the commit-log
+    idiom table formats use — Delta/Iceberg write their log/manifest
+    entries driver-side through the FS client, not as jobs.
+
+    Mechanics: serialize ``rows`` with pyarrow (pinned to the same
+    physical types Spark writes for these schemas: int64/string), stream
+    the bytes through the Hadoop FS client (same connector/credential
+    surface as everything else in this module — works on file:/, HDFS,
+    s3a://), then rename a dot-prefixed temp file into place. Readers
+    (``spark.read.parquet``) ignore dot-/underscore-prefixed files, so a
+    torn write is invisible — the same crash contract the job-based
+    append had via ``_temporary`` staging.
+
+    ``schema`` is a list of (name, pyarrow-type-name) with type-name in
+    {"int64", "string", "double"}. ``overwrite=True`` deletes the dataset
+    dir first (the job-based ``mode("overwrite")`` also deletes before
+    writing, so the crash window — reader sees a missing dataset — is
+    unchanged; every call site already tolerates/recovers a missing
+    marker)."""
+    import io
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    types = {"int64": pa.int64(), "string": pa.string(), "double": pa.float64()}
+    fields = [(n, types[t]) for n, t in schema]
+    arrays = [
+        pa.array([r[i] for r in rows], type=t)
+        for i, (_, t) in enumerate(fields)
+    ]
+    table = pa.Table.from_arrays(arrays, names=[n for n, _ in fields])
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy")
+    data = buf.getvalue()
+
+    if overwrite:
+        delete_path(spark, dir_path)
+    fs, jdir = _fs_and_path(spark, dir_path)
+    uid = uuid.uuid4().hex
+    tmp = join(dir_path, f".part-{uid}.parquet.inprogress")
+    final = join(dir_path, f"part-{uid}.parquet")
+    _, jtmp = _fs_and_path(spark, tmp)
+    out = fs.create(jtmp, False)  # creates parent dirs implicitly
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    _, jfinal = _fs_and_path(spark, final)
+    if not fs.rename(jtmp, jfinal):
+        raise IOError(f"write_small_parquet: rename into {final} failed")
+
+
 def read_small_file(spark: SparkSession, path: str):
     """Full contents of a SMALL file as str, or None when missing or
     unreadable (a concurrent delete between exists and open reads as

@@ -119,17 +119,29 @@ def apply_dedup_batch(
         index = minhash_index(
             batch.limit(0), text_col, id_col, n, num_hashes, seed
         )
+    # Round 16: the two dataset writes run CONCURRENTLY (independent
+    # jobs; the applied-log entry appended after BOTH is what makes the
+    # batch durable, and dedup_pairs filters to the applied set, so
+    # write order never carried correctness — only the legacy
+    # _SUCCESS-scan fallback's "index written last" marker assumption,
+    # which the log-ensure below retires before the first concurrent
+    # commit). Overlapping them absorbs one write's scheduling/commit
+    # latency inside the other's (optimization guide §2.6).
+    manifest.ensure(spark, _flat_log_path(index_path), applied)
     pairs, new_rows = incremental_minhash_dedup(
         batch, index, text_col, id_col,
         n=n, num_hashes=num_hashes, num_bands=num_bands,
         threshold=threshold, seed=seed, max_band_size=max_band_size,
     )
-    pairs.write.mode("overwrite").parquet(fs_storage.join(pairs_path, bdir))
-    new_rows.write.mode("overwrite").parquet(fs_storage.join(index_path, bdir))
-    backfill = applied if legacy_scanned else set()
-    manifest.append(
-        spark, _flat_log_path(index_path), backfill | {int(batch_id)}
-    )
+    fs_storage.run_concurrent([
+        lambda: pairs.write.mode("overwrite").parquet(
+            fs_storage.join(pairs_path, bdir)
+        ),
+        lambda: new_rows.write.mode("overwrite").parquet(
+            fs_storage.join(index_path, bdir)
+        ),
+    ])
+    manifest.append(spark, _flat_log_path(index_path), {int(batch_id)})
     return True
 
 
