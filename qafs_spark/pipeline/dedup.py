@@ -612,7 +612,6 @@ def embedding_dedup_pairs(
     :func:`similarity.blocked_self_pairs`)."""
     from .similarity import (
         blocked_self_pairs,
-        cosine_pre_batch,
         hyperplane_bucket_batch,
         norm,
     )
@@ -651,17 +650,21 @@ def embedding_dedup_pairs(
             v, "bucket", threshold, max_cell_size=max_cell_size, dim=dim,
             pair_output=pair_output,
         )
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            cosine_pre_batch(
-                F.col("a.vec"), F.col("b.vec"), F.col("a.__n"), F.col("b.__n")
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # Exact all-pairs via the blocked scorer (round 16): the former
+    # self-join shipped BOTH vectors per PAIR through Arrow —
+    # O(pairs·dim) boundary bytes (≈2 GB at just 2000×64-dim vectors) —
+    # where one constant-key blocked group ships each vector once and
+    # scores chunked einsum blocks, O(rows·dim). Cosine bits are
+    # IDENTICAL (same float64 promotion, same fixed-order einsum
+    # reduction — the round-11 parity contract, re-verified bit-for-bit
+    # against the join shape on the full fixture pair set), and both
+    # shapes apply the same >= threshold filter, so every oracle replay
+    # is unaffected. Single-group serialization is fine by contract:
+    # this tier is the small-corpus oracle path (callers cap it at
+    # target_cell_size rows; the scale tiers shard by bucket/cell).
+    return blocked_self_pairs(
+        v.withColumn("__cell", F.lit(0)), "__cell", threshold,
+        max_cell_size=None,
     )
 
 

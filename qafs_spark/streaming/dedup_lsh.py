@@ -69,14 +69,22 @@ def _flat_log_path(index_path: str) -> str:
     return index_path.rstrip("/") + ".applied_log"
 
 
-def _flat_applied(spark, index_path: str):
+def _flat_applied(spark, index_path: str, cache: Optional[dict] = None):
     """(applied_ids, legacy_scanned): the flat sink's applied-batch set —
-    one cached-free parquet read of the commit log; indexes written
-    before the log existed fall back to the legacy per-batch ``_SUCCESS``
-    scan (and the next ``apply_dedup_batch`` backfills the log, so the
-    fallback is transitional, not steady-state)."""
+    one parquet read of the commit log; indexes written before the log
+    existed fall back to the legacy per-batch ``_SUCCESS`` scan (and the
+    next ``apply_dedup_batch`` backfills the log, so the fallback is
+    transitional, not steady-state). ``cache`` (round 16): a dict owned
+    by a long-lived single-writer caller (the streaming sink holds one
+    per stream) — the log read then runs once per stream instead of once
+    per micro-batch, with the writer updating the cache at each commit;
+    a fresh process (replay) starts with an empty cache and re-reads."""
+    if cache is not None and "applied" in cache:
+        return cache["applied"], False
     applied = manifest.read_log(spark, _flat_log_path(index_path))
     if applied is not None:
+        if cache is not None:
+            cache["applied"] = applied
         return applied, False
     return manifest.legacy_scan(spark, index_path, -1), True
 
@@ -94,9 +102,12 @@ def apply_dedup_batch(
     threshold: float = 0.5,
     seed: int = 42,
     max_band_size: Optional[int] = DEFAULT_MAX_BAND_SIZE,
+    _applied_cache: Optional[dict] = None,
 ) -> bool:
     """One micro-batch of the flat dedup sink, committed exactly once
     (module-level so the replay semantics are directly testable).
+    ``_applied_cache``: optional per-stream dict (see ``_flat_applied``)
+    that amortizes the applied-log read across a stream's micro-batches.
 
     Returns False (no-op) when the batch is in the ``applied_log`` commit
     manifest (round 10; indexes predating the log fall back to the
@@ -108,7 +119,7 @@ def apply_dedup_batch(
     must not pair the batch against its own rows)."""
     spark = batch.sparkSession
     bdir = f"batch_id={int(batch_id)}"
-    applied, legacy_scanned = _flat_applied(spark, index_path)
+    applied, legacy_scanned = _flat_applied(spark, index_path, _applied_cache)
     if int(batch_id) in applied:
         return False
     if fs_storage.path_exists(spark, index_path):
@@ -142,6 +153,8 @@ def apply_dedup_batch(
         ),
     ])
     manifest.append(spark, _flat_log_path(index_path), {int(batch_id)})
+    if _applied_cache is not None:
+        _applied_cache["applied"] = applied | {int(batch_id)}
     return True
 
 
@@ -215,6 +228,11 @@ def streaming_minhash_dedup(
     :func:`streaming_banded_dedup`.)
     """
 
+    # per-stream applied-set cache: one log read for the stream's
+    # lifetime instead of one per micro-batch (single-writer contract;
+    # a replayed stream starts a fresh process → fresh cache → re-read)
+    applied_cache: dict = {}
+
     def process(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
@@ -222,7 +240,7 @@ def streaming_minhash_dedup(
             batch, batch_id, index_path, pairs_path,
             text_col=text_col, id_col=id_col, n=n, num_hashes=num_hashes,
             num_bands=num_bands, threshold=threshold, seed=seed,
-            max_band_size=max_band_size,
+            max_band_size=max_band_size, _applied_cache=applied_cache,
         )
 
     writer = (
