@@ -367,6 +367,7 @@ class BandedMinHashIndex:
         max_band_size: Optional[int] = DEFAULT_MAX_BAND_SIZE,
         exclude_batch_id: Optional[int] = None,
         broadcast_new: bool = True,
+        _on_new_rows=None,
     ) -> Tuple[DataFrame, DataFrame]:
         """Near-dup pairs touching the batch + the batch's index rows.
 
@@ -397,6 +398,12 @@ class BandedMinHashIndex:
         self._persisted.append(new_rows)
         nb = self._banded(new_rows).withColumn("band_pfx", self._pfx(F.col("band")))
         batch_pfx = [r[0] for r in nb.select("band_pfx").distinct().collect()]
+        if _on_new_rows is not None:
+            # apply_batch's hook (round 16): new_rows is materialized in
+            # the cache by the collect above, so the caller can launch
+            # the index-dataset writes that depend ONLY on it, in
+            # parallel with the candidate/verify chain built below
+            _on_new_rows(new_rows)
 
         ob = self._minus_deleted(
             self._read_pruned(
@@ -628,65 +635,83 @@ class BandedMinHashIndex:
         # applied log (with the legacy backfill) BEFORE the first such
         # commit so the fallback never engages again on this index.
         self._ensure_log()
-        pairs, new_rows = self.dedup_batch(
-            batch, text_col, id_col, threshold, max_band_size,
-            exclude_batch_id=int(batch_id), broadcast_new=broadcast_new,
-        )
-        try:
-            # The four dataset writes are mutually independent Spark jobs
-            # over already-materialized inputs (dedup_batch persisted
-            # new_rows and the candidate set): only the applied-log
-            # append — after ALL of them — makes the batch durable, and
-            # every probe read filters to applied batches, so write ORDER
-            # never mattered for correctness, only for the (now
-            # log-backed) legacy marker scan. Running them from a thread
-            # pool overlaps their scheduling/commit latency (optimization
-            # guide §2.6 — measured 3.5-4 s serial → ~max-of-writes per
-            # micro-batch at sf0.1).
+        # The four dataset writes are mutually independent Spark jobs:
+        # only the applied-log append — after ALL of them — makes the
+        # batch durable, and every probe read filters to applied
+        # batches, so write ORDER never mattered for correctness, only
+        # for the (now log-backed) legacy marker scan. Round 16 overlaps
+        # them (optimization guide §2.6), and further: the three
+        # index-dataset writes depend ONLY on new_rows, which
+        # dedup_batch materializes at its FIRST collect — the
+        # _on_new_rows hook launches them there, in parallel with the
+        # candidate/verify chain AND the pairs write (measured 3.5-4 s
+        # serial writes → hidden inside the dedup chain at sf0.1).
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        futs: list = []
+
+        def w_docs(new_rows):
+            (
+                new_rows.withColumn("id_pfx", self._pfx(F.col("id")))
+                .repartition(F.col("id_pfx"))
+                .write.partitionBy("id_pfx")
+                .mode("overwrite")
+                .parquet(j(self.docs_path, bdir))
+            )
+
+        def w_bands(nb):
+            (
+                nb.repartition(F.col("band_pfx"))
+                .sortWithinPartitions("band")  # row-group locality
+                .write.partitionBy("band_pfx")
+                .mode("overwrite")
+                .parquet(j(self.bands_path, bdir))
+            )
+
+        def w_counts(nb):
+            (
+                nb.groupBy("band", "band_pfx")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .repartition(F.col("band_pfx"))
+                .write.partitionBy("band_pfx")
+                .mode("overwrite")
+                .parquet(j(self.counts_path, bdir))
+            )
+
+        def kickoff(new_rows):
             nb = self._banded(new_rows).withColumn(
                 "band_pfx", self._pfx(F.col("band"))
             )
+            futs.append(pool.submit(w_docs, new_rows))
+            futs.append(pool.submit(w_bands, nb))
+            futs.append(pool.submit(w_counts, nb))
 
-            def w_pairs():
-                pairs.write.mode("overwrite").parquet(
-                    j(self.pairs_path, bdir)
-                )
-
-            def w_docs():
-                (
-                    new_rows.withColumn("id_pfx", self._pfx(F.col("id")))
-                    .repartition(F.col("id_pfx"))
-                    .write.partitionBy("id_pfx")
-                    .mode("overwrite")
-                    .parquet(j(self.docs_path, bdir))
-                )
-
-            def w_bands():
-                (
-                    nb.repartition(F.col("band_pfx"))
-                    .sortWithinPartitions("band")  # row-group locality
-                    .write.partitionBy("band_pfx")
-                    .mode("overwrite")
-                    .parquet(j(self.bands_path, bdir))
-                )
-
-            def w_counts():
-                (
-                    nb.groupBy("band", "band_pfx")
-                    .agg(F.count(F.lit(1)).alias("cnt"))
-                    .repartition(F.col("band_pfx"))
-                    .write.partitionBy("band_pfx")
-                    .mode("overwrite")
-                    .parquet(j(self.counts_path, bdir))
-                )
-
-            fs_storage.run_concurrent([w_pairs, w_docs, w_bands, w_counts])
+        try:
+            pairs, new_rows = self.dedup_batch(
+                batch, text_col, id_col, threshold, max_band_size,
+                exclude_batch_id=int(batch_id), broadcast_new=broadcast_new,
+                _on_new_rows=kickoff,
+            )
+            pairs.write.mode("overwrite").parquet(j(self.pairs_path, bdir))
+            errs = []
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:
+                    errs.append(e)
+            if errs:
+                raise errs[0]
             if getattr(self, "_lease_depth", 0) == 0:
                 lease.verify_commit_fence(
                     self.spark, self.root, start_fence, "apply_batch"
                 )
             self._log_applied(int(batch_id))
         finally:
+            # wait for any in-flight write before releasing the caches
+            # it reads (a failed batch's partial directories are replay-
+            # overwritten — the standard crash contract)
+            pool.shutdown(wait=True)
             self.unpersist_intermediates()
         return True
 
