@@ -47,6 +47,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from .. import storage as fs_storage
@@ -144,15 +145,26 @@ def apply_dedup_batch(
         n=n, num_hashes=num_hashes, num_bands=num_bands,
         threshold=threshold, seed=seed, max_band_size=max_band_size,
     )
-    fs_storage.run_concurrent([
-        lambda: pairs.write.mode("overwrite").parquet(
-            fs_storage.join(pairs_path, bdir)
-        ),
-        lambda: new_rows.write.mode("overwrite").parquet(
-            fs_storage.join(index_path, bdir)
-        ),
-    ])
-    manifest.append(spark, _flat_log_path(index_path), {int(batch_id)})
+    # Persist the batch sketch (round 16, guide §2.3): ``pairs``
+    # references the ``new_rows`` subtree three times (banded broadcast
+    # side + both sides of the signature union) and the concurrent index
+    # write evaluates it again — without the cache the batch is
+    # tokenized + MinHashed ~4x per micro-batch. MEMORY_AND_DISK (spills,
+    # never drops, so the plan stays deterministic either way); released
+    # after the commit, so nothing survives the batch.
+    new_rows = new_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        fs_storage.run_concurrent([
+            lambda: pairs.write.mode("overwrite").parquet(
+                fs_storage.join(pairs_path, bdir)
+            ),
+            lambda: new_rows.write.mode("overwrite").parquet(
+                fs_storage.join(index_path, bdir)
+            ),
+        ])
+        manifest.append(spark, _flat_log_path(index_path), {int(batch_id)})
+    finally:
+        new_rows.unpersist()
     if _applied_cache is not None:
         _applied_cache["applied"] = applied | {int(batch_id)}
     return True
