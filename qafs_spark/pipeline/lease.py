@@ -33,7 +33,7 @@ holding JSON ``{owner, op, acquired_at, expires_at}``:
   checks its own token: on stores where create-if-absent is checked at
   close rather than open, last-writer-wins collisions surface here as a
   clean abort instead of two holders. (On stores with conditional
-  writes — S3 ``PUT If-None-Match:*`` GA Nov 2024, GCS
+  writes — S3 ``PUT If-None-Match:*`` GA Aug 2024, GCS
   generation-match, ABFS ETag preconditions — the create itself is
   atomic and even the read-back's residual simultaneous-PUT window
   vanishes; both behaviors are pinned through the object-store shim in

@@ -1619,8 +1619,8 @@ class CellVectorIndex:
         8 B per index entry (guard multiprobe multiplies pos entries
         only, never vectors). ``n`` rides jobs the callers run anyway —
         dedup_batch/search fold it into their distinct-cells collect
-        (``groupBy(cell).count()``, same shuffle shape) and the exact
-        tier counts its already-persisted assignment — so deciding
+        (``groupBy(cell).count()``, same shuffle shape; the exact tier
+        never calls this — it broadcast-joins, no pass count) — so deciding
         before collecting costs NO extra pass over the probe frame
         (the probe assignment is a mapInPandas matmul; an extra count
         job here re-ran it once per batch, measured as the round-15

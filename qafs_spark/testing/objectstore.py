@@ -15,7 +15,7 @@ those, as a drop-in monkeypatch over :mod:`qafs_spark.storage`:
   hook runs between the probe and the PUT so tests schedule races
   deterministically instead of spinning threads and hoping.
   ``conditional_put=True`` models the modern alternative — S3
-  ``PUT If-None-Match:*`` (GA Nov 2024), GCS
+  ``PUT If-None-Match:*`` (GA Aug 2024), GCS
   ``if-generation-match: 0``, ABFS ETag preconditions — where the
   condition is checked atomically at PUT time server-side, so the SAME
   race schedule yields exactly one winner (the loser's PUT fails like
@@ -98,7 +98,7 @@ class ObjectStoreShim:
     ) -> None:
         self.lag_sec = float(lag_sec)
         self.hooks = dict(hooks or {})
-        # S3 conditional writes (PUT If-None-Match:*, GA Nov 2024; GCS
+        # S3 conditional writes (PUT If-None-Match:*, GA Aug 2024; GCS
         # x-goog-if-generation-match:0, ABFS If-None-Match ETag): the
         # if-absent condition is evaluated ATOMICALLY at PUT time
         # against the strongly-consistent object index — a losing racer

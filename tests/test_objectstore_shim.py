@@ -188,7 +188,7 @@ def test_rename_window_both_visible_then_source_gone(
 
 
 def test_conditional_put_closes_the_double_hold(spark, root, monkeypatch):
-    """Conditional writes (S3 PUT If-None-Match:* GA Nov 2024, GCS
+    """Conditional writes (S3 PUT If-None-Match:* GA Aug 2024, GCS
     if-generation-match:0, ABFS ETag): the EXACT schedule that produces
     the double-hold under unconditional PUT — B's complete create+verify
     landing inside A's probe→PUT window — now hands the lease to exactly
