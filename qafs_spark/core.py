@@ -613,12 +613,19 @@ class FeatureStore:
 
         if not validated:
             if _raise_error_enabled():
-                # blocking mode: one dedicated aggregate job BEFORE the write
-                # so invalid data is never persisted
-                check.validate(sdf, "value")
+                # blocking mode: the dedicated validation aggregate still
+                # gates the COMMIT, but runs concurrently with the staged
+                # append's write job (round 17, guide §2.6) — the staged
+                # files are renamed into the dataset only after validation
+                # passes and are discarded if it raises, so readers can
+                # never observe invalid data (the same contract the
+                # strictly-before ordering gave, minus a blocking pass
+                # over the source on the ingest critical path)
                 write_feature(canonicalize(sdf), self._path(ns, nm),
                               scheme=rec.partition,
-                              distribute=self.write_partitions)
+                              distribute=self.write_partitions,
+                              pre_commit_check=lambda: check.validate(
+                                  sdf, "value"))
             else:
                 # log mode: dtype gate is a driver-side schema comparison and
                 # the violation counters ride along inside the write job

@@ -130,6 +130,18 @@ class BandedMinHashIndex:
         # cached commit-log read replaces the per-batch _SUCCESS probes
         self._applied_cache: Optional[tuple] = None
         self._pf_cache: Optional[int] = None  # pairs-fold watermark
+        # dataset-read cache (round 17): spark.read.parquet(<dataset>)
+        # re-lists every accumulated batch_id=/prefix directory and
+        # re-reads a footer for schema on EVERY call — dedup_batch probes
+        # each dataset up to twice per micro-batch, so the per-probe
+        # partition discovery grows O(uncompacted batches). The resolved
+        # DataFrame is cached per dataset path and dropped whenever the
+        # dataset's directories can change (apply_batch commit, compact,
+        # rebuild, refresh) — the same invalidation points as the
+        # applied-set cache. The probe-time filters (applied set,
+        # exclude_batch_id) still run per call against the cached
+        # listing, so visibility semantics are unchanged.
+        self._ds_cache: dict = {}
 
     def _invalidate_meta_caches(self) -> None:
         if isinstance(self._tomb_cache, DataFrame):
@@ -138,6 +150,7 @@ class BandedMinHashIndex:
         self._ct_cache = None
         self._applied_cache = None
         self._pf_cache = None
+        self._ds_cache.clear()
 
     def _sync_tombstones(self) -> None:
         """Cross-instance delete visibility on a cheap signal: one
@@ -282,12 +295,16 @@ class BandedMinHashIndex:
         must not perturb probe pair sets)."""
         if not fs_storage.path_exists(self.spark, path) or not pfxs:
             return empty_like.select(*cols).limit(0)
-        try:
-            df = self.spark.read.parquet(path)
-        except Exception:
-            # dirs whose batches were all empty hold no part files, so
-            # schema inference fails — semantically an empty dataset
-            return empty_like.select(*cols).limit(0)
+        df = self._ds_cache.get(path)
+        if df is None:
+            try:
+                df = self.spark.read.parquet(path)
+            except Exception:
+                # dirs whose batches were all empty hold no part files, so
+                # schema inference fails — semantically an empty dataset
+                # (not cached: a later batch may add the first part file)
+                return empty_like.select(*cols).limit(0)
+            self._ds_cache[path] = df
         # partition dirs read back as strings (type inference is off)
         df = df.filter(F.col(pfx_col).isin([str(p) for p in pfxs]))
         if exclude_batch_id is not None:
@@ -713,6 +730,9 @@ class BandedMinHashIndex:
             # overwritten — the standard crash contract)
             pool.shutdown(wait=True)
             self.unpersist_intermediates()
+            # this batch added batch_id= directories the cached dataset
+            # listings cannot see — the next probe must re-list
+            self._ds_cache.clear()
         return True
 
     # -- compaction --------------------------------------------------------

@@ -361,6 +361,19 @@ def _minhash_pairs(
     base: DataFrame, num_hashes: int, num_bands: int, rows_per_band: int,
     threshold: float, seed: int, max_band_size: Optional[int] = None,
 ) -> DataFrame:
+    # The plan references `base` three times (signature build + both
+    # verify sides) and `banded` three times (bucket-size guard + both
+    # candidate self-join sides); none of the references share an
+    # exchange (the small sides broadcast), so without materialization
+    # every reference re-runs the tokenize+shingle+md5 scan, and every
+    # banded reference re-runs the 32-permutation signature on top
+    # (round 17 profile at sf1: 4 full scans, 0 ReusedExchange). Persist
+    # both — (id, sh) and the far smaller (id, band) — so the shingle
+    # pass and the signature pass each run ONCE per action.
+    # MEMORY_AND_DISK: spills, never silently drops and recomputes.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     with_sig = base.select(
         "id", minhash_signature_from_hashes(F.col("sh"), num_hashes, seed).alias("sig")
     )
@@ -370,7 +383,7 @@ def _minhash_pairs(
     banded = with_sig.select(
         "id",
         F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if max_band_size is not None:
         # oversized-bucket skip: the hot-key set is tiny → broadcast anti-join
         big = (
@@ -722,24 +735,93 @@ def cluster_pairs(
     labels are persisted and the previous round unpersisted, so lineage
     stays one-round deep (no plan blow-up, resilient at any diameter).
 
-    Scale shape per iteration: one self-join of the (id, label) frame with
-    the undirected edge list on id + one min-aggregate — both hash-shuffle
-    on id, the same key every round, so AQE reuses the partitioning. The
-    edge list is never exploded beyond 2|pairs| rows. In the default
-    fixed-k mode iterations are plan unrolling (no driver loop state): the
-    whole propagation is ONE lazy plan.
+    Scale shape per iteration: one join of the (id, label) frame with the
+    undirected edge list + one min-aggregate — hash-shuffles keyed the
+    same way every round, so the physical plan reuses the edge exchange
+    across rounds. The stored edge list holds at most 2|pairs| + |V| rows
+    (both orientations plus one self-loop per vertex — the self-loops fold
+    "own label" into the neighbor min so a round references the label
+    frame ONCE and the unrolled plan stays linear in ``k_iters``). In the
+    default fixed-k mode iterations are plan unrolling (no driver loop
+    state): the whole propagation is ONE lazy plan.
     """
+    if not converge:
+        # Self-loop reformulation of the unrolled fixed-k propagation
+        # (round 17). The textbook round references the label frame TWICE
+        # (neighbor min-aggregate + the outer join carrying each node's own
+        # label), so k unrolled rounds duplicate the previous round's
+        # subtree 2^k times — plan size, analysis time and codegen all grow
+        # exponentially in k. Adding a (v, v) self-loop per vertex folds
+        # "own label" into the neighbor set:
+        #
+        #   label_r(v) = min over (v,u) in E ∪ {(v,v)} of label_{r-1}(u)
+        #              = min(label_{r-1}(v), min over neighbors)  -- identical
+        #
+        # so one round is ONE join + ONE min-aggregate, a single reference
+        # to the labels frame, and the whole unrolled plan is linear in k.
+        # The extended edge list is built with one explode pass over the
+        # pair frame (pairs is referenced ONCE — the old symmetric union
+        # referenced it twice) and one distinct: both edge orientations
+        # plus both endpoints' self-loops, deduped together. Round 1 needs
+        # no join at all: labels_0(u) = u, so it is min(dst) grouped by src.
+        ext = (
+            pairs.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                        ),
+                        F.struct(
+                            F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                        ),
+                        F.struct(
+                            F.col(id_a).alias("src"), F.col(id_a).alias("dst")
+                        ),
+                        F.struct(
+                            F.col(id_b).alias("src"), F.col(id_b).alias("dst")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        if cache_edges:
+            # every iteration references the edge list: without
+            # materialization Spark recomputes the upstream pair
+            # generation once per round — for near-dup pairs that is the
+            # whole shingle join, k_iters times over. On a cluster you'd
+            # write the edge list out once; persist is the one-job
+            # analogue.
+            from pyspark import StorageLevel
+
+            ext = ext.persist(StorageLevel.MEMORY_AND_DISK)
+        if k_iters <= 0:
+            return ext.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias("id"), F.col("src").alias("cluster")
+            )
+        labels = (
+            ext.groupBy("src")
+            .agg(F.min("dst").alias("cluster"))
+            .select(F.col("src").alias("id"), "cluster")
+        )
+        for _ in range(k_iters - 1):
+            labels = (
+                ext.alias("e")
+                .join(labels.alias("l"), F.col("e.dst") == F.col("l.id"))
+                .groupBy(F.col("e.src"))
+                .agg(F.min(F.col("l.cluster")).alias("cluster"))
+                .select(F.col("src").alias("id"), "cluster")
+            )
+        return labels
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
     if cache_edges:
-        # every iteration references `edges` (and the label seed does too):
-        # without materialization Spark recomputes the upstream pair
-        # generation once per reference — for near-dup pairs that is the
-        # whole shingle join, k_iters+1 times over. On a cluster you'd
-        # write the edge list out once; persist is the one-job analogue.
+        # every round references `edges`; see the fixed-k branch's note
         from pyspark import StorageLevel
 
         edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -763,11 +845,6 @@ def cluster_pairs(
                 ).alias("cluster"),
             )
         )
-
-    if not converge:
-        for _ in range(k_iters):
-            labels = one_round(labels).select("id", "cluster")
-        return labels
 
     # fixed-point loop. Lineage MUST be truncated each round with an eager
     # materialization: labels appear twice in every round's plan (neighbor

@@ -116,6 +116,7 @@ def semantic_pairs(
     ivf_cell_rows: int = DEFAULT_IVF_CELL_ROWS,
     max_cell_size: Optional[int] = DEFAULT_PAIR_CELL_CAP,
     pair_output: str = "full",
+    _assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
@@ -203,7 +204,17 @@ def semantic_pairs(
         centroids = ivf_train(
             df, nlist=nlist, iters=train_iters, data_id=id_col, data_vec=vec_col
         )
-    if nprobe > 1:
+    if _assigned is not None:
+        # Caller-supplied assignment frame (round 17, internal): columns
+        # (id, vec, __n, cell), one row per probed cell, produced with
+        # the SAME kernels this function would run (_cell_assigner /
+        # _probe_cells over these centroids — the bit-parity
+        # precondition). Lets a query that derives several tiers from
+        # one trained quantizer (e.g. semantic_dedup_multiprobe's
+        # p1/p2/approx branches) compute and persist the
+        # norm+assignment pass ONCE instead of once per branch.
+        v = _assigned
+    elif nprobe > 1:
         probes = _probe_cells(centroids, nprobe)
         v = df.select(
             F.col(id_col).alias("id"),
@@ -257,6 +268,7 @@ def semantic_dedup(
     ivf_cell_rows: int = DEFAULT_IVF_CELL_ROWS,
     max_cell_size: Optional[int] = DEFAULT_PAIR_CELL_CAP,
     pair_output: str = "star",
+    _assigned: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Per-row keep/drop decision: (id, cluster, keep) for EVERY input row.
 
@@ -298,7 +310,7 @@ def semantic_dedup(
         df, vec_col, id_col, threshold, nlist, centroids, train_iters,
         nprobe=nprobe, exact=exact, target_cell_size=target_cell_size,
         ivf_cell_rows=ivf_cell_rows, max_cell_size=max_cell_size,
-        pair_output=pair_output,
+        pair_output=pair_output, _assigned=_assigned,
     )
     labels = cluster_pairs(pairs, k_iters=k_iters, converge=converge)
     return (

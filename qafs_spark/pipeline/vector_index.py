@@ -520,6 +520,11 @@ class CellVectorIndex:
         # cached commit-log read replaces the per-batch _SUCCESS probes
         self._applied_cache: Optional[tuple] = None
         self._pf_cache: Optional[int] = None  # pairs-fold watermark
+        # dataset-read cache (round 17, same idiom as the banded index):
+        # spark.read.parquet(vectors/) re-lists every accumulated
+        # batch_id=/cell= directory per probe; cache the resolved frame,
+        # dropped whenever the dataset's directories can change
+        self._ds_cache: dict = {}
 
     def _invalidate_meta_caches(self) -> None:
         if isinstance(self._tomb_cache, DataFrame):
@@ -528,6 +533,7 @@ class CellVectorIndex:
         self._ct_cache = None
         self._applied_cache = None
         self._pf_cache = None
+        self._ds_cache.clear()
 
     def _sync_tombstones(self) -> None:
         """Cross-instance delete visibility on a cheap signal: one
@@ -720,10 +726,14 @@ class CellVectorIndex:
             cells is not None and not cells
         ):
             return empty_like.limit(0)
-        try:
-            df = self.spark.read.parquet(self.vectors_path)
-        except Exception:
-            return empty_like.limit(0)
+        df = self._ds_cache.get(self.vectors_path)
+        if df is None:
+            try:
+                df = self.spark.read.parquet(self.vectors_path)
+            except Exception:
+                # not cached: a later batch may add the first part file
+                return empty_like.limit(0)
+            self._ds_cache[self.vectors_path] = df
         if cells is not None:
             df = df.filter(F.col("cell").isin([str(c) for c in cells]))
         if exclude_batch_id is not None:
@@ -2024,6 +2034,9 @@ class CellVectorIndex:
             self._log_applied(int(batch_id))
         finally:
             self.unpersist_intermediates()
+            # this batch added batch_id= directories the cached dataset
+            # listing cannot see — the next probe must re-list
+            self._ds_cache.clear()
         return True
 
     # -- ANN serving -------------------------------------------------------

@@ -4198,15 +4198,38 @@ def q_semantic_dedup_multiprobe(spark, sf_dir):
     distributed, folded in via a broadcast 1-row crossJoin), and the
     nprobe=2 keep-set must clear the same exact-tier agreement gate as
     semantic_dedup_agreement (pipeline/semdedup.py:semantic_pairs)."""
-    from .pipeline.similarity import ivf_train
+    from pyspark import StorageLevel
+
+    from .pipeline.similarity import _probe_cells, ivf_train, norm
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_train(
         emb, nlist=8, iters=1, data_id="vec_id", data_vec="embedding"
     )
+    # Shared assignment subtree (round 17): all three quantizer branches
+    # (p1, p2, approx2) re-ran the norm + centroid-scoring Arrow pass over
+    # the full corpus. One persisted top-2 probe frame feeds them all:
+    # _probe_cells' stable sort makes cells[0] bit-equal to
+    # _cell_assigner's argmax (the documented nprobe=1 parity contract),
+    # so the p1 branch derives its assignment from the SAME frame instead
+    # of a third kernel run. The exact tier is untouched — its all-pairs
+    # path never assigns cells.
+    probes = _probe_cells(cents, 2)
+    vb = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        norm(F.col("embedding")).alias("__n"),
+        probes(F.col("embedding")).alias("cells"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    v1 = vb.select("id", "vec", "__n", F.col("cells")[0].alias("cell"))
+    v2 = vb.select("id", "vec", "__n", F.explode("cells").alias("cell"))
     kw = dict(threshold=0.4, centroids=cents)
-    p1 = sdd.semantic_pairs(emb, "embedding", "vec_id", nprobe=1, **kw)
-    p2 = sdd.semantic_pairs(emb, "embedding", "vec_id", nprobe=2, **kw)
+    p1 = sdd.semantic_pairs(
+        emb, "embedding", "vec_id", nprobe=1, _assigned=v1, **kw
+    )
+    p2 = sdd.semantic_pairs(
+        emb, "embedding", "vec_id", nprobe=2, _assigned=v2, **kw
+    )
     monotone = (
         p1.select("id_a", "id_b")
         .join(p2.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
@@ -4217,7 +4240,7 @@ def q_semantic_dedup_multiprobe(spark, sf_dir):
     )
     approx2 = sdd.semantic_dedup(
         emb, "embedding", "vec_id", threshold=0.4, k_iters=3,
-        centroids=cents, nprobe=2,
+        centroids=cents, nprobe=2, _assigned=v2,
     )
     return sdd.keep_set_agreement(exact, approx2).crossJoin(
         F.broadcast(monotone)

@@ -98,6 +98,7 @@ def write_feature(
     mode: str = "append",
     sort_within_partitions: bool = True,
     distribute: Optional[int] = None,
+    pre_commit_check=None,
 ) -> None:
     """Append ``(time, created_time, value)`` rows as partitioned Parquet.
 
@@ -113,6 +114,15 @@ def write_feature(
     ``repartition("partition")`` would cap parallelism at #days and write
     one giant file per hot day. Costs one range shuffle (with a sampling
     pass), so leave None for small/already-partitioned inputs.
+
+    ``pre_commit_check``: a zero-arg callable that must succeed before the
+    append becomes VISIBLE. In append mode it runs concurrently with the
+    staging write (guide §2.6 — the validation aggregate and the staged
+    write are independent jobs over the same source) and the staged files
+    are only renamed into the dataset after it returns; if it raises, the
+    invisible staging directory is discarded and the error propagates —
+    readers can never observe data that failed the check. In overwrite
+    mode there is no staging, so the check runs before the write.
     """
     missing = {"time", "created_time", "value"} - set(df.columns)
     if missing:
@@ -127,13 +137,16 @@ def write_feature(
         out = out.sortWithinPartitions("partition", "time")
     if mode != "append":
         # overwrite replaces the whole dataset — concurrent writers are
-        # app-level undefined there, no staging needed
+        # app-level undefined there, no staging needed (and thus nothing
+        # to discard: the check must fully precede the write)
+        if pre_commit_check is not None:
+            pre_commit_check()
         out.write.mode(mode).partitionBy("partition").parquet(path)
         return
-    _staged_append(out, path)
+    _staged_append(out, path, pre_commit_check)
 
 
-def _staged_append(out: DataFrame, path: str) -> None:
+def _staged_append(out: DataFrame, path: str, pre_commit_check=None) -> None:
     """Commit ``out`` into the dataset via a per-job staging directory
     (see module-level note): write to ``<path>.__stage__-<uuid>``, move
     each ``partition=<val>/part-*.parquet`` into place with one rename
@@ -145,7 +158,28 @@ def _staged_append(out: DataFrame, path: str) -> None:
 
     spark = out.sparkSession
     stage = path.rstrip("/") + _STAGE_MARK + uuid.uuid4().hex
-    out.write.mode("error").partitionBy("partition").parquet(stage)
+    if pre_commit_check is None:
+        out.write.mode("error").partitionBy("partition").parquet(stage)
+    else:
+        # Overlap the pre-commit validation aggregate with the staging
+        # write (round 17, guide §2.6): both are independent jobs over
+        # the same source, and the staged bytes stay invisible until the
+        # renames below — so running them concurrently keeps the "no
+        # invalid data ever visible" contract while removing the
+        # validation job from the ingest critical path. The check is
+        # listed first so its failure wins when both jobs fail.
+        try:
+            fs_storage.run_concurrent([
+                pre_commit_check,
+                lambda: out.write.mode("error")
+                .partitionBy("partition")
+                .parquet(stage),
+            ])
+        except BaseException:
+            # never leave a known-dead staging dir for the compaction
+            # sweep — and never rename it in
+            fs_storage.delete_path(spark, stage)
+            raise
     # the direct append created the dataset dir even for 0-row writes;
     # keep that contract (path_exists probes distinguish "feature never
     # saved" from "saved empty")
