@@ -194,7 +194,16 @@ class BandedMinHashIndex:
         through = self._compacted_through()
         logged = manifest.read_log(self.spark, self.applied_log_path)
         if logged is None:
-            s = manifest.legacy_scan(self.spark, self.counts_path, through)
+            # require every per-batch dataset's marker, not just the
+            # serially-last-written one: a crashed CONCURRENT commit
+            # (round 16+) can leave any directory subset (round 17,
+            # ADVICE — intersection keeps a partial batch un-applied)
+            s = manifest.legacy_scan(
+                self.spark, self.counts_path, through,
+                require_all=(
+                    self.pairs_path, self.docs_path, self.bands_path,
+                ),
+            )
             self._applied_cache = (s, False)
         else:
             s = {b for b in logged if b > through}
@@ -211,7 +220,14 @@ class BandedMinHashIndex:
         s = self._applied_set()
         if not self._applied_cache[1]:
             manifest.ensure(self.spark, self.applied_log_path, s)
-            self._applied_cache = (s, True)
+            # flip the log-backed bit only after the log actually READS
+            # (round 17, ADVICE): if the backfill write raced a torn
+            # state, the next commit retries it instead of the cache
+            # claiming a log that read_log would reject
+            if manifest.read_log(
+                self.spark, self.applied_log_path
+            ) is not None:
+                self._applied_cache = (s, True)
 
     def _log_applied(self, batch_id: int) -> None:
         """Record a completed commit in the manifest (backfilling a
@@ -663,10 +679,7 @@ class BandedMinHashIndex:
         # _on_new_rows hook launches them there, in parallel with the
         # candidate/verify chain AND the pairs write (measured 3.5-4 s
         # serial writes → hidden inside the dedup chain at sf0.1).
-        from concurrent.futures import ThreadPoolExecutor
-
-        pool = ThreadPoolExecutor(max_workers=3)
-        futs: list = []
+        waiters: list = []
 
         def w_docs(new_rows):
             (
@@ -700,9 +713,13 @@ class BandedMinHashIndex:
             nb = self._banded(new_rows).withColumn(
                 "band_pfx", self._pfx(F.col("band"))
             )
-            futs.append(pool.submit(w_docs, new_rows))
-            futs.append(pool.submit(w_bands, nb))
-            futs.append(pool.submit(w_counts, nb))
+            # shared deferred-wait primitive (round 17, ADVICE): one
+            # implementation of the wait-all-then-raise-first contract
+            waiters.append(fs_storage.start_concurrent([
+                lambda: w_docs(new_rows),
+                lambda: w_bands(nb),
+                lambda: w_counts(nb),
+            ]))
 
         try:
             pairs, new_rows = self.dedup_batch(
@@ -711,14 +728,8 @@ class BandedMinHashIndex:
                 _on_new_rows=kickoff,
             )
             pairs.write.mode("overwrite").parquet(j(self.pairs_path, bdir))
-            errs = []
-            for f in futs:
-                try:
-                    f.result()
-                except Exception as e:
-                    errs.append(e)
-            if errs:
-                raise errs[0]
+            for w in waiters:
+                w()
             if getattr(self, "_lease_depth", 0) == 0:
                 lease.verify_commit_fence(
                     self.spark, self.root, start_fence, "apply_batch"
@@ -727,8 +738,13 @@ class BandedMinHashIndex:
         finally:
             # wait for any in-flight write before releasing the caches
             # it reads (a failed batch's partial directories are replay-
-            # overwritten — the standard crash contract)
-            pool.shutdown(wait=True)
+            # overwritten — the standard crash contract); wait() is
+            # idempotent, and its error already surfaced in the try body
+            for w in waiters:
+                try:
+                    w()
+                except Exception:
+                    pass
             self.unpersist_intermediates()
             # this batch added batch_id= directories the cached dataset
             # listings cannot see — the next probe must re-list

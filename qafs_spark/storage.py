@@ -173,6 +173,40 @@ def create_file_atomic(spark: SparkSession, path: str, content: str) -> bool:
     return True
 
 
+def start_concurrent(fns):
+    """Submit independent Spark actions (zero-arg callables) to a thread
+    pool and return a zero-arg ``wait()`` with :func:`run_concurrent`'s
+    contract: wait for ALL to finish, then raise the first failure (no
+    write is ever abandoned mid-flight). The deferred barrier lets a
+    caller overlap the submitted jobs with further driver work — e.g.
+    the banded sink launches its index-dataset writes at the dedup
+    chain's first collect and joins them only after the pairs write.
+    ``wait()`` is idempotent (round 17: the one shared implementation of
+    the commit-concurrency semantics — ADVICE asked for the hand-rolled
+    twin in banded_index.apply_batch to be folded into this one)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    fns = list(fns)
+    pool = ThreadPoolExecutor(max_workers=max(1, len(fns)))
+    futs = [pool.submit(f) for f in fns]
+    pool.shutdown(wait=False)
+    state: list = []
+
+    def wait() -> None:
+        if not state:
+            errs = []
+            for f in futs:
+                try:
+                    f.result()
+                except Exception as e:  # collect, don't abandon the rest
+                    errs.append(e)
+            state.append(errs)
+        if state[0]:
+            raise state[0][0]
+
+    return wait
+
+
 def run_concurrent(fns) -> None:
     """Run independent Spark actions (zero-arg callables) from a thread
     pool so their jobs overlap — the scheduler back-fills one job's task
@@ -181,22 +215,11 @@ def run_concurrent(fns) -> None:
     dominant micro-batch cost. Waits for ALL to finish; raises the first
     failure (after every job has completed, so no write is abandoned
     mid-flight)."""
-    from concurrent.futures import ThreadPoolExecutor
-
     fns = list(fns)
     if len(fns) == 1:
         fns[0]()
         return
-    with ThreadPoolExecutor(max_workers=len(fns)) as pool:
-        futs = [pool.submit(f) for f in fns]
-        errs = []
-        for f in futs:
-            try:
-                f.result()
-            except Exception as e:  # collect, don't abandon the rest
-                errs.append(e)
-    if errs:
-        raise errs[0]
+    start_concurrent(fns)()
 
 
 def write_small_parquet(

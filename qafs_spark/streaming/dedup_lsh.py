@@ -70,7 +70,10 @@ def _flat_log_path(index_path: str) -> str:
     return index_path.rstrip("/") + ".applied_log"
 
 
-def _flat_applied(spark, index_path: str, cache: Optional[dict] = None):
+def _flat_applied(
+    spark, index_path: str, cache: Optional[dict] = None,
+    pairs_path: Optional[str] = None,
+):
     """(applied_ids, legacy_scanned): the flat sink's applied-batch set —
     one parquet read of the commit log; indexes written before the log
     existed fall back to the legacy per-batch ``_SUCCESS`` scan (and the
@@ -79,7 +82,12 @@ def _flat_applied(spark, index_path: str, cache: Optional[dict] = None):
     by a long-lived single-writer caller (the streaming sink holds one
     per stream) — the log read then runs once per stream instead of once
     per micro-batch, with the writer updating the cache at each commit;
-    a fresh process (replay) starts with an empty cache and re-reads."""
+    a fresh process (replay) starts with an empty cache and re-reads.
+    ``pairs_path`` (round 17, ADVICE): when given, the legacy fallback
+    requires the batch's pairs marker TOO — the round-16 concurrent
+    writes retired the "index written last" ordering the single-dataset
+    scan assumed, so a crashed concurrent batch with an index-only (or
+    pairs-only) directory must read as not-applied."""
     if cache is not None and "applied" in cache:
         return cache["applied"], False
     applied = manifest.read_log(spark, _flat_log_path(index_path))
@@ -87,7 +95,8 @@ def _flat_applied(spark, index_path: str, cache: Optional[dict] = None):
         if cache is not None:
             cache["applied"] = applied
         return applied, False
-    return manifest.legacy_scan(spark, index_path, -1), True
+    require = (pairs_path,) if pairs_path else ()
+    return manifest.legacy_scan(spark, index_path, -1, require_all=require), True
 
 
 def apply_dedup_batch(
@@ -120,7 +129,9 @@ def apply_dedup_batch(
     must not pair the batch against its own rows)."""
     spark = batch.sparkSession
     bdir = f"batch_id={int(batch_id)}"
-    applied, legacy_scanned = _flat_applied(spark, index_path, _applied_cache)
+    applied, legacy_scanned = _flat_applied(
+        spark, index_path, _applied_cache, pairs_path=pairs_path
+    )
     if int(batch_id) in applied:
         return False
     if fs_storage.path_exists(spark, index_path):
@@ -139,7 +150,14 @@ def apply_dedup_batch(
     # which the log-ensure below retires before the first concurrent
     # commit). Overlapping them absorbs one write's scheduling/commit
     # latency inside the other's (optimization guide §2.6).
-    manifest.ensure(spark, _flat_log_path(index_path), applied)
+    if legacy_scanned:
+        # the log did not READ this batch (missing, or torn-unreadable —
+        # manifest.ensure now gates on read_log, round 17 ADVICE): write
+        # the legacy backfill before the first concurrent commit. When
+        # the applied set came from the log or the stream cache the log
+        # is known-readable, so steady-state batches skip the probe the
+        # old unconditional ensure() paid.
+        manifest.ensure(spark, _flat_log_path(index_path), applied)
     pairs, new_rows = incremental_minhash_dedup(
         batch, index, text_col, id_col,
         n=n, num_hashes=num_hashes, num_bands=num_bands,
@@ -187,7 +205,7 @@ def dedup_pairs(spark, index_path: str, pairs_path: str) -> DataFrame:
     empty_schema = "id_a long, id_b long, jaccard double, batch_id string"
     if not fs_storage.path_exists(spark, pairs_path):
         return spark.createDataFrame([], empty_schema)
-    applied, _ = _flat_applied(spark, index_path)
+    applied, _ = _flat_applied(spark, index_path, pairs_path=pairs_path)
     try:
         df = spark.read.parquet(pairs_path)
     except Exception:
