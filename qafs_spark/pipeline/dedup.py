@@ -253,6 +253,25 @@ def _shingle_pair_counts(
             F.explode("sh").alias("h"),
             F.size("sh").alias("n_sh"),
         )
+    # Persist the exploded shingle frame (round 17). Two reasons, both
+    # measured on the downstream jaccard/containment consumers:
+    # (1) a threshold filter on the similarity column makes the
+    #     optimizer infer IsNotNull over n_sh and push it through the
+    #     staged projections ALL THE WAY INTO THE SCAN FILTER — where it
+    #     re-nests the entire tokenize+shingle+md5 expression per input
+    #     row, on BOTH join sides (the exact re-nesting trap
+    #     minhash_lsh_dedup's token-count-filter comment documents;
+    #     measured 0.8 s → 4.9 s warm for ngram_jaccard_pairs at sf0.1).
+    #     The materialization boundary stops that pushdown cold.
+    # (2) the self-join references `sh` twice, and at estimate sizes
+    #     where the planner broadcasts one side the shingle subtree is
+    #     computed twice; from the cache each side is a scan.
+    # MEMORY_AND_DISK: spills, never drops. The frame is the shuffle
+    # input the join pays for anyway — at scale you'd materialize it
+    # once (write out or cache) for the same two reasons.
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
