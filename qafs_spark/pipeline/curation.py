@@ -65,10 +65,21 @@ def curate(
     """
     # staged quality table = ONE tokenize pass (the single-expression
     # quality_score filter re-tokenizes per signal, ~6 regex passes/row);
-    # the id set joins back left-semi — same shuffle a groupBy would use
+    # the id set joins back left-semi — same shuffle a groupBy would use.
+    # The table is persisted when caching is on (round 17): the threshold
+    # filter's inferred IsNotNull(quality) otherwise pushes through the
+    # staged projections and re-nests the whole multi-regex quality
+    # expression into the docs SCAN FILTER (the `_shingle_pair_counts`
+    # re-nesting trap, found by the round-17 plan sweep — 19 expensive
+    # kernels in one scan Condition); the materialization boundary stops
+    # it, and the narrow (id, quality) frame is small by construction.
+    qt = quality_table(docs, text_col, id_col)
+    if cache_intermediate:
+        from pyspark import StorageLevel as _SL
+
+        qt = qt.persist(_SL.MEMORY_AND_DISK)
     good_ids = (
-        quality_table(docs, text_col, id_col)
-        .filter(F.col("quality") >= quality_threshold)
+        qt.filter(F.col("quality") >= quality_threshold)
         .select(F.col("id").alias(id_col))
     )
     good = docs.join(good_ids, on=id_col, how="left_semi")
