@@ -151,29 +151,60 @@ def with_shingle_hashes(
 def minhash_signature_from_hashes(
     hashes: Column, num_hashes: int = 32, seed: int = 42
 ) -> Column:
-    def perm(a: int, b: int):
-        # closure factory: default-arg capture would change the lambda arity
-        # pyspark inspects for higher-order functions
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE31)
-
-    sig = [
-        F.array_min(F.transform(hashes, perm(a, b)))
-        for a, b in minhash_params(num_hashes, seed)
-    ]
-    return F.array(*sig)
+    # Loop form (round 17): the former ``F.array(*[array_min(transform)
+    # for each of num_hashes permutations])`` unrolled num_hashes copies
+    # of the permutation arithmetic into every plan that computes a
+    # signature — its Janino compile dominated the projection's cost in
+    # every fresh process (in-JVM A/B with the codegen cache disabled on
+    # the full minhash pipeline: median 2.09 s → 1.32 s per compile+run,
+    # signatures/band keys/pairs bit-identical —
+    # plans/r17/minhash_loopform_ab.txt). The (a, b) permutation params
+    # become two literal arrays (constant-folded by the optimizer) and
+    # the signature one transform over sequence(1, num_hashes) — the
+    # same num_hashes passes over the hash array at execution (both
+    # forms are interpreted higher-order functions), ~1/32nd the
+    # generated source.
+    params = minhash_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (F.element_at(a_arr, i) * h + F.element_at(b_arr, i))
+                % F.lit(MERSENNE31),
+            )
+        ),
+    )
 
 
 def lsh_band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
-    """Band keys "b|h1,h2,..": docs sharing any key become candidates."""
-    keys = []
-    for band in range(num_bands):
-        sl = F.slice(signature, band * rows_per_band + 1, rows_per_band)
-        keys.append(
-            F.concat_ws(
-                "|", F.lit(str(band)), F.array_join(F.transform(sl, lambda x: x.cast("string")), ",")
-            )
-        )
-    return F.array(*keys)
+    """Band keys "b|h1,h2,..": docs sharing any key become candidates.
+
+    Loop form (round 17, same rationale and A/B as
+    :func:`minhash_signature_from_hashes`): one transform over
+    sequence(0, num_bands-1) instead of num_bands unrolled concat terms —
+    identical keys (int-to-string casts match ``str(band)`` for the
+    non-negative band indexes), ~1/num_bands the generated source."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda band: F.concat_ws(
+            "|",
+            band.cast("string"),
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        signature,
+                        band * F.lit(rows_per_band) + F.lit(1),
+                        rows_per_band,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+        ),
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -513,18 +544,41 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         packs.append(F.sum(expr).alias(f"_p{j}"))
     votes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("_n"), *packs)
     mask = (1 << _PACK_WIDTH) - 1
-    sketch = None
-    for b in range(SIMHASH_BITS):
-        j, k = divmod(b, _PACK_FIELDS)
-        cnt = F.shiftright(F.col(f"_p{j}"), _PACK_WIDTH * k).bitwiseAND(F.lit(mask))
-        # branchless majority vote: the sign bit of (_n - 2*cnt) is 1 iff
-        # 2*cnt > _n. Equivalent to the CASE WHEN form but generates ~40%
-        # less Java — measured ~1s off the per-query Janino compile (the
-        # extraction runs over one row per doc; its cost is compile time,
-        # not execution).
+    # Loop-form bit extraction (round 17): the former 60 UNROLLED
+    # branchless shift/add terms were dominated by their Janino compile —
+    # every fresh process paid it once per plan (in-JVM A/B with the
+    # codegen cache disabled: median 2.36 s → 1.48 s per compile+run,
+    # sketches and pairs bit-identical — plans/r17/simhash_extract_ab.txt).
+    # One aggregate() over sequence(0,59) against the packs gathered into
+    # an array generates a fixed-size loop instead. The fold body is
+    # interpreted per element, but it runs on ONE row per doc post-
+    # aggregate — per-doc cost is 60 tiny long ops, invisible next to the
+    # per-token md5 tokenize upstream at any scale. Bit b: counter
+    # ``(_p[b div 3] >> 21*(b mod 3)) & mask``, then the same branchless
+    # majority vote (sign bit of ``_n - 2*cnt``) shifted into place.
+    # ``(bi - k) / 3`` is an exact integer, so the double division is
+    # exact and the int cast lossless; call_function("shiftright"/
+    # "shiftleft") is the column-shift-amount spelling the python API's
+    # int-only signature hides.
+    ps = F.array(*[F.col(f"_p{j}") for j in range(n_packs)])
+
+    def _fold(acc, b):
+        bi = b.cast("int")
+        k = bi % F.lit(_PACK_FIELDS)
+        j = ((bi - k).cast("double") / F.lit(float(_PACK_FIELDS))).cast("int")
+        cnt = F.call_function(
+            "shiftright",
+            F.element_at(ps, j + F.lit(1)),
+            (k * F.lit(_PACK_WIDTH)).cast("int"),
+        ).bitwiseAND(F.lit(mask))
         bit = F.shiftright(F.col("_n") - cnt * F.lit(2), 63).bitwiseAND(F.lit(1))
-        piece = F.shiftleft(bit, b)
-        sketch = piece if sketch is None else sketch + piece
+        return acc + F.call_function("shiftleft", bit, bi)
+
+    sketch = F.aggregate(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        F.lit(0).cast("long"),
+        _fold,
+    )
     return votes.select("id", sketch.alias("sh"))
 
 
