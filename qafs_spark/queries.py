@@ -709,9 +709,14 @@ def _sql_lang_score(words) -> str:
 )
 def q_lang_id(spark, sf_dir):
     """Pipeline: stopword-vote language ID (first-wins tie order en>de>fr>es,
-    mirrored in the oracle's CASE ordering)."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", tx.lang_id(F.col("text")).alias("lang_guess")
+    mirrored in the oracle's CASE ordering). Staged-token variant (round
+    17): the single-expression ``lang_id`` duplicated every language's
+    score sub-expression through the chained argmax — 40 tokenize passes
+    per row in the plan, collapsed to 1 by ``lang_table``'s staged
+    projections (values identical, measured 3.59 → 0.57 s at sf0.1)."""
+    return (
+        tx.lang_table(_t(spark, sf_dir, "documents"), "text", "doc_id")
+        .select(F.col("id").alias("doc_id"), "lang_guess")
     )
 
 
